@@ -1,0 +1,81 @@
+"""EMA / MACD — the one genuine UDF need (reference W8:
+app/dashboard.py:114-118, pandas `ewm(span, adjust=False).mean()`).
+
+`ewm(adjust=False)` is the RECURSIVE form
+    y_0 = x_0;  y_t = (1-a)·y_{t-1} + a·x_t,  a = 2/(span+1)
+which no Spark window frame expresses (each output depends on the whole
+prefix with geometric weights). Two implementations:
+
+1. `add_ema` / `add_macd`: grouped-map `applyInPandas` per series key —
+   Arrow-batched, one Python roundtrip per group, bit-exact with the
+   reference because it IS pandas ewm. Per-group memory = one series;
+   fine when a single key's history fits an executor (true for bar
+   data: years of 5-min bars ≈ few MB). At 100 TB the series key space
+   (symbols) is large but each series is bounded — this partitions
+   cleanly.
+
+2. For nulls: pandas ewm ignores NaN in the mean-state update the same
+   way adjust=False does (value carries forward); we keep whatever
+   pandas does since it is the reference semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def add_ema(
+    df: DataFrame,
+    spans: dict[str, int],
+    partition_cols: list[str],
+    order_cols: list[str],
+    value_col: str = "close",
+) -> DataFrame:
+    """Add one EMA column per {out_name: span} entry."""
+    out_fields = df.schema.fields + [
+        T.StructField(name, T.DoubleType(), True) for name in spans
+    ]
+    schema = T.StructType(out_fields)
+    order = list(order_cols)
+
+    def kernel(pdf):
+        pdf = pdf.sort_values(order)
+        for name, span in spans.items():
+            pdf[name] = pdf[value_col].ewm(span=span, adjust=False).mean()
+        return pdf
+
+    return df.groupBy(*partition_cols).applyInPandas(kernel, schema=schema)
+
+
+def add_macd(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    value_col: str = "close",
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    macd_name: str = "macd",
+    signal_name: str = "macd_signal",
+) -> DataFrame:
+    """MACD(fast,slow,signal) exactly as the reference computes it
+    (app/dashboard.py:114-118): EMA_fast − EMA_slow, then EMA_signal of
+    the MACD line. One applyInPandas pass adds both columns."""
+    out_fields = df.schema.fields + [
+        T.StructField(macd_name, T.DoubleType(), True),
+        T.StructField(signal_name, T.DoubleType(), True),
+    ]
+    schema = T.StructType(out_fields)
+    order = list(order_cols)
+
+    def kernel(pdf):
+        pdf = pdf.sort_values(order)
+        ema_fast = pdf[value_col].ewm(span=fast, adjust=False).mean()
+        ema_slow = pdf[value_col].ewm(span=slow, adjust=False).mean()
+        pdf[macd_name] = ema_fast - ema_slow
+        pdf[signal_name] = pdf[macd_name].ewm(span=signal, adjust=False).mean()
+        return pdf
+
+    return df.groupBy(*partition_cols).applyInPandas(kernel, schema=schema)

@@ -1,0 +1,56 @@
+"""SparkSession builders.
+
+One place to encode the scale-oriented defaults so every entry point
+(tests, bench, driver harness) runs the same way:
+
+- AQE on (runtime coalesce + skew-join handling) — at 100 TB the static
+  shuffle-partition count is always wrong for some stage; AQE re-plans.
+- Arrow on — every pandas interchange (applyInPandas kernels, toPandas)
+  is columnar, not pickled rows.
+- Session timezone UTC — the synthetic data and the DuckDB oracle both
+  treat timestamps as naive; pinning the session TZ makes to_date/hour
+  deterministic regardless of host TZ.
+- shuffle.partitions defaults to the local core count; on a real
+  cluster this should be ~2-3x total executor cores (AQE coalesces
+  down, it can't split a too-small number... it can with skew-join, but
+  starting high + coalescing is the cheap direction).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "stockpulse-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or (os.cpu_count() or 32)),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # keep broadcast threshold default (10 MB); dims here are tiny and
+        # explicit broadcast() hints mark the intent in the plans.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,64 @@
+"""Batch table loaders for the driver's parquet testdata.
+
+The vectorized parquet reader + Catalyst give predicate pushdown and
+column pruning for free — the reference hand-writes both into its SQL
+strings (app/dashboard.py:33-46); here a plain `spark.read.parquet`
+followed by declarative filter/select reaches the same scan shape
+(check `.explain`: PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stockpulse_spark.schemas import TESTDATA_TABLES
+
+
+@lru_cache(maxsize=256)
+def _nanos_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects natively. Footer-only check via pyarrow (no data read)."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return tuple(f.name for f in schema if str(f.type) == "timestamp[ns]")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata parquet table.
+
+    Nanosecond timestamps (e.g. events.ts) are read as long via
+    `spark.sql.legacy.parquet.nanosAsLong` and floor-divided to
+    microseconds — the same truncation DuckDB applies, so oracle
+    comparisons agree to the microsecond.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos = _nanos_ts_columns(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    out = {}
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every testdata table and register it as a temp view so the
+    same query can be written with the DataFrame API or spark.sql."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
