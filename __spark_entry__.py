@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from stockpulse_spark.plans.registry import (  # noqa: E402
+from stockpulse_spark.plans import (  # noqa: E402
     oracle_sql as _oracle_sql,
     queries as _queries,
 )

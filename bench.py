@@ -18,7 +18,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from stockpulse_spark.plans.registry import REGISTRY  # noqa: E402
+from stockpulse_spark.plans import REGISTRY  # noqa: E402
 from stockpulse_spark.session import get_spark  # noqa: E402
 
 

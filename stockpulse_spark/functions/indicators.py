@@ -113,16 +113,18 @@ def rsi(ctx: IndicatorContext, n: int = 14, col: str | None = None) -> Column:
     app/dashboard.py:107-112 — note the reference uses SMA of
     gains/losses, not Wilder smoothing; replicate exactly).
 
-    pandas: delta=diff(); gain=delta.clip(lower=0).rolling(14).mean();
-    loss=(-delta).clip(lower=0).rolling(14).mean(); 100-100/(1+g/l).
-    rolling(14) strict → NULL until 14 deltas exist.
+    pandas: delta=diff(); gain=delta.where(delta>0, 0).rolling(14)
+    .mean(); loss analogous; 100-100/(1+g/l). NOTE `.where(delta>0, 0)`
+    maps the first NaN delta to 0, so the rolling window is already
+    full at row n-1 — the guard must count the CLIPPED series (never
+    null: greatest() ignores the null lag), not the deltas.
     """
     c = F.col(col or ctx.value)
     delta = c - F.lag(c, 1).over(ctx.w())
     gain = F.greatest(delta, F.lit(0.0))
     loss = F.greatest(-delta, F.lit(0.0))
     frame = ctx.rows(n)
-    full = F.count(delta).over(frame) >= n
+    full = F.count(gain).over(frame) >= n
     avg_gain = F.when(full, F.avg(gain).over(frame))
     avg_loss = F.when(full, F.avg(loss).over(frame))
     return 100.0 - 100.0 / (1.0 + avg_gain / avg_loss)

@@ -1,3 +1,7 @@
 from stockpulse_spark.plans.registry import REGISTRY, QuerySpec, queries, oracle_sql
 
+# importing these modules populates REGISTRY
+from stockpulse_spark.plans import registry_indicators  # noqa: F401, E402
+from stockpulse_spark.plans import registry_calendar  # noqa: F401, E402
+
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql"]

@@ -1,0 +1,187 @@
+"""Calendar / imputation query registrations (reference P6, P10, W14, J2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stockpulse_spark.operators.calendar import (
+    market_hours_filter,
+    us_federal_holiday_dates,
+    us_federal_holidays,
+)
+from stockpulse_spark.operators.quality import bounded_ffill, ffill_bfill
+from stockpulse_spark.plans.registry import _r6, _register, _t
+
+_HOLIDAY_YEARS = list(range(2020, 2031))
+_HOLIDAY_LITERALS = ", ".join(
+    f"DATE '{d.isoformat()}'" for d, _ in us_federal_holiday_dates(_HOLIDAY_YEARS)
+)
+
+
+@_register(
+    "ffill_bfill",
+    oracle="""
+    WITH m AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           ROUND(COALESCE(
+             last_value(value IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             first_value(value IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           ), 6) AS value_filled
+    FROM m
+    """,
+    tags=("window", "imputation"),
+    doc="reference P6 (app/dashboard.py:75,135-139): ffill().bfill() "
+    "per series — windowed last/first(ignorenulls), never leaking "
+    "across series. 'error' rows are masked NULL to exercise the fill.",
+)
+def q_ffill_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    filled = ffill_bfill(ev, ["value"], ["user_id"], ["ts"])
+    return filled.select(
+        "event_id", "user_id", "ts", _r6(F.col("value")).alias("value_filled")
+    )
+
+
+@_register(
+    "bounded_ffill",
+    oracle="""
+    WITH m AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type IN ('error', 'signup') THEN NULL ELSE value END AS value
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           ROUND(COALESCE(value, last_value(value IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 12 PRECEDING AND CURRENT ROW)), 6)
+             AS value_filled
+    FROM m
+    """,
+    tags=("window", "imputation"),
+    doc="reference W14 (docs/preprocessing.md:38-41): bounded forward "
+    "fill (limit=12) — fills at most the first 12 nulls of a gap, "
+    "keeping window state O(limit).",
+)
+def q_bounded_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type").isin("error", "signup"), F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    filled = bounded_ffill(ev, ["value"], ["user_id"], ["ts"], limit=12)
+    return filled.select(
+        "event_id", "user_id", "ts", _r6(F.col("value")).alias("value_filled")
+    )
+
+
+@_register(
+    "market_hours",
+    oracle=f"""
+    SELECT event_id, ts, user_id, value
+    FROM events
+    WHERE isodow(ts) BETWEEN 1 AND 5
+      AND (hour(ts) * 60 + minute(ts)) >= 570
+      AND (hour(ts) * 60 + minute(ts)) < 960
+      AND CAST(ts AS DATE) NOT IN ({_HOLIDAY_LITERALS})
+    """,
+    tags=("filter", "calendar"),
+    doc="reference P10 (preprocessing_pipeline.py:80-103): Mon-Fri "
+    "09:30-16:00 minus US federal holidays. Codegen'd predicate + "
+    "broadcast anti-join against the generated holiday dimension — no "
+    "per-row Python like the reference.",
+)
+def q_market_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hol = us_federal_holidays(spark, _HOLIDAY_YEARS)
+    out = market_hours_filter(ev, holidays=hol, ts_col="ts")
+    return out.select("event_id", "ts", "user_id", "value")
+
+
+@_register(
+    "missing_slots",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      FROM events
+      WHERE isodow(ts) BETWEEN 1 AND 5
+        AND CAST(ts AS DATE) NOT IN ({_HOLIDAY_LITERALS})
+    ), grid AS (
+      SELECT user_id, d,
+             CAST(d AS TIMESTAMP) + to_minutes(570 + i * 5) AS slot_ts
+      FROM days, range(78) t(i)
+    ), observed AS (
+      SELECT DISTINCT user_id,
+             to_timestamp((epoch_us(ts) // 300000000) * 300) AS slot_ts
+      FROM events
+    )
+    SELECT g.user_id, g.d AS date,
+           COUNT(*) AS n_missing,
+           string_agg(strftime(g.slot_ts, '%H:%M:%S'), ',' ORDER BY g.slot_ts) AS missing_times
+    FROM grid g
+    ANTI JOIN observed o ON g.user_id = o.user_id AND g.slot_ts = o.slot_ts
+    GROUP BY g.user_id, g.d
+    ORDER BY g.user_id, date
+    """,
+    tags=("join", "calendar"),
+    doc="reference J2 (preprocessing_pipeline.py:213-255): expected "
+    "5-min market grid minus observed slots → missing-data report. "
+    "Grid is sequence+explode (distributed), observed slots are "
+    "floor-bucketed, LEFT ANTI join, per-day collect.",
+)
+def q_missing_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hol = us_federal_holidays(spark, _HOLIDAY_YEARS)
+    days = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .filter(F.dayofweek("d").isin(2, 3, 4, 5, 6))
+        .join(
+            F.broadcast(hol), on=F.col("d") == F.col("holiday_date"), how="left_anti"
+        )
+    )
+    grid = days.select(
+        "user_id",
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(77))).alias("i"),
+    ).select(
+        "user_id",
+        "d",
+        (
+            F.to_timestamp("d")
+            + F.make_interval(mins=F.lit(570) + F.col("i") * 5)
+        ).alias("slot_ts"),
+    )
+    observed = ev.select(
+        "user_id",
+        F.timestamp_seconds(F.expr("unix_micros(ts) div 300000000") * 300).alias(
+            "slot_ts"
+        ),
+    ).distinct()
+    missing = grid.join(observed, on=["user_id", "slot_ts"], how="left_anti")
+    return (
+        missing.groupBy("user_id", F.col("d").alias("date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_missing"),
+            F.concat_ws(
+                ",",
+                F.sort_array(F.collect_list(F.date_format("slot_ts", "HH:mm:ss"))),
+            ).alias("missing_times"),
+        )
+        .orderBy("user_id", "date")
+    )

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from stockpulse_spark.plans.registry import REGISTRY
+from stockpulse_spark.plans import REGISTRY
 from tests.conftest import SF_DIR
 from tools.parity import compare, duck_con
 

@@ -21,7 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import duckdb  # noqa: E402
 
-from stockpulse_spark.plans.registry import REGISTRY  # noqa: E402
+from stockpulse_spark.plans import REGISTRY  # noqa: E402
 from stockpulse_spark.schemas import TESTDATA_TABLES  # noqa: E402
 from stockpulse_spark.session import get_spark  # noqa: E402
 
