@@ -1,0 +1,228 @@
+"""Deduplication families for document corpora.
+
+Four tiers, cheapest first — a real 100 TB pipeline runs them as a
+funnel (exact → fingerprint buckets → MinHash-LSH candidates → exact
+Jaccard verify), each stage shrinking the candidate set the next one
+pays for:
+
+    exact          md5(text) hash-groupBy — one shuffle on a 32-byte key
+    simhash        32-bit sign-vote hash; equal-hash buckets ≈ near-dups
+    minhash_lsh    k-permutation MinHash, banded self-join → candidate
+                   pairs with estimated Jaccard (sub-quadratic)
+    ngram_jaccard  exact Jaccard over shingle sets for a bounded
+                   candidate set (the verify stage)
+
+All JVM-side: shingles/hashes via higher-order array functions — no
+Python UDFs — so the hot path is codegen'd and Arrow never pays a
+row-transfer tax. Hashes are md5-derived (llmdata/hashing.py) so every
+operator keeps a DuckDB oracle.
+
+Scale notes: the LSH self-join shuffles on (band_idx, band_hash) —
+band count tunes the recall/cost curve; skewed buckets (boilerplate
+docs) are handled by AQE skew-join or a bucket-size cap filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stockpulse_spark.llmdata.hashing import word32_sql
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column.
+
+    Guarded for docs shorter than n words: Spark's sequence(1, 0)
+    yields a DESCENDING [1, 0] (not empty), which would feed slice()
+    an illegal start of 0 — short docs get an empty shingle set.
+    """
+    w = F.split(text, " ")
+    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            )
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: md5(text) → keeper id + count."""
+    return (
+        df.groupBy(F.md5(F.encode(F.col(text_col), "utf-8")).alias("text_md5"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signature(text: Column, k: int = 16, shingle_n: int = 3) -> Column:
+    """k-permutation MinHash signature as an array of k hex strings.
+
+    Permutation j is the md5 keyed by the salt prefix 'j|'; the min is
+    the lexicographic min over shingle digests — order-free, merge-
+    friendly (min is associative → partial aggregation works).
+
+    NOTE the per-permutation lambda must stay single-argument: PySpark
+    calls a two-parameter transform() lambda as (element, INDEX), so a
+    `lambda s, j=j:` closure would silently salt by shingle position.
+    """
+    sh = shingles(text, shingle_n)
+
+    def salted_min(j: int):
+        salt = f"{j}|"
+        return F.array_min(
+            F.transform(
+                sh, lambda s: F.md5(F.encode(F.concat(F.lit(salt), s), "utf-8"))
+            )
+        )
+
+    return F.array(*[salted_min(j) for j in range(k)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    signature (k mins) → `bands` band-hashes → self-join on
+    (band_idx, band_hash) → distinct (id1 < id2) pairs → estimated
+    Jaccard = fraction of matching signature positions ≥ threshold.
+    Sub-quadratic: only docs sharing a band bucket are compared.
+    """
+    r = k // bands
+    sig = df.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(F.col(text_col), k, shingle_n).alias("sig"),
+    )
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.encode(
+                                F.concat_ws("|", F.slice("sig", b * r + 1, r)), "utf-8"
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_idx", "band.band_hash")
+
+    # signatures are computed once and reused on three plan branches
+    # (banding + two pair-side joins) — persist so the 16×md5 transform
+    # isn't re-evaluated per branch
+    sig = sig.persist()
+
+    # candidate pairs carry ONLY ids through the band self-join and the
+    # distinct — shuffling the 16-hash signature arrays through
+    # dropDuplicates would dominate the cost; rejoin them afterwards
+    lite = banded.select("doc_id", "band_idx", "band_hash")
+    left = lite.alias("l")
+    right = lite.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_idx") == F.col("r.band_idx"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l.doc_id") < F.col("r.doc_id"),
+            ],
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id_1"),
+            F.col("r.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+    s1 = sig.select(F.col("doc_id").alias("doc_id_1"), F.col("sig").alias("sig1"))
+    s2 = sig.select(F.col("doc_id").alias("doc_id_2"), F.col("sig").alias("sig2"))
+    enriched = pairs.join(s1, "doc_id_1").join(s2, "doc_id_2")
+    est = F.size(
+        F.filter(
+            F.zip_with("sig1", "sig2", lambda a, b: a == b), lambda x: x
+        )
+    ) / F.lit(float(k))
+    return (
+        enriched.select("doc_id_1", "doc_id_2", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash32(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """32-bit SimHash per document.
+
+    Per-token 32-bit md5-derived hash (token multiset — duplicates
+    vote multiple times, the standard Charikar construction); per-bit
+    vote Σ(±1); bit set where the vote is positive. Shape: explode
+    tokens → hash once per token → 32 conditional sums in ONE
+    aggregation (map-side partial agg makes this linear, no window).
+
+    Equal simhash → near-dup bucket; Hamming-distance joins over bit
+    chunks extend this to distance ≤ d at scale.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).withColumn("h", F.expr(word32_sql("tok")))
+    votes = [
+        F.sum(
+            F.when(F.floor(F.col("h") / F.lit(float(2**b))) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(32)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(32):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(int(2**b))).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = "source",
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle sets, within bounded
+    candidate groups (`group_col`) to avoid the full O(n²) cross join —
+    at scale the group is an LSH bucket (minhash_lsh_pairs output).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        *( [F.col(group_col).alias("grp")] if group_col else [F.lit(1).alias("grp")] ),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    l, r = sh.alias("l"), sh.alias("r")
+    pairs = l.join(
+        r,
+        on=[F.col("l.grp") == F.col("r.grp"), F.col("l.doc_id") < F.col("r.doc_id")],
+    )
+    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
+    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+    jac = inter.cast("double") / union
+    return pairs.select(
+        F.col("l.doc_id").alias("doc_id_1"),
+        F.col("r.doc_id").alias("doc_id_2"),
+        jac.alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)

@@ -3,5 +3,6 @@ from stockpulse_spark.plans.registry import REGISTRY, QuerySpec, queries, oracle
 # importing these modules populates REGISTRY
 from stockpulse_spark.plans import registry_indicators  # noqa: F401, E402
 from stockpulse_spark.plans import registry_calendar  # noqa: F401, E402
+from stockpulse_spark.plans import registry_llmdata  # noqa: F401, E402
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql"]

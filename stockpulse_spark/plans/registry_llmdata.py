@@ -1,0 +1,419 @@
+"""Training-data operator registrations over documents/embeddings
+(north-star M5: dedup families, similarity search, text analysis,
+multimodal plumbing). Every query keeps a DuckDB oracle: hashes are
+md5 (identical in both engines), folds are sequential in both, planes
+are shared literals.
+
+Near-dup queries run over a corpus âˆª mutated-copy union (drop the last
+5 words, id+1000000) built identically on both sides, so the dedup
+operators demonstrably FIND the planted near-duplicates instead of
+vacuously returning zero rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stockpulse_spark.llmdata.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash32,
+)
+from stockpulse_spark.llmdata.hashing import word32_sql
+from stockpulse_spark.llmdata.multimodal import attach_payload, extract_media_metadata
+from stockpulse_spark.llmdata.similarity import (
+    cosine_topk,
+    pseudo_planes,
+    srp_lsh_topk,
+)
+from stockpulse_spark.llmdata.textstats import (
+    LANG_STOPWORDS,
+    TOKEN_PATTERN,
+    add_text_stats,
+)
+from stockpulse_spark.plans.registry import _r6, _register, _t
+
+# ---------------------------------------------------------------------------
+# shared corpus construction (Spark + SQL sides must match exactly)
+
+
+def _mutated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-dup copies (last 5 words dropped, id+1000000).
+
+    Repartitioned to the session parallelism: the documents parquet is
+    a single small file → 1-2 scan partitions, which would pin the
+    16×md5 shingle transforms to 2 cores. One cheap shuffle of raw
+    text buys full-width parallelism for the hash-heavy stages (at
+    production scale the input arrives in many files and this becomes
+    a no-op knob).
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w = F.split("text", " ")
+    mut = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "source",
+        F.concat_ws(" ", F.slice(w, 1, F.size(w) - 5)).alias("text"),
+    )
+    return d.unionAll(mut).repartition(spark.sparkContext.defaultParallelism)
+
+
+_MUT_CTE = """
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source,
+         array_to_string((string_split(text, ' '))[1:len(string_split(text, ' ')) - 5], ' ') AS text
+  FROM documents
+)
+"""
+
+_SHINGLES_DUCK = (
+    "list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1), "
+    "i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))"
+)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+_SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in LANG_STOPWORDS.items()}
+_HITS = {
+    lang: f"len(list_filter(string_split(text, ' '), w -> list_contains([{_SW[lang]}], w)))"
+    for lang in LANG_STOPWORDS
+}
+_LANG_CASE = "CASE WHEN __m = 0 THEN 'unknown' " + " ".join(
+    f"WHEN __h_{lang} = __m THEN '{lang}'" for lang in sorted(LANG_STOPWORDS)
+) + " ELSE 'unknown' END"
+
+
+@_register(
+    "doc_text_stats",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS token_count_ws,
+             len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS token_count_bpe,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+             {_HITS['en']} AS n_stop,
+             len(list_distinct(string_split(text, ' '))) AS n_unique,
+             {" , ".join(f"{_HITS[lang]} AS __h_{lang}" for lang in sorted(LANG_STOPWORDS))}
+      FROM documents
+    ), feat AS (
+      SELECT *,
+             token_count_ws AS n_words,
+             greatest({", ".join("__h_" + lang for lang in sorted(LANG_STOPWORDS))}) AS __m
+      FROM base
+    )
+    SELECT doc_id, token_count_ws, token_count_bpe, n_chars,
+           ROUND(n_punct / n_chars, 6) AS punct_ratio,
+           ROUND(n_stop / n_words, 6) AS stopword_ratio,
+           ROUND((n_chars - (n_words - 1)) / n_words, 6) AS mean_word_len,
+           ROUND(n_unique / n_words, 6) AS unique_ratio,
+           ROUND(0.4 * least(n_words / 100.0, 1.0)
+                 + 0.3 * (n_stop / n_words)
+                 + 0.3 * (n_unique / n_words), 6) AS quality_score,
+           {_LANG_CASE} AS lang_guess,
+           md5(text) AS fp_md5,
+           list_min(list_transform({_SHINGLES_DUCK}, s -> md5(s))) AS fp_min_shingle
+    FROM feat
+    """,
+    headline=True,
+    tags=("llmdata", "text"),
+    doc="language-ID (stopword-hit argmax), quality scoring "
+    "(length/punct/stopword/uniqueness ratios), whitespace + BPE-ish "
+    "token counting, md5 + min-shingle fingerprints — one codegen'd "
+    "projection pass, no UDFs.",
+)
+def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = add_text_stats(d)
+    return out.select(
+        "doc_id",
+        "token_count_ws",
+        "token_count_bpe",
+        "n_chars",
+        _r6(F.col("punct_ratio")).alias("punct_ratio"),
+        _r6(F.col("stopword_ratio")).alias("stopword_ratio"),
+        _r6(F.col("mean_word_len")).alias("mean_word_len"),
+        _r6(F.col("unique_ratio")).alias("unique_ratio"),
+        _r6(F.col("quality_score")).alias("quality_score"),
+        "lang_guess",
+        "fp_md5",
+        "fp_min_shingle",
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+
+
+@_register(
+    "doc_dedup_exact",
+    oracle="""
+    WITH doubled AS (
+      SELECT * FROM documents UNION ALL SELECT * FROM documents
+    )
+    SELECT md5(text) AS text_md5,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM doubled
+    GROUP BY md5(text)
+    """,
+    tags=("llmdata", "dedup"),
+    doc="exact dedup: hash-groupBy on md5(text) over a deliberately "
+    "doubled corpus — one shuffle on a 32-byte key, keeper = min id.",
+)
+def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d.unionAll(d))
+
+
+def _sig_sql(k: int) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform({_SHINGLES_DUCK}, s -> md5(concat('{j}|', s))))"
+        for j in range(k)
+    )
+    return f"[{mins}]"
+
+
+@_register(
+    "doc_minhash_lsh",
+    oracle=_MUT_CTE
+    + f"""
+    , sig AS (
+      SELECT doc_id, {_sig_sql(16)} AS sig FROM corpus
+    ), banded AS (
+      SELECT doc_id, sig, b.band_idx,
+             md5(array_to_string(sig[b.band_idx * 2 + 1 : b.band_idx * 2 + 2], '|')) AS band_hash
+      FROM sig, (SELECT unnest(range(0, 8)) AS band_idx) b
+    ), pairs AS (
+      SELECT DISTINCT l.doc_id AS doc_id_1, r.doc_id AS doc_id_2,
+             l.sig AS sig1, r.sig AS sig2
+      FROM banded l JOIN banded r
+        ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id
+    )
+    SELECT doc_id_1, doc_id_2,
+           ROUND(list_sum(list_transform(range(1, 17),
+                 i -> CASE WHEN sig1[i] = sig2[i] THEN 1 ELSE 0 END)) / 16.0, 6) AS est_jaccard
+    FROM pairs
+    WHERE list_sum(list_transform(range(1, 17),
+          i -> CASE WHEN sig1[i] = sig2[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.5
+    """,
+    headline=True,
+    tags=("llmdata", "dedup", "join"),
+    doc="MinHash-LSH near-dup pairs: 16-permutation signature (min "
+    "md5 over 3-gram shingles), 8 bands x 2 rows, self-join on band "
+    "buckets (sub-quadratic), estimated Jaccard >= 0.5. Finds the "
+    "planted near-duplicates (id vs id+1000000).",
+)
+def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _mutated_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus, k=16, bands=8, threshold=0.5)
+    return pairs.select(
+        "doc_id_1", "doc_id_2", _r6(F.col("est_jaccard")).alias("est_jaccard")
+    )
+
+
+_SIMHASH_VOTES_DUCK = ", ".join(
+    f"SUM(CASE WHEN floor(h / {float(2**b)!r}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(32)
+)
+_SIMHASH_ASSEMBLE = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)" for b in range(32)
+)
+
+
+@_register(
+    "doc_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {word32_sql('tok')} AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    ), votes AS (
+      SELECT doc_id, {_SIMHASH_VOTES_DUCK}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, {_SIMHASH_ASSEMBLE} AS simhash FROM votes
+    """,
+    tags=("llmdata", "dedup"),
+    doc="32-bit SimHash per document (Charikar sign-vote over md5 "
+    "token hashes): explode -> hash once per token -> 32 conditional "
+    "sums in one linear aggregation. Equal hashes bucket near-dups.",
+)
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return simhash32(d)
+
+
+@_register(
+    "doc_ngram_jaccard",
+    oracle=_MUT_CTE
+    + f"""
+    , sh AS (
+      SELECT doc_id, source, {_SHINGLES_DUCK} AS sh FROM corpus
+    )
+    SELECT l.doc_id AS doc_id_1, r.doc_id AS doc_id_2,
+           ROUND(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(l.sh, r.sh))), 6) AS jaccard
+    FROM sh l JOIN sh r ON l.source = r.source AND l.doc_id < r.doc_id
+    WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(l.sh, r.sh))) >= 0.2
+    """,
+    tags=("llmdata", "dedup", "join"),
+    doc="exact word-3-gram Jaccard >= 0.2 within bounded candidate "
+    "groups (source; at scale: an LSH bucket) — the verify stage of "
+    "the dedup funnel.",
+)
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _mutated_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, group_col="source", threshold=0.2)
+    return pairs.select(
+        "doc_id_1", "doc_id_2", _r6(F.col("jaccard")).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+_DOT_DUCK = (
+    "list_reduce(list_transform(range(1, 65), i -> qv[i] * cv[i]), (x, y) -> x + y)"
+)
+_NORM_DUCK = (
+    "sqrt(list_reduce(list_transform(range(1, 65), i -> {v}[i] * {v}[i]), (x, y) -> x + y))"
+)
+
+
+@_register(
+    "embedding_cosine_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, e AS cv FROM v
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             {_DOT_DUCK} / ({_NORM_DUCK.format(v='qv')} * {_NORM_DUCK.format(v='cv')}) AS cosine
+      FROM q, c WHERE query_id != neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+    headline=True,
+    tags=("llmdata", "similarity"),
+    doc="exact brute-force cosine top-5 per query vector (the ANN "
+    "correctness baseline): broadcast query side, JVM-side sequential "
+    "fold over array<double> (bit-identical to DuckDB list_reduce), "
+    "per-query top-k via window.",
+)
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return out.select(
+        "query_id", "rank", "neighbor_id", _r6(F.col("cosine")).alias("cosine")
+    )
+
+
+_N_TABLES, _N_PLANES = 8, 4
+
+
+def _plane_duck(p: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+
+
+def _bucket_duck(table: int) -> str:
+    planes = pseudo_planes(_N_PLANES, 64, table=table)
+    return " + ".join(
+        f"(CASE WHEN list_reduce(list_transform(range(1, 65), i -> e[i] * ({_plane_duck(p)})[i]), (x, y) -> x + y) > 0 THEN {2**j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+
+
+_BUCKETS_DUCK = "[" + ", ".join(_bucket_duck(t) for t in range(_N_TABLES)) + "]"
+
+
+@_register(
+    "embedding_srp_ann",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             {_BUCKETS_DUCK} AS buckets
+      FROM embeddings
+    ), exp AS (
+      SELECT vec_id, e, t.i AS tidx, buckets[t.i + 1] AS bucket
+      FROM v, range({_N_TABLES}) t(i)
+    ), q AS (
+      SELECT vec_id AS query_id, e AS qv, tidx, bucket FROM exp WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, e AS cv, tidx, bucket FROM exp
+    ), cand AS (
+      SELECT DISTINCT query_id, neighbor_id, qv, cv
+      FROM q JOIN c USING (tidx, bucket) WHERE query_id != neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             {_DOT_DUCK} / ({_NORM_DUCK.format(v='qv')} * {_NORM_DUCK.format(v='cv')}) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               {_DOT_DUCK} / ({_NORM_DUCK.format(v='qv')} * {_NORM_DUCK.format(v='cv')}) DESC,
+               neighbor_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= 3
+    """,
+    tags=("llmdata", "similarity"),
+    doc="multi-table SRP-LSH ANN (the scale path): 8 independent "
+    "4-plane families -> per-(table, bucket) equi-join, pair-distinct, "
+    "top-3 by cosine. Multi-table buys recall (1-(1-p^4)^8); recall "
+    "vs brute force asserted in tests/test_llmdata.py.",
+)
+def q_embedding_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = srp_lsh_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        k=3,
+        n_planes=_N_PLANES,
+        n_tables=_N_TABLES,
+        dim=64,
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", _r6(F.col("cosine")).alias("cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+
+
+@_register(
+    "media_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           'FAKE' AS format,
+           CAST(octet_length(encode(text)) % 512 + 16 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) * 7) % 512 + 16 AS INTEGER) AS height,
+           1 AS n_frames,
+           false AS decode_ok
+    FROM documents
+    """,
+    tags=("llmdata", "multimodal"),
+    doc="multimodal plumbing: opaque binary payload column -> "
+    "Arrow-batched mapInPandas kernel extracting typed metadata. The "
+    "image decode is stubbed (no imaging libs here; "
+    "llmdata/multimodal.py:decode_image raises, kernel falls back to "
+    "the deterministic fake) — schema, batching, and partitioning are "
+    "real.",
+)
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = attach_payload(_t(spark, sf_dir, "documents"))
+    return extract_media_metadata(d)
