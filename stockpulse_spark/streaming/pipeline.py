@@ -1,0 +1,136 @@
+"""Structured Streaming parity with the reference's ingestion/load path.
+
+Reference architecture (SURVEY §3.1-3.2): REST poll → Pub/Sub topic →
+threaded subscriber → per-record EXISTS dup check → 100-row/60-s
+buffered BigQuery inserts → periodic ROW_NUMBER dedup rewrite. Five
+hand-rolled mechanisms, each replaced by ONE Structured Streaming
+primitive:
+
+| reference mechanism                      | here                          |
+|------------------------------------------|-------------------------------|
+| Pub/Sub topic + subscriber (S7/S8)       | file/kafka readStream source  |
+| 100 rows / 60 s buffer flush (S10, T1)   | trigger(processingTime=…)     |
+| per-record EXISTS + dedup sweep (A2/W1)  | watermark + dropDuplicates    |
+| 30-day retention filter (S4, T3)         | the same watermark            |
+| ack/nack + restart loop (T4/T5)          | checkpointLocation replay     |
+
+State stays bounded: the watermark bounds the dropDuplicates state to
+the retention window — the reference needs a full-table rewrite every
+300 s (dedup_pipeline.py:114-130) for the same guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from stockpulse_spark.schemas import STREAM_MESSAGE
+
+
+def replay_json_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType = STREAM_MESSAGE,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-replay source for flat stream messages (FIXTURES.md F3) —
+    one JSON object per line, `timestamp` as wire-format string parsed
+    to TimestampType (reference stocks_pipeline.py:62-78)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.json(src_dir)
+    return raw.withColumn(
+        "timestamp", F.to_timestamp("timestamp", "yyyy-MM-dd HH:mm:ss")
+    )
+
+
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str] = ("symbol", "timestamp"),
+    watermark_col: str = "timestamp",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Exactly-once-per-key semantics (reference T2: three dedup layers
+    → one operator). The watermark simultaneously drops late rows
+    beyond the retention window (T3, stocks_pipeline.py:146-155) and
+    bounds the dedup state store."""
+    return df.withWatermark(watermark_col, watermark).dropDuplicates(list(keys))
+
+
+def dual_sink_writer(raw_path: str, processed_path: str):
+    """foreachBatch fan-out: every micro-batch lands in the raw archive
+    AND the processed table (reference S11, bigquery_loader.py:264-266;
+    raw/processed schemas :62-85). The processed side recomputes the
+    producer's derived columns (ma5/cma per symbol-day) INSIDE the
+    batch — same semantics as the reference, which computes them at the
+    producer per fetch (data_preprocessor.py:63-70).
+
+    foreachBatch + checkpoint gives at-least-once into idempotent
+    parquet appends; with a MERGE-capable sink (Delta/Iceberg) the same
+    hook is exactly-once.
+    """
+    from pyspark.sql import Window
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        raw_cols = ["timestamp", "symbol", "open", "high", "low", "close", "volume"]
+        batch.select(*[c for c in raw_cols if c in batch.columns]).write.mode(
+            "append"
+        ).parquet(raw_path)
+
+        w = Window.partitionBy("symbol", F.to_date("timestamp")).orderBy("timestamp")
+        processed = batch.select(
+            "*",
+            F.avg("close").over(w.rowsBetween(-4, 0)).alias("ma5_batch"),
+            F.avg("close")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cma_batch"),
+        )
+        processed.write.mode("append").parquet(processed_path)
+
+    return write_batch
+
+
+def start_dual_sink(
+    df: DataFrame,
+    raw_path: str,
+    processed_path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Wire the dual sink with checkpointing (reference T1 buffering ≙
+    trigger; T4/T5 redelivery/restart ≙ checkpoint replay)."""
+    writer = df.writeStream.foreachBatch(
+        dual_sink_writer(raw_path, processed_path)
+    ).option("checkpointLocation", checkpoint)
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
+def streaming_resample(
+    df: DataFrame,
+    freq: str = "1 hour",
+    ts_col: str = "timestamp",
+    partition_cols: list[str] = ("symbol",),
+    value_col: str = "close",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window OHLC resample under a watermark (reference T6,
+    docs/preprocessing.md:19-33) — the same expression shape as the
+    batch resample_ohlcv, so batch and stream results coincide once the
+    window closes (asserted in tests/test_streaming.py)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*partition_cols, F.window(F.col(ts_col), freq).alias("w"))
+        .agg(
+            F.min_by(value_col, ts_col).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, ts_col).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), *partition_cols,
+                "open", "high", "low", "close", "volume")
+    )

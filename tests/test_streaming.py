@@ -1,0 +1,152 @@
+"""Streaming-semantics tests (reference T1-T6): dedup under duplicate
+redelivery, dual-sink fan-out, checkpoint restart without reprocessing,
+and stream-resample == batch-resample."""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from stockpulse_spark.operators.resample import resample_ohlcv
+from stockpulse_spark.streaming.pipeline import (
+    dedup_stream,
+    replay_json_stream,
+    start_dual_sink,
+    streaming_resample,
+)
+
+
+def _bar(ts: str, symbol: str, close: float, volume: int = 10) -> dict:
+    return dict(
+        timestamp=ts, symbol=symbol, open=close - 1, high=close + 1,
+        low=close - 2, close=close, volume=volume, date=ts[:10],
+        time=ts[11:], moving_average=None, cumulative_average=None,
+    )
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    return dict(
+        src=str(src),
+        raw=str(tmp_path / "raw"),
+        processed=str(tmp_path / "proc"),
+        ckpt=str(tmp_path / "ckpt"),
+        base=tmp_path,
+    )
+
+
+def _write_file(src: str, name: str, bars: list[dict]) -> None:
+    Path(src, name).write_text("\n".join(json.dumps(b) for b in bars))
+
+
+def test_dedup_and_dual_sink(spark, stream_dirs):
+    d = stream_dirs
+    bars = [
+        _bar("2024-01-02 09:30:00", "AAPL", 100.0),
+        _bar("2024-01-02 09:35:00", "AAPL", 101.0),
+        _bar("2024-01-02 09:35:00", "AAPL", 101.0),  # duplicate delivery (T2)
+        _bar("2024-01-02 09:30:00", "MSFT", 390.0),
+    ]
+    _write_file(d["src"], "b0.json", bars)
+    stream = replay_json_stream(spark, d["src"])
+    q = start_dual_sink(
+        dedup_stream(stream), d["raw"], d["processed"], d["ckpt"]
+    )
+    q.awaitTermination(120)
+    raw = spark.read.parquet(d["raw"])
+    proc = spark.read.parquet(d["processed"])
+    assert raw.count() == 3  # duplicate collapsed
+    assert proc.count() == 3
+    assert "ma5_batch" in proc.columns and "ma5_batch" not in raw.columns
+    row = (
+        proc.filter((F.col("symbol") == "AAPL") & (F.col("time") == "09:35:00"))
+        .collect()[0]
+    )
+    assert row["ma5_batch"] == pytest.approx((100.0 + 101.0) / 2)
+
+
+def test_checkpoint_restart_no_reprocess(spark, stream_dirs):
+    d = stream_dirs
+    _write_file(d["src"], "b0.json", [_bar("2024-01-02 09:30:00", "AAPL", 100.0)])
+    stream = replay_json_stream(spark, d["src"])
+    q = start_dual_sink(dedup_stream(stream), d["raw"], d["processed"], d["ckpt"])
+    q.awaitTermination(120)
+    # restart with one NEW file; checkpoint must skip the old one (T4/T5)
+    _write_file(d["src"], "b1.json", [_bar("2024-01-02 09:35:00", "AAPL", 101.0)])
+    stream2 = replay_json_stream(spark, d["src"])
+    q2 = start_dual_sink(dedup_stream(stream2), d["raw"], d["processed"], d["ckpt"])
+    q2.awaitTermination(120)
+    raw = spark.read.parquet(d["raw"])
+    assert raw.count() == 2  # 1 + 1, no reprocessing of b0
+
+
+def test_stream_resample_equals_batch(spark, stream_dirs):
+    d = stream_dirs
+    bars = [
+        _bar(f"2024-01-02 09:{m:02d}:00", s, 100.0 + m + off)
+        for m in range(0, 60, 5)
+        for s, off in (("AAPL", 0.0), ("MSFT", 50.0))
+    ]
+    _write_file(d["src"], "b0.json", bars)
+    stream = replay_json_stream(spark, d["src"])
+    agg = streaming_resample(stream, "1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("resampled")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", d["ckpt"])
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only closed windows; force the final state via
+    # the complete-mode equivalent: compare against batch on same data
+    got = spark.sql("select * from resampled").collect()
+    batch_df = spark.createDataFrame(
+        [
+            (b["timestamp"], b["symbol"], b["open"], b["high"], b["low"], b["close"], b["volume"])
+            for b in bars
+        ],
+        "timestamp string, symbol string, open double, high double, low double, close double, volume long",
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+    batch = {
+        (r["symbol"], r["bucket_start"]): (r["open"], r["high"], r["low"], r["close"], r["volume"])
+        for r in resample_ohlcv(batch_df, "1 hour").collect()
+    }
+    for r in got:
+        key = (r["symbol"], r["bucket_start"])
+        assert batch[key] == (r["open"], r["high"], r["low"], r["close"], r["volume"])
+
+
+def test_rest_payload_parsing(spark):
+    from stockpulse_spark.sources.rest_replay import parse_api_payload
+
+    payload = {
+        "Time Series (5min)": {
+            "2026-08-12 15:55:00": {
+                "1. open": "227.3100", "2. high": "227.5000",
+                "3. low": "226.9900", "4. close": "227.1200",
+                "5. volume": "104271",
+            },
+            "2026-08-12 15:50:00": {
+                "1. open": "226.0000", "2. high": "227.4000",
+                "3. low": "225.9900", "4. close": "227.3000",
+                "5. volume": "98000",
+            },
+        }
+    }
+    df = spark.createDataFrame(
+        [("AAPL", json.dumps(payload)), ("BAD", "{not json")],
+        "symbol string, payload string",
+    )
+    out = parse_api_payload(df).orderBy("timestamp").collect()
+    assert len(out) == 2  # malformed payload yields no rows
+    assert out[1]["open"] == pytest.approx(227.31)
+    assert out[1]["volume"] == 104271
+    assert str(out[1]["timestamp"]) == "2026-08-12 15:55:00"
