@@ -107,16 +107,72 @@ def fingerprint(text: Column, shingle_n: int = 3) -> dict[str, Column]:
 
 
 def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two-stage select: tokenize ONCE into a materialized array column,
+    then derive every feature from it — a single-select version splits
+    the text 10+ times (per-language filters, counts, distinct,
+    shingles) because common-subexpression elimination doesn't span
+    independent expression trees."""
     t = F.col(text_col)
-    feats = quality_features(t)
-    fp = fingerprint(t)
-    return df.select(
+    w = F.col("__words")
+    staged = df.select(
         "*",
-        token_count_ws(t).alias("token_count_ws"),
+        words(t).alias("__words"),
+        F.length(t).alias("n_chars"),
         token_count_bpe(t).alias("token_count_bpe"),
-        *[c.alias(k) for k, c in feats.items()],
-        quality_score(t).alias("quality_score"),
-        lang_guess(t).alias("lang_guess"),
-        fp["md5"].alias("fp_md5"),
-        fp["min_shingle_hash"].alias("fp_min_shingle"),
+        F.length(F.regexp_replace(t, "[a-zA-Z0-9 ]", "")).alias("__n_punct"),
+        F.md5(F.encode(t, "utf-8")).alias("fp_md5"),
+    )
+
+    def hits(stopwords: tuple[str, ...]) -> Column:
+        arr = F.array(*[F.lit(s) for s in stopwords])
+        return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+
+    n_words = F.size(w)
+    lang_hit_cols = {lang: hits(sw) for lang, sw in LANG_STOPWORDS.items()}
+    staged = staged.select(
+        "*",
+        n_words.alias("n_words"),
+        hits(LANG_STOPWORDS["en"]).alias("__n_stop"),
+        F.size(F.array_distinct(w)).alias("__n_unique"),
+        *[c.alias(f"__h_{lang}") for lang, c in lang_hit_cols.items()],
+        F.array_min(
+            F.transform(
+                F.when(F.size(w) < 3, F.array().cast("array<string>")).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - 2),
+                        lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+                    )
+                ),
+                lambda s: F.md5(F.encode(s, "utf-8")),
+            )
+        ).alias("fp_min_shingle"),
+    )
+
+    m = F.greatest(*[F.col(f"__h_{lang}") for lang in LANG_STOPWORDS])
+    guess = F.lit("unknown")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        guess = F.when(F.col(f"__h_{lang}") == m, F.lit(lang)).otherwise(guess)
+    guess = F.when(m == 0, F.lit("unknown")).otherwise(guess)
+
+    sw_ratio = F.col("__n_stop") / F.col("n_words")
+    uq_ratio = F.col("__n_unique") / F.col("n_words")
+    out = staged.select(
+        "*",
+        F.col("n_words").alias("token_count_ws"),
+        (F.col("__n_punct") / F.col("n_chars")).alias("punct_ratio"),
+        sw_ratio.alias("stopword_ratio"),
+        ((F.col("n_chars") - (F.col("n_words") - 1)) / F.col("n_words")).alias(
+            "mean_word_len"
+        ),
+        uq_ratio.alias("unique_ratio"),
+        (
+            0.4 * F.least(F.col("n_words") / F.lit(100.0), F.lit(1.0))
+            + 0.3 * sw_ratio
+            + 0.3 * uq_ratio
+        ).alias("quality_score"),
+        guess.alias("lang_guess"),
+    )
+    return out.drop(
+        "__words", "__n_punct", "__n_stop", "__n_unique",
+        *[f"__h_{lang}" for lang in LANG_STOPWORDS],
     )

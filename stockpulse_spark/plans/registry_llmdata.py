@@ -128,7 +128,11 @@ _LANG_CASE = "CASE WHEN __m = 0 THEN 'unknown' " + " ".join(
     "projection pass, no UDFs.",
 )
 def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     out = add_text_stats(d)
     return out.select(
         "doc_id",
