@@ -29,6 +29,37 @@ from pyspark.sql.streaming import StreamingQuery
 from stockpulse_spark.schemas import STREAM_MESSAGE
 
 
+def encode_stream_messages(df: DataFrame) -> DataFrame:
+    """Bars → wire-format messages (reference S7, stocks_pipeline.py:
+    62-87: one flat JSON object per bar, timestamp as a formatted
+    string). Output is a single `value` string column — the shape every
+    message-bus sink (Kafka/Pub/Sub-Lite) accepts."""
+    cols = [
+        F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss").alias("timestamp"),
+        *[F.col(c) for c in df.columns if c != "timestamp"],
+    ]
+    return df.select(F.to_json(F.struct(*cols)).alias("value"))
+
+
+def decode_stream_messages(
+    df: DataFrame, schema: T.StructType = STREAM_MESSAGE
+) -> DataFrame:
+    """Wire messages → typed rows (reference S8 callback JSON decode,
+    bigquery_loader.py:211-262). Malformed payloads decode to a NULL
+    struct and are routed out as a dead-letter stream by the caller
+    (reference nack path T4) — here: filter on `__ok`."""
+    parsed = df.select(
+        F.from_json(F.col("value"), schema).alias("m"), F.col("value")
+    )
+    # PERMISSIVE from_json yields an all-null struct for malformed
+    # input; the reference also nacks messages with no routable symbol
+    # (bigquery_loader.py:217-220) — both gate on symbol presence.
+    ok = F.col("m").isNotNull() & F.col("m.symbol").isNotNull()
+    return parsed.select(
+        F.col("m.*"), ok.alias("__ok"), "value"
+    ).withColumn("timestamp", F.to_timestamp("timestamp", "yyyy-MM-dd HH:mm:ss"))
+
+
 def replay_json_stream(
     spark: SparkSession,
     src_dir: str,
