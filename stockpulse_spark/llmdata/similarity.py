@@ -137,16 +137,37 @@ def srp_lsh_topk(
     no cross join anywhere."""
     from pyspark.sql import Window
 
+    # The planes live as DATA (a 32-row broadcast dim), not as inlined
+    # literals: 8×4×64 literal arrays made whole-stage codegen compile
+    # for ~10 s; a broadcast nested-loop join against 32 tiny rows
+    # computes the same dots with a small constant plan.
+    spark = queries.sparkSession
+    plane_rows = [
+        (t, j, pseudo_planes(n_planes, dim, table=t)[j])
+        for t in range(n_tables)
+        for j in range(n_planes)
+    ]
+    planes_df = spark.createDataFrame(
+        plane_rows, "tidx int, pidx int, plane array<double>"
+    )
+
     def with_buckets(df, idname):
         v = df.select(
             F.col(id_col).alias(idname), _as_double(F.col(vec_col)).alias(f"{idname}_v")
         )
-        return v.select(
+        bits = v.crossJoin(F.broadcast(planes_df)).select(
             idname,
             f"{idname}_v",
-            F.posexplode(
-                srp_buckets(F.col(f"{idname}_v"), n_tables, n_planes, dim)
-            ).alias("tidx", "bucket"),
+            "tidx",
+            F.when(
+                dot(F.col(f"{idname}_v"), F.col("plane")) > 0,
+                F.expr("shiftleft(1, pidx)"),
+            )
+            .otherwise(F.lit(0))
+            .alias("bit"),
+        )
+        return bits.groupBy(idname, f"{idname}_v", "tidx").agg(
+            F.sum("bit").cast("int").alias("bucket")
         )
 
     q = with_buckets(queries, "query_id")

@@ -253,7 +253,9 @@ def q_roc_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "bucket_start",
         _r6(F.col("close")).alias("close"),
-        _r6(100.0 * (F.col("close") - prev) / prev).alias("roc10"),
+        # try_divide: sf0.1 contains value=0 rows; ANSI Spark throws on
+        # /0 while DuckDB yields NULL — try_divide matches the oracle
+        _r6(F.try_divide(100.0 * (F.col("close") - prev), prev)).alias("roc10"),
         _r6(F.col("close") - prev).alias("momentum10"),
     )
 
@@ -317,7 +319,7 @@ def q_returns_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "date",
         "close",
-        (100.0 * (F.col("close") - prev) / prev).alias("daily_return"),
+        F.try_divide(100.0 * (F.col("close") - prev), prev).alias("daily_return"),
     )
     w20 = w0.rowsBetween(-19, 0)
     vol = F.when(

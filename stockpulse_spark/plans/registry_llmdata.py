@@ -380,7 +380,9 @@ _BUCKETS_DUCK = "[" + ", ".join(_bucket_duck(t) for t in range(_N_TABLES)) + "]"
     "vs brute force asserted in tests/test_llmdata.py.",
 )
 def q_embedding_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     out = srp_lsh_topk(
         emb.filter(F.col("vec_id") < 10),
         emb,

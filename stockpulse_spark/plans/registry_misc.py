@@ -57,7 +57,9 @@ def q_live_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("latest_ts"),
         _r6(last_v).alias("latest_value"),
         _r6(F.avg("value")).alias("mean_value"),
-        _r6(100.0 * (last_v - F.avg("value")) / F.avg("value")).alias("pct_vs_mean"),
+        _r6(F.try_divide(100.0 * (last_v - F.avg("value")), F.avg("value"))).alias(
+            "pct_vs_mean"
+        ),
         F.count(F.lit(1)).alias("n_events"),
     )
 

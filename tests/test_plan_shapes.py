@@ -1,0 +1,79 @@
+"""Physical-plan regression tests: the optimizations the engine relies
+on at scale must actually appear in the executed plans — filter
+pushdown into the parquet scan, column pruning, broadcast joins for
+dims, TakeOrderedAndProject for top-k, and window-exchange sharing.
+A refactor that silently loses one of these passes correctness tests
+but regresses 100× at scale; these tests pin the plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from stockpulse_spark.plans import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].builder(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # 7-column projection reaches the scan (no full-row read)
+    assert "l_comment" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_revenue_by_nation_broadcasts_dims(spark):
+    plan = _plan(spark, "revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_eod_join_broadcasts(spark):
+    plan = _plan(spark, "eod_ma5_join")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "global_sort_topk")
+    assert "TakeOrderedAndProject" in plan
+    # a global Sort of all rows would be the scale bug
+    assert plan.count("Sort ") <= 1
+
+
+def test_ma5_cma_shares_one_window_exchange(spark):
+    """Both window columns share partitioning → exactly one hashpartitioning
+    exchange over (user_id, date)."""
+    plan = _plan(spark, "ma5_cma")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_indicator_panel_shares_exchanges(spark):
+    """Ten indicator columns over four frame sizes: exactly 2 hash
+    exchanges total (1 for the bars aggregation + 1 shared by every
+    window — same partitioning) and 1 sort. A per-indicator plan would
+    shuffle per frame."""
+    plan = _plan(spark, "indicator_panel")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Sort ") == 1
+
+
+def test_anti_join_is_hash_not_loop(spark):
+    plan = _plan(spark, "new_keys_anti_join")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_python_udfs_in_relational_queries(spark):
+    """Python only in the explicitly-kernelized paths (media_metadata);
+    every relational/indicator/llmdata query stays JVM-side."""
+    for name in REGISTRY:
+        if name == "media_metadata":
+            continue
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
