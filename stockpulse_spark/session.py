@@ -54,3 +54,29 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def cluster_conf(total_cores: int, executor_mem_gb: int) -> dict[str, str]:
+    """Recommended conf for a real cluster at ~100 TB (see SCALE.md).
+
+    Not applied locally — returned as a dict for spark-submit / the
+    deployment layer. Shuffle partitions start at 3× cores (AQE
+    coalesces down, never up within a stage); scan splits at 256 MB;
+    skew + local-shuffle-reader on; broadcast sized to executor
+    headroom.
+    """
+    return {
+        "spark.sql.shuffle.partitions": str(3 * total_cores),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.localShuffleReader.enabled": "true",
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+        "spark.sql.autoBroadcastJoinThreshold": str(
+            min(512, executor_mem_gb * 16) * 1024 * 1024
+        ),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "5000",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    }
