@@ -14,7 +14,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stockpulse_spark.functions.indicators import IndicatorContext, rsi, sma, vwap
+from stockpulse_spark.functions.indicators import (
+    IndicatorContext,
+    atr,
+    bollinger,
+    rsi,
+    sma,
+    vwap,
+)
 from stockpulse_spark.operators.dedup import dedup_keep_latest
 from stockpulse_spark.operators.resample import resample_ohlcv
 from stockpulse_spark.sources.tables import load_table
@@ -46,9 +53,14 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ctx = IndicatorContext(("user_id",), ("bucket_start",), "close")
+    mid, up, lo = bollinger(ctx, 20)
     return bars.select(
         "*",
         sma(ctx, 5).alias("sma5"),
         rsi(ctx, 14).alias("rsi14"),
         vwap(ctx).alias("vwap"),
+        mid.alias("bb_mid"),
+        up.alias("bb_upper"),
+        lo.alias("bb_lower"),
+        atr(ctx, 14).alias("atr14"),
     )

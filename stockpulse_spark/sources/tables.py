@@ -37,6 +37,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     comparisons agree to the microsecond.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Pin the session TZ at the data boundary: the driver harness may
+    # build its own SparkSession without our defaults, and every
+    # date-derivation (to_date/hour/date_trunc) must agree with the
+    # DuckDB oracle's naive-timestamp semantics regardless of host TZ.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     nanos = _nanos_ts_columns(path)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
