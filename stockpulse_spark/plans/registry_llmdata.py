@@ -421,5 +421,11 @@ def q_embedding_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "real.",
 )
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = attach_payload(_t(spark, sf_dir, "documents"))
+    # repartition before the Python kernel: the single-file corpus
+    # would otherwise pin all Arrow batches to 2 cores
+    d = attach_payload(
+        _t(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
     return extract_media_metadata(d)
