@@ -1,0 +1,121 @@
+"""The composed dedup funnel and embedding-cosine near-dup pairs —
+the remaining two training-data dedup entries (task list: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stockpulse_spark.llmdata.dedup import minhash_lsh_pairs
+from stockpulse_spark.llmdata.similarity import _as_double, dot, norm
+from stockpulse_spark.plans.registry import _r6, _register, _t
+from stockpulse_spark.plans.registry_llmdata import (
+    _MUT_CTE,
+    _SHINGLES_DUCK,
+    _mutated_corpus,
+    _sig_sql,
+)
+
+
+@_register(
+    "doc_dedup_funnel",
+    oracle=_MUT_CTE
+    + f"""
+    , sig AS (
+      SELECT doc_id, {_sig_sql(16)} AS sig, {_SHINGLES_DUCK} AS sh FROM corpus
+    ), banded AS (
+      SELECT doc_id,
+             md5(array_to_string(sig[b.band_idx * 2 + 1 : b.band_idx * 2 + 2], '|')) AS band_hash,
+             b.band_idx
+      FROM sig, (SELECT unnest(range(0, 8)) AS band_idx) b
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS doc_id_1, r.doc_id AS doc_id_2
+      FROM banded l JOIN banded r
+        ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id
+    )
+    SELECT c.doc_id_1, c.doc_id_2,
+           ROUND(CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(s1.sh, s2.sh))), 6) AS jaccard
+    FROM cand c
+    JOIN sig s1 ON c.doc_id_1 = s1.doc_id
+    JOIN sig s2 ON c.doc_id_2 = s2.doc_id
+    WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(s1.sh, s2.sh))) >= 0.6
+    """,
+    tags=("llmdata", "dedup", "pipeline"),
+    doc="the full near-dup FUNNEL in one plan: MinHash-LSH generates "
+    "sub-quadratic candidates, exact shingle-Jaccard verifies them "
+    "(>= 0.6) — cheap-filter-then-exact-verify, the shape every 100 TB "
+    "dedup pipeline runs. Candidates come from the LSH band join, so "
+    "the expensive exact Jaccard touches ~|near-dups| pairs, not n².",
+)
+def q_doc_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.llmdata.dedup import shingles
+
+    corpus = _mutated_corpus(spark, sf_dir)
+    # stage 1: sub-quadratic candidates (ids only)
+    cand = minhash_lsh_pairs(corpus, k=16, bands=8, threshold=0.0).select(
+        "doc_id_1", "doc_id_2"
+    )
+    # stage 2: exact Jaccard computed ONLY for candidate pairs — the
+    # expensive set intersection touches ~|near-dups| pairs, never n²
+    sh = corpus.select("doc_id", shingles(F.col("text")).alias("sh"))
+    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
+    enriched = cand.join(s1, "doc_id_1").join(s2, "doc_id_2")
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size(F.array_union("sh1", "sh2"))
+    jac = inter.cast("double") / union
+    return (
+        enriched.select("doc_id_1", "doc_id_2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+        .select("doc_id_1", "doc_id_2", _r6(F.col("jaccard")).alias("jaccard"))
+    )
+
+
+_DOT64 = (
+    "list_reduce(list_transform(range(1, 65), i -> v1[i] * v2[i]), (x, y) -> x + y)"
+)
+_N64 = "sqrt(list_reduce(list_transform(range(1, 65), i -> {v}[i] * {v}[i]), (x, y) -> x + y))"
+
+
+@_register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+           ROUND({_DOT64.replace('v1', 'a.e').replace('v2', 'b.e')}
+                 / ({_N64.format(v='a.e')} * {_N64.format(v='b.e')}), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {_DOT64.replace('v1', 'a.e').replace('v2', 'b.e')}
+          / ({_N64.format(v='a.e')} * {_N64.format(v='b.e')}) >= 0.5
+    """,
+    tags=("llmdata", "dedup", "similarity"),
+    doc="embedding-cosine near-dup pairs (cosine >= 0.5) — the exact "
+    "baseline; the SRP-LSH bucketing (embedding_srp_ann) is the "
+    "sub-quadratic candidate generator for the same predicate at "
+    "scale. Self-join keyed id<id halves the pair space; the dot fold "
+    "is sequential in both engines.",
+)
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col("vec_id"), _as_double(F.col("embedding")).alias("e"))
+        .withColumn("n", norm(F.col("e")))
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_id_1"), F.col("e").alias("e1"), F.col("n").alias("n1")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_id_2"), F.col("e").alias("e2"), F.col("n").alias("n2")
+    )
+    pairs = a.join(b, a.vec_id_1 < b.vec_id_2)
+    cos = dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
+    return (
+        pairs.select("vec_id_1", "vec_id_2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.5)
+        .select("vec_id_1", "vec_id_2", _r6(F.col("cosine")).alias("cosine"))
+    )
