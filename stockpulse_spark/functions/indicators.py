@@ -20,7 +20,7 @@ pandas-semantics pitfalls encoded here (SURVEY §4 ledger):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F

@@ -15,7 +15,7 @@ min, max, avg (as sum+count).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # (partial_expr, merge_fn) per supported aggregate; avg is derived

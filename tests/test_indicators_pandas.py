@@ -8,7 +8,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
-from pyspark.sql import functions as F
 
 from stockpulse_spark.functions.ema import add_ema, add_macd, add_macd_hof
 from stockpulse_spark.functions.indicators import (

@@ -7,7 +7,6 @@ but regresses 100× at scale; these tests pin the plan shape."""
 
 from __future__ import annotations
 
-import pytest
 
 from stockpulse_spark.plans import REGISTRY
 from tests.conftest import SF_DIR

@@ -3,7 +3,6 @@ not otherwise pinned by the oracle-parity suite."""
 
 from __future__ import annotations
 
-import math
 
 import pytest
 from pyspark.sql import functions as F

@@ -9,7 +9,7 @@ from pathlib import Path
 import pandas as pd
 import pytest
 
-from stockpulse_spark.streaming.pipeline import dedup_stream, replay_json_stream
+from stockpulse_spark.streaming.pipeline import replay_json_stream
 from stockpulse_spark.streaming.stateful import streaming_ema
 
 
