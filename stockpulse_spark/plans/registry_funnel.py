@@ -75,6 +75,84 @@ def q_doc_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from stockpulse_spark.llmdata.hashing import word32_sql  # noqa: E402
+from stockpulse_spark.plans.registry_llmdata import (  # noqa: E402
+    _SIMHASH_ASSEMBLE,
+    _SIMHASH_VOTES_DUCK,
+)
+
+
+@_register(
+    "doc_simhash_hamming_pairs",
+    oracle=_MUT_CTE
+    + f"""
+    , toks AS (
+      SELECT doc_id, {word32_sql('tok')} AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus)
+    ), votes AS (
+      SELECT doc_id, {_SIMHASH_VOTES_DUCK} FROM toks GROUP BY doc_id
+    ), sim AS (
+      SELECT doc_id, {_SIMHASH_ASSEMBLE} AS simhash FROM votes
+    ), halves AS (
+      SELECT doc_id, simhash,
+             CAST(simhash // 65536 AS BIGINT) AS hi,
+             CAST(simhash % 65536 AS BIGINT) AS lo
+      FROM sim
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+             a.simhash AS s1, b.simhash AS s2
+      FROM halves a JOIN halves b
+        ON (a.hi = b.hi OR a.lo = b.lo) AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id_1, doc_id_2,
+           CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(s1, s2)) <= 6
+    """,
+    tags=("llmdata", "dedup", "join"),
+    doc="SimHash Hamming-distance near-dup join: pigeonhole on 16-bit "
+    "halves (hamming <= 6 over 32 bits means some half differs by "
+    "<= 3; the half-equality join is the sub-quadratic candidate "
+    "filter for the common all-but-few-bits case), then exact "
+    "popcount(xor) verify. Completes the simhash dedup tier.",
+)
+def q_doc_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.llmdata.dedup import simhash32
+
+    corpus = _mutated_corpus(spark, sf_dir)
+    sim = simhash32(corpus).select(
+        "doc_id",
+        "simhash",
+        F.expr("CAST(simhash div 65536 AS BIGINT)").alias("hi"),
+        (F.col("simhash") % 65536).alias("lo"),
+    )
+    # an OR join condition would plan as BroadcastNestedLoopJoin (n²);
+    # pigeonhole as TWO hash equi-joins (one per half) unioned+distinct
+    def half_join(col: str):
+        a = sim.select(
+            F.col("doc_id").alias("doc_id_1"),
+            F.col("simhash").alias("s1"),
+            F.col(col).alias("__k"),
+        )
+        b = sim.select(
+            F.col("doc_id").alias("doc_id_2"),
+            F.col("simhash").alias("s2"),
+            F.col(col).alias("__k"),
+        )
+        return (
+            a.join(b, "__k")
+            .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+            .select("doc_id_1", "doc_id_2", "s1", "s2")
+        )
+
+    pairs = half_join("hi").unionAll(half_join("lo")).distinct()
+    hamming = F.bit_count(F.expr("s1 ^ s2")).cast("int")
+    return (
+        pairs.select("doc_id_1", "doc_id_2", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+    )
+
+
 _DOT64 = (
     "list_reduce(list_transform(range(1, 65), i -> v1[i] * v2[i]), (x, y) -> x + y)"
 )
