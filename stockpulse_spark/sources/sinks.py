@@ -29,15 +29,64 @@ from pyspark.sql import DataFrame, SparkSession
 from stockpulse_spark.schemas import BARS_PROCESSED, BARS_RAW
 
 
-def write_bronze(df: DataFrame, path: str, partition_cols: list[str] = ("symbol",)) -> None:
-    """Raw append-only archive (reference S5/S6 GCS blobs)."""
+def write_bronze(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] = ("symbol",),
+    fmt: str = "parquet",
+) -> None:
+    """Raw append-only archive (reference S5/S6 GCS blobs).
+
+    fmt: parquet (default — columnar, prunable), json or csv for
+    byte-compatible parity with the reference's blob archive
+    (raw-data/{symbol}/*.json, stocks_pipeline.py:44-54).
+    """
     (
         df.repartition(*partition_cols)
         .sortWithinPartitions("timestamp")
         .write.mode("append")
         .partitionBy(*partition_cols)
-        .parquet(path)
+        .format(fmt)
+        .save(path)
     )
+
+
+def bucket_fact_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    db: str = "stockpulse_bucketed",
+    n_buckets: int = 8,
+) -> None:
+    """Write lineitem/orders as tables BUCKETED by the join key.
+
+    The star join's one unavoidable exchange (lineitem⋈orders on
+    orderkey — see revenue_by_nation) disappears when both sides are
+    bucketed identically: each task reads matching buckets and joins
+    locally. At 100 TB this converts the dominant shuffle (TBs over
+    the network per query) into a property of the storage layout paid
+    once at write time. Demonstrated shuffle-free in
+    tests/test_bucketed_join.py.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    from stockpulse_spark.sources.tables import load_table
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        # the file-based warehouse outlives the in-memory catalog:
+        # drop both the table AND any leftover location from a prior
+        # session, or saveAsTable fails with LOCATION_ALREADY_EXISTS
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
+        shutil.rmtree(f"{warehouse}/{db}.db/{name}", ignore_errors=True)
+        (
+            load_table(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .saveAsTable(f"{db}.{name}")
+        )
 
 
 def write_silver(
