@@ -55,6 +55,47 @@ def fake_decode(payload: bytes) -> dict:
     }
 
 
+FEATURE_SCHEMA = "doc_id long, byte_len long, feature_vec array<double>"
+
+
+def fake_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic md5-derived feature vector (stands in for a real
+    image/audio encoder): byte i,i+1 of the hex digest → [0,1]."""
+    import hashlib
+
+    h = hashlib.md5(payload).hexdigest()
+    hexmap = "0123456789abcdef"
+    return [
+        (hexmap.index(h[4 * i]) * 16 + hexmap.index(h[1 + 4 * i])) / 255.0
+        for i in range(dim)
+    ]
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas kernel: payload → fixed-size feature vector.
+
+    The embedding model hook is `decode_image`-style: wire a real
+    encoder (Pillow preprocessing + any vision model) here; this
+    container uses the deterministic md5 fake so the Spark plumbing
+    (binary in, array<double> out, Arrow batches) is fully exercised
+    and oracle-checkable.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                dict(
+                    doc_id=int(doc_id),
+                    byte_len=len(bytes(payload)),
+                    feature_vec=fake_features(bytes(payload)),
+                )
+                for doc_id, payload in zip(pdf[id_col], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "payload").mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
 def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Testdata shim: treat utf-8 text bytes as the opaque media
     payload (real pipelines read the binary column from parquet)."""

@@ -1,0 +1,160 @@
+"""Final fill-outs: exact percentiles, IVF-flat ANN (completing the
+task's 'IVF or LSH' with both), and the multimodal feature-extraction
+kernel."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stockpulse_spark.llmdata.similarity import _as_double, dot, norm
+from stockpulse_spark.plans.registry import _r6, _register, _t
+
+
+@_register(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 6) AS p25,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.75), 6) AS p75,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("agg", "percentile"),
+    doc="exact continuous percentiles (linear interpolation — Spark "
+    "percentile() == DuckDB quantile_cont). At 100 TB swap in "
+    "percentile_approx (t-digest, mergeable, single pass) — not "
+    "oracle-checkable since sketch implementations differ.",
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            *[
+                _r6(F.expr(f"percentile(value, {q})")).alias(f"p{int(q * 100)}")
+                for q in (0.25, 0.50, 0.75, 0.99)
+            ]
+        )
+        .orderBy("event_type")
+    )
+
+
+_N_CENTROIDS = 16
+_DOTC = "list_reduce(list_transform(range(1, 65), i -> e[i] * c[i]), (x, y) -> x + y)"
+_NORM = "sqrt(list_reduce(list_transform(range(1, 65), i -> {v}[i] * {v}[i]), (x, y) -> x + y))"
+
+
+@_register(
+    "embedding_ivf_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < {_N_CENTROIDS}
+    ), assigned AS (
+      SELECT vec_id, e, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+               {_DOTC} / ({_NORM.format(v='e')} * {_NORM.format(v='c')}) DESC, cid) AS crank
+      FROM v, cent
+    ), cells AS (
+      SELECT vec_id, e, cid FROM assigned WHERE crank = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, e AS qv, cid FROM assigned
+      WHERE vec_id < 10 AND crank <= 2
+    ), scored AS (
+      SELECT p.query_id, cand.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, 65), i -> qv[i] * cand.e[i]), (x, y) -> x + y)
+               / ({_NORM.format(v='qv')} * {_NORM.format(v='cand.e')}) AS cosine
+      FROM probes p JOIN cells cand USING (cid)
+      WHERE p.query_id != cand.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= 3
+    """,
+    tags=("llmdata", "similarity"),
+    doc="IVF-flat ANN: the first 16 vectors act as fixed centroids "
+    "(deterministic stand-in for trained k-means — same plan shape), "
+    "every vector lands in its nearest-centroid cell, queries probe "
+    "their 2 nearest cells (nprobe=2). Broadcast the 16-centroid dim, "
+    "equi-join on cell id: candidates shrink ~16x with two small "
+    "joins — the other standard ANN scale path next to SRP-LSH.",
+)
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", _as_double(F.col("embedding")).alias("e"))
+    )
+    cent = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+    cos_to_cent = dot(F.col("e"), F.col("c")) / (norm(F.col("e")) * norm(F.col("c")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("__cc").desc(), "cid")
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "e", "cid", cos_to_cent.alias("__cc"))
+        .withColumn("crank", F.row_number().over(w))
+    )
+    cells = assigned.filter(F.col("crank") == 1).select("vec_id", "e", "cid")
+    probes = assigned.filter(
+        (F.col("vec_id") < 10) & (F.col("crank") <= 2)
+    ).select(F.col("vec_id").alias("query_id"), F.col("e").alias("qv"), "cid")
+    cand = cells.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("cv"), "cid")
+    scored = (
+        probes.join(cand, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv")))).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "neighbor_id", _r6(F.col("cosine")).alias("cosine"))
+    )
+
+
+@_register(
+    "media_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           [ROUND(((instr('0123456789abcdef', substr(md5(text), 1 + 4*i, 1)) - 1) * 16
+                 + (instr('0123456789abcdef', substr(md5(text), 2 + 4*i, 1)) - 1)) / 255.0, 6)
+            for i in range(0, 8)] AS feature_vec
+    FROM documents
+    """,
+    tags=("llmdata", "multimodal"),
+    doc="multimodal feature extraction: payload binary -> fixed-size "
+    "feature vector via an Arrow-batched mapInPandas kernel (the "
+    "deterministic md5-derived fake stands in for a real image "
+    "encoder; llmdata/multimodal.py documents where Pillow/CLIP would "
+    "plug in). Schema/batching/partitioning are real; the oracle "
+    "recomputes the same bytes-derived features in SQL.",
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.llmdata.multimodal import attach_payload, extract_features
+
+    d = attach_payload(
+        _t(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    out = extract_features(d)
+    return out.select(
+        "doc_id",
+        "byte_len",
+        F.transform(F.col("feature_vec"), lambda x: _r6(x)).alias("feature_vec"),
+    )
