@@ -1,0 +1,180 @@
+"""Extended indicator set beyond the reference's dashboard: OBV,
+Wilder-smoothed RSI (the industry-standard recursive variant — the
+reference's SMA-based RSI stays in `rsi14`), and Williams %R. Rounds
+out what a reference user would ask for next."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stockpulse_spark.plans.registry import (
+    _BARS_CTE,
+    _hourly_bars,
+    _r6,
+    _register,
+)
+
+_W = "PARTITION BY user_id ORDER BY bucket_start"
+
+
+@_register(
+    "obv",
+    oracle=_BARS_CTE
+    + f"""
+    , d AS (
+      SELECT user_id, bucket_start, close, volume,
+             CASE WHEN close > lag(close) OVER ({_W}) THEN volume
+                  WHEN close < lag(close) OVER ({_W}) THEN -volume
+                  ELSE 0 END AS signed_vol
+      FROM bars
+    )
+    SELECT user_id, bucket_start,
+           SUM(signed_vol) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obv
+    FROM d
+    """,
+    tags=("window", "indicator"),
+    doc="On-Balance Volume: cumulative signed volume (sign of the "
+    "close-to-close change). Integer arithmetic — no float "
+    "reconciliation needed; one shared window exchange.",
+)
+def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _hourly_bars(spark, sf_dir)
+    wb = Window.partitionBy("user_id").orderBy("bucket_start")
+    prev = F.lag("close", 1).over(wb)
+    signed = (
+        F.when(F.col("close") > prev, F.col("volume"))
+        .when(F.col("close") < prev, -F.col("volume"))
+        .otherwise(F.lit(0))
+    )
+    d = bars.select("user_id", "bucket_start", signed.alias("signed_vol"))
+    return d.select(
+        "user_id",
+        "bucket_start",
+        F.sum("signed_vol")
+        .over(wb.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("obv"),
+    )
+
+
+def _wilder_reduce(expr: str, n: int) -> str:
+    # Wilder smoothing: y_t = (y_{t-1}·(n−1) + x_t)/n, seeded with the
+    # first value — same fold family as EMA with α = 1/n
+    return (
+        f"list_reduce(list({expr}) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING "
+        f"AND CURRENT ROW), (acc, e) -> (acc * {n - 1}.0 + e) / {n}.0)"
+    )
+
+
+@_register(
+    "rsi_wilder",
+    oracle=_BARS_CTE
+    + f"""
+    , d AS (
+      SELECT user_id, bucket_start, close,
+             greatest(close - lag(close) OVER ({_W}), 0.0) AS gain,
+             greatest(lag(close) OVER ({_W}) - close, 0.0) AS loss
+      FROM bars
+    ), sm AS (
+      SELECT user_id, bucket_start, close,
+             {_wilder_reduce('gain', 14)} AS ag,
+             {_wilder_reduce('loss', 14)} AS al
+      FROM d
+    )
+    SELECT user_id, bucket_start, ROUND(close, 6) AS close,
+           ROUND(CASE WHEN al = 0 AND ag = 0 THEN NULL
+                      WHEN al = 0 THEN 100.0
+                      ELSE 100.0 - 100.0 / (1.0 + ag / al) END, 6) AS rsi_wilder
+    FROM sm
+    """,
+    tags=("window", "indicator", "recursive"),
+    doc="Wilder-smoothed RSI(14): the industry-standard recursive "
+    "smoothing (α=1/14, seeded with the first clipped delta) — the "
+    "reference's SMA variant stays in `rsi14`. Spark folds the "
+    "recursion JVM-side with aggregate() like MACD; the oracle folds "
+    "the identical recursion with list_reduce. greatest() maps the "
+    "first NULL delta to 0 in both engines, so the folds seed "
+    "identically.",
+)
+def q_rsi_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _hourly_bars(spark, sf_dir).select("user_id", "bucket_start", "close")
+    wb = Window.partitionBy("user_id").orderBy("bucket_start")
+    prev = F.lag("close", 1).over(wb)
+    d = bars.select(
+        "user_id",
+        "bucket_start",
+        "close",
+        F.greatest(F.col("close") - prev, F.lit(0.0)).alias("gain"),
+        F.greatest(prev - F.col("close"), F.lit(0.0)).alias("loss"),
+    )
+    g = d.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket_start", "close", "gain", "loss"))
+        ).alias("s")
+    )
+
+    def wilder(arr: str, n: int):
+        return F.expr(
+            f"aggregate(slice({arr}, 2, size({arr}) - 1), array({arr}[0]), "
+            f"(acc, x) -> array_append(acc, (element_at(acc, -1) * {n - 1}.0 + x) / {n}.0))"
+        )
+
+    g = g.withColumn("ag", wilder("s.gain", 14)).withColumn(
+        "al", wilder("s.loss", 14)
+    )
+    z = g.select(
+        "user_id",
+        F.explode(
+            F.arrays_zip(
+                F.col("s").alias("row"), F.col("ag").alias("ag"), F.col("al").alias("al")
+            )
+        ).alias("z"),
+    ).select(
+        "user_id",
+        F.col("z.row.bucket_start").alias("bucket_start"),
+        F.col("z.row.close").alias("close"),
+        F.col("z.ag").alias("ag"),
+        F.col("z.al").alias("al"),
+    )
+    rsi = (
+        F.when((F.col("al") == 0) & (F.col("ag") == 0), F.lit(None))
+        .when(F.col("al") == 0, F.lit(100.0))
+        .otherwise(100.0 - 100.0 / (1.0 + F.col("ag") / F.col("al")))
+    )
+    return z.select(
+        "user_id",
+        "bucket_start",
+        _r6(F.col("close")).alias("close"),
+        _r6(rsi).alias("rsi_wilder"),
+    )
+
+
+@_register(
+    "williams_r",
+    oracle=_BARS_CTE
+    + f"""
+    -- + 0.0 normalizes IEEE negative zero (close == highest-high gives
+    -- -0.0 here but +0.0 in Spark after its BigDecimal round)
+    SELECT user_id, bucket_start,
+           ROUND(CASE WHEN COUNT(low) OVER w >= 14
+                       AND (MAX(high) OVER w) != (MIN(low) OVER w)
+                      THEN -100.0 * (MAX(high) OVER w - close)
+                           / (MAX(high) OVER w - MIN(low) OVER w)
+                 END, 6) + 0.0 AS williams_r
+    FROM bars
+    WINDOW w AS ({_W} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "indicator"),
+    doc="Williams %R(14): −100·(HH−close)/(HH−LL) over the trailing "
+    "frame, strict min_periods, degenerate-range guarded (NULL where "
+    "HH==LL, matching both engines' semantics).",
+)
+def q_williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _hourly_bars(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("bucket_start").rowsBetween(-13, 0)
+    hh, ll = F.max("high").over(w), F.min("low").over(w)
+    wr = F.when(
+        (F.count("low").over(w) >= 14) & (hh != ll),
+        -100.0 * (hh - F.col("close")) / (hh - ll),
+    )
+    return bars.select("user_id", "bucket_start", _r6(wr).alias("williams_r"))
