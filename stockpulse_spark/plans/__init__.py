@@ -14,5 +14,6 @@ from stockpulse_spark.plans import registry_subqueries  # noqa: F401, E402
 from stockpulse_spark.plans import registry_extras  # noqa: F401, E402
 from stockpulse_spark.plans import registry_sqlapi  # noqa: F401, E402
 from stockpulse_spark.plans import registry_indicators2  # noqa: F401, E402
+from stockpulse_spark.plans import registry_tfidf  # noqa: F401, E402
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql"]
