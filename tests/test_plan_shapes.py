@@ -67,12 +67,14 @@ def test_anti_join_is_hash_not_loop(spark):
 
 
 def test_no_python_udfs_in_relational_queries(spark):
-    """Python only in the explicitly-kernelized paths (media_metadata);
-    every relational/indicator/llmdata query stays JVM-side."""
+    """Python only in the explicitly-kernelized multimodal paths
+    (media_metadata / media_features); every relational/indicator/
+    llmdata query stays JVM-side."""
     for name in REGISTRY:
-        if name == "media_metadata":
+        if name in ("media_metadata", "media_features"):
             continue
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "FlatMapGroupsInPandas" not in plan, name
+        assert "MapInPandas" not in plan, name
