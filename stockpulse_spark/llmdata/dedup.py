@@ -104,6 +104,13 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc_id"),
         minhash_signature(F.col(text_col), k, shingle_n).alias("sig"),
     )
+    # signatures are computed once and reused on three plan branches
+    # (banding + two pair-side joins) — non-eager localCheckpoint
+    # materializes the 16×md5 transform once and reuses it per branch;
+    # unlike persist(), the blocks are released when the DataFrame is
+    # garbage-collected, so repeated registry/gate runs in one session
+    # don't accumulate pinned executor memory
+    sig = sig.localCheckpoint(eager=False)
     banded = sig.select(
         "doc_id",
         "sig",
@@ -123,11 +130,6 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "sig", "band.band_idx", "band.band_hash")
-
-    # signatures are computed once and reused on three plan branches
-    # (banding + two pair-side joins) — persist so the 16×md5 transform
-    # isn't re-evaluated per branch
-    sig = sig.persist()
 
     # candidate pairs carry ONLY ids through the band self-join and the
     # distinct — shuffling the 16-hash signature arrays through

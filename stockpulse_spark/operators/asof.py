@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -35,14 +36,23 @@ def asof_join(
     how: str = "left",
 ) -> DataFrame:
     """For each left row, attach `payload_cols` from the latest right
-    row with right[right_ts] <= left[left_ts], matching on `on`."""
+    row with right[right_ts] <= left[left_ts], matching on `on`.
+
+    The payload forward-fills as ONE struct per right row (not one
+    `last(..., ignorenulls)` per column): a NULL payload value on the
+    latest matching right row is preserved as NULL — matching DuckDB
+    ASOF JOIN — instead of silently falling back to an older non-null
+    value.
+    """
     lcols = left.columns
+    p_struct_t = T.StructType(
+        [T.StructField(c, right.schema[c].dataType, True) for c in payload_cols]
+    )
     l = left.select(
         *lcols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}")
-          for c in payload_cols],
+        F.lit(None).cast(p_struct_t).alias("__p"),
     )
     r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -50,7 +60,7 @@ def asof_join(
           for c in lcols],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("__p"),
     )
     merged = l.unionByName(r)
     w = (
@@ -61,16 +71,13 @@ def asof_join(
     filled = merged.select(
         *lcols,
         "__side",
-        *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(c)
-            for c in payload_cols
-        ],
+        F.last("__p", ignorenulls=True).over(w).alias("__p"),
     )
-    out = filled.filter(F.col("__side") == 1).drop("__side")
+    out = (
+        filled.filter(F.col("__side") == 1)
+        .select(*lcols, *[F.col(f"__p.{c}").alias(c) for c in payload_cols],
+                F.col("__p").isNotNull().alias("__matched"))
+    )
     if how == "inner":
-        pred = None
-        for c in payload_cols:
-            p = F.col(c).isNotNull()
-            pred = p if pred is None else (pred | p)
-        out = out.filter(pred)
-    return out
+        out = out.filter(F.col("__matched"))
+    return out.drop("__matched")

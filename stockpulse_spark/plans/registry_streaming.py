@@ -75,5 +75,10 @@ def q_stream_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", tempfile.mkdtemp(prefix="sp_ckpt_"))
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_dedup_hourly: availableNow run exceeded 300s; "
+            "refusing to return a partially populated memory table"
+        )
     return spark.table(name)

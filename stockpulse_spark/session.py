@@ -46,8 +46,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
-        # keep broadcast threshold default (10 MB); dims here are tiny and
-        # explicit broadcast() hints mark the intent in the plans.
+        # raise broadcast threshold to 64 MB: dimension/lookup sides in
+        # these plans (nation/region, holiday calendar, centroids, band
+        # stats) are well under that, and auto-broadcasting them avoids
+        # a shuffle even where a plan forgot the explicit broadcast()
+        # hint. Explicit hints still mark intent in the plans.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.ui.enabled", "false")
     )
