@@ -113,6 +113,47 @@ def add_ema(
     return df.groupBy(*partition_cols).applyInPandas(kernel, schema=schema)
 
 
+# Per-series length above which the O(n²) HOF fold is no longer safe:
+# at 10k points the fold does ~5·10⁷ element copies per series — still
+# fine; at 10× that it is 100× the work and a per-row memory spike.
+HOF_SERIES_BOUND = 10_000
+
+
+def add_macd_auto(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    value_col: str = "close",
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    macd_name: str = "macd",
+    signal_name: str = "macd_signal",
+    series_bound: int | None = None,
+) -> DataFrame:
+    """Scale-dispatching MACD — the entry point queries should use.
+
+    The JVM-side HOF fold (`add_macd_hof`) collects each full series
+    into one row and folds with O(n²) element copies: fastest for
+    BOUNDED series (intraday bars, capped lookback windows) but a
+    memory bomb + quadratic blow-up on unbounded history. So it is
+    only chosen when the caller explicitly asserts a per-series bound
+    (`series_bound=`) within HOF_SERIES_BOUND; with no declared bound
+    the linear Arrow-batched `applyInPandas` kernel is the default —
+    the plan a user copies must be the one that survives multi-year
+    series at 100 TB.
+    """
+    if series_bound is not None and series_bound <= HOF_SERIES_BOUND:
+        return add_macd_hof(
+            df, partition_cols, order_cols[0], value_col,
+            fast, slow, signal, macd_name, signal_name,
+        )
+    return add_macd(
+        df, partition_cols, order_cols, value_col,
+        fast, slow, signal, macd_name, signal_name,
+    )
+
+
 def add_macd(
     df: DataFrame,
     partition_cols: list[str],

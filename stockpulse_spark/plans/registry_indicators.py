@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stockpulse_spark.functions.ema import add_macd_hof
+from stockpulse_spark.functions.ema import add_macd_auto
 from stockpulse_spark.plans.registry import (
     _BARS_CTE,
     _hourly_bars,
@@ -345,9 +345,8 @@ def _ema_reduce(expr: str, span: int) -> str:
     )
 
 
-@_register(
-    "macd_12_26_9",
-    oracle=_BARS_CTE
+_MACD_ORACLE = (
+    _BARS_CTE
     + f"""
     , m AS (
       SELECT user_id, bucket_start, close,
@@ -358,23 +357,18 @@ def _ema_reduce(expr: str, span: int) -> str:
            ROUND(macd, 6) AS macd,
            ROUND({_ema_reduce('macd', 9)}, 6) AS macd_signal
     FROM m
-    """,
-    headline=True,
-    tags=("window", "indicator", "udf"),
-    doc="reference W8 (app/dashboard.py:114-118): MACD via recursive "
-    "EMA. Spark side folds the recursion JVM-side with `aggregate` "
-    "over per-series arrays (functions/ema.py:add_macd_hof — 5× "
-    "faster than the applyInPandas kernel, which remains available "
-    "for unbounded series); oracle folds the identical recursion with "
-    "DuckDB list_reduce.",
+    """
 )
-def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+def _macd_query(spark: SparkSession, sf_dir: str, series_bound: int | None) -> DataFrame:
     bars = _hourly_bars(spark, sf_dir).select("user_id", "bucket_start", "close")
-    out = add_macd_hof(
+    out = add_macd_auto(
         bars,
         partition_cols=["user_id"],
-        order_col="bucket_start",
+        order_cols=["bucket_start"],
         value_col="close",
+        series_bound=series_bound,
     )
     return out.select(
         "user_id",
@@ -383,3 +377,36 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("macd")).alias("macd"),
         _r6(F.col("macd_signal")).alias("macd_signal"),
     )
+
+
+@_register(
+    "macd_12_26_9",
+    oracle=_MACD_ORACLE,
+    headline=True,
+    tags=("window", "indicator", "udf"),
+    doc="reference W8 (app/dashboard.py:114-118): MACD via recursive "
+    "EMA, through the scale-safe DEFAULT path (add_macd_auto with no "
+    "declared series bound → linear Arrow applyInPandas kernel, "
+    "functions/ema.py:add_macd). No collect_list of a full series in "
+    "the plan; per-group memory = one series, work is O(n) — the plan "
+    "that survives multi-year history. Oracle folds the identical "
+    "adjust=False recursion with DuckDB list_reduce.",
+)
+def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _macd_query(spark, sf_dir, series_bound=None)
+
+
+@_register(
+    "macd_intraday_hof",
+    oracle=_MACD_ORACLE,
+    tags=("window", "indicator"),
+    doc="same MACD semantics through the bounded-series fast path: the "
+    "caller asserts per-series length ≤ HOF_SERIES_BOUND (hourly bars "
+    "over a ≤13-month retention window ≈ 9.5k points), so "
+    "add_macd_auto picks the JVM-side `aggregate` fold "
+    "(functions/ema.py:add_macd_hof) — no Python in the plan, ~5× "
+    "faster than the kernel at intraday scale. Both paths share one "
+    "oracle: they must and do agree bit-for-bit.",
+)
+def q_macd_intraday_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _macd_query(spark, sf_dir, series_bound=9_600)

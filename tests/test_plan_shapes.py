@@ -67,14 +67,33 @@ def test_anti_join_is_hash_not_loop(spark):
 
 
 def test_no_python_udfs_in_relational_queries(spark):
-    """Python only in the explicitly-kernelized multimodal paths
-    (media_metadata / media_features); every relational/indicator/
-    llmdata query stays JVM-side."""
+    """Python only in the explicitly-kernelized paths: the multimodal
+    decode kernels (media_metadata / media_features) and the MACD
+    default, which routes unbounded series through the linear
+    Arrow applyInPandas EMA kernel (the one genuine UDF need, U1);
+    every other relational/indicator/llmdata query stays JVM-side."""
     for name in REGISTRY:
-        if name in ("media_metadata", "media_features"):
+        if name in ("media_metadata", "media_features", "macd_12_26_9"):
             continue
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "FlatMapGroupsInPandas" not in plan, name
         assert "MapInPandas" not in plan, name
+
+
+def test_macd_default_is_linear_kernel(spark):
+    """The MACD path a user copies must survive unbounded history: the
+    default plan is the linear Arrow kernel — one FlatMapGroupsInPandas,
+    and NO collect_list of the full series (the O(n²) per-key fold)."""
+    plan = _plan(spark, "macd_12_26_9")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "collect_list" not in plan
+
+
+def test_macd_bounded_hof_is_jvm_side(spark):
+    """The bounded-series fast path stays fully JVM-side (HOF fold)."""
+    plan = _plan(spark, "macd_intraday_hof")
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" not in plan
+    assert "collect_list" in plan
