@@ -2,12 +2,14 @@
 columns with typed metadata, processed by Arrow-batched mapInPandas
 kernels.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-container): `decode_image` raises NotImplementedError and the kernel
-falls back to a deterministic fake decoder, clearly marked. Everything
-Spark-side is real and tested — the binary column, the kernel
-signature, the output schema, the batch iteration, and the
-partitioning story:
+The metadata decode is REAL: `decode_image` is a dependency-free
+binary parser reading the PNG IHDR chunk, the JPEG SOF0/1/2 frame
+header, or the GIF logical screen descriptor straight from the header
+bytes — width, height, channels with no imaging library. Only the
+pixel-level decode (Pillow/ffmpeg feature extraction) remains a
+documented hook, because no imaging libs exist in this container.
+
+Spark-side design, sized for 100 TB:
 
 - payloads travel as parquet BINARY; Spark never materializes them on
   the driver;
@@ -30,29 +32,77 @@ from pyspark.sql import functions as F
 
 MEDIA_META_SCHEMA = (
     "doc_id long, byte_len long, format string, width int, height int, "
-    "n_frames int, decode_ok boolean"
+    "channels int, n_frames int, decode_ok boolean"
 )
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# PNG color type → sample channels (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real decoder hook — wire Pillow/ffmpeg here when available.
+    """Parse media container headers with no external libraries.
 
-    Raises NotImplementedError in this container (no imaging libs);
-    callers fall back to `fake_decode`.
+    Supports PNG (signature + IHDR), JPEG (SOI + SOF0/SOF1/SOF2 scan)
+    and GIF (87a/89a logical screen descriptor). Returns
+    ``{format, width, height, channels, n_frames}``; raises ValueError
+    for anything truncated, misaligned, or unrecognized — callers route
+    those rows to `decode_ok = false` instead of failing the job.
     """
-    raise NotImplementedError("no imaging libraries in this environment")
-
-
-def fake_decode(payload: bytes) -> dict:
-    """Deterministic stand-in decoder: derives plausible metadata from
-    the payload bytes only (stable across engines/runs)."""
-    n = len(payload)
-    return {
-        "format": "FAKE",
-        "width": n % 512 + 16,
-        "height": (n * 7) % 512 + 16,
-        "n_frames": 1,
-    }
+    if payload[:8] == _PNG_MAGIC:
+        # 8B signature, 4B chunk length, 4B "IHDR", 4B width, 4B height,
+        # 1B bit depth, 1B color type (spec §11.2.2)
+        if len(payload) < 26 or payload[12:16] != b"IHDR":
+            raise ValueError("PNG: truncated or first chunk not IHDR")
+        width = int.from_bytes(payload[16:20], "big")
+        height = int.from_bytes(payload[20:24], "big")
+        channels = _PNG_CHANNELS.get(payload[25])
+        if width == 0 or height == 0 or channels is None:
+            raise ValueError("PNG: invalid IHDR")
+        return {
+            "format": "PNG", "width": width, "height": height,
+            "channels": channels, "n_frames": 1,
+        }
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:
+                raise ValueError("JPEG: lost marker alignment")
+            marker = payload[i + 1]
+            # standalone markers carry no length field
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9 or marker == 0xDA:  # EOI / start of scan
+                break
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                raise ValueError("JPEG: bad segment length")
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2 frame header
+                seg = payload[i + 4 : i + 2 + seg_len]
+                if len(seg) < 6:
+                    raise ValueError("JPEG: truncated SOF")
+                height = int.from_bytes(seg[1:3], "big")
+                width = int.from_bytes(seg[3:5], "big")
+                if width == 0 or height == 0:
+                    raise ValueError("JPEG: zero frame dimension")
+                return {
+                    "format": "JPEG", "width": width, "height": height,
+                    "channels": seg[5], "n_frames": 1,
+                }
+            i += 2 + seg_len
+        raise ValueError("JPEG: no SOF marker before scan/end")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ValueError("GIF: truncated screen descriptor")
+        return {
+            "format": "GIF",
+            "width": int.from_bytes(payload[6:8], "little"),
+            "height": int.from_bytes(payload[8:10], "little"),
+            "channels": 3,
+            "n_frames": 1,
+        }
+    raise ValueError("unsupported or malformed media payload")
 
 
 FEATURE_SCHEMA = "doc_id long, byte_len long, feature_vec array<double>"
@@ -74,7 +124,7 @@ def fake_features(payload: bytes, dim: int = 8) -> list[float]:
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """mapInPandas kernel: payload → fixed-size feature vector.
 
-    The embedding model hook is `decode_image`-style: wire a real
+    The embedding model hook is the one remaining stub: wire a real
     encoder (Pillow preprocessing + any vision model) here; this
     container uses the deterministic md5 fake so the Spark plumbing
     (binary in, array<double> out, Arrow batches) is fully exercised
@@ -102,11 +152,47 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
 
 
-def extract_media_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """mapInPandas kernel: payload binary → typed metadata row.
+def attach_image_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Testdata shim generating REAL image containers, entirely
+    JVM-side: even doc_ids get a valid PNG signature + IHDR chunk, odd
+    doc_ids a valid JPEG SOI + SOF0 frame header, each followed by the
+    utf-8 text bytes standing in for compressed pixel data. Dimensions
+    are a deterministic function of the id (width = id % 512 + 16,
+    height = id*7 % 512 + 16) so an engine-independent oracle can
+    recompute them — while `decode_image` genuinely parses them back
+    out of the header bytes."""
+    did = F.col(id_col)
+    w, h = did % 512 + 16, (did * 7) % 512 + 16
+    # PNG: signature, IHDR length 13, "IHDR", w, h, bit depth 8,
+    # color type 2 (truecolor), compression/filter/interlace 0, CRC
+    # (unchecked by header parsers) — 33 bytes total.
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"),
+        F.lpad(F.hex(w), 8, "0"),
+        F.lpad(F.hex(h), 8, "0"),
+        F.lit("080200000000000000"),
+    )
+    # JPEG: SOI, SOF0 marker, length 17, precision 8, h, w, 3
+    # components with standard ids/sampling — 21 bytes total.
+    jpeg_hex = F.concat(
+        F.lit("FFD8FFC0001108"),
+        F.lpad(F.hex(h), 4, "0"),
+        F.lpad(F.hex(w), 4, "0"),
+        F.lit("03011100021101031101"),
+    )
+    header = F.unhex(F.when(did % 2 == 0, png_hex).otherwise(jpeg_hex))
+    return df.withColumn(
+        "payload", F.concat(header, F.encode(F.col(text_col), "utf-8"))
+    )
 
-    Tries the real decoder once per batch; on NotImplementedError uses
-    the deterministic fake for every row (flagged decode_ok=False).
+
+def extract_media_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas kernel: payload binary → typed metadata row via the
+    real header parser. Malformed/unrecognized payloads yield a
+    `decode_ok = false` row with NULL metadata instead of failing the
+    job — the dead-letter convention, same as the streaming decode.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -114,23 +200,17 @@ def extract_media_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 data = bytes(payload)
+                base = dict(doc_id=int(doc_id), byte_len=len(data))
                 try:
                     meta = decode_image(data)
-                    ok = True
-                except NotImplementedError:
-                    meta = fake_decode(data)
-                    ok = False
-                rows.append(
-                    dict(
-                        doc_id=int(doc_id),
-                        byte_len=len(data),
-                        format=meta["format"],
-                        width=meta["width"],
-                        height=meta["height"],
-                        n_frames=meta["n_frames"],
-                        decode_ok=ok,
+                    rows.append(dict(**base, **meta, decode_ok=True))
+                except ValueError:
+                    rows.append(
+                        dict(
+                            **base, format=None, width=None, height=None,
+                            channels=None, n_frames=None, decode_ok=False,
+                        )
                     )
-                )
             yield pd.DataFrame(rows)
 
     return df.select(id_col, "payload").mapInPandas(kernel, schema=MEDIA_META_SCHEMA)

@@ -22,7 +22,10 @@ from stockpulse_spark.llmdata.dedup import (
     simhash32,
 )
 from stockpulse_spark.llmdata.hashing import word32_sql
-from stockpulse_spark.llmdata.multimodal import attach_payload, extract_media_metadata
+from stockpulse_spark.llmdata.multimodal import (
+    attach_image_payload,
+    extract_media_metadata,
+)
 from stockpulse_spark.llmdata.similarity import (
     cosine_topk,
     pseudo_planes,
@@ -404,26 +407,30 @@ def q_embedding_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_metadata",
     oracle="""
     SELECT doc_id,
-           octet_length(encode(text)) AS byte_len,
-           'FAKE' AS format,
-           CAST(octet_length(encode(text)) % 512 + 16 AS INTEGER) AS width,
-           CAST((octet_length(encode(text)) * 7) % 512 + 16 AS INTEGER) AS height,
-           1 AS n_frames,
-           false AS decode_ok
+           CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 21 END
+             + octet_length(encode(text)) AS byte_len,
+           CASE WHEN doc_id % 2 = 0 THEN 'PNG' ELSE 'JPEG' END AS format,
+           CAST(doc_id % 512 + 16 AS INTEGER) AS width,
+           CAST((doc_id * 7) % 512 + 16 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(1 AS INTEGER) AS n_frames,
+           true AS decode_ok
     FROM documents
     """,
     tags=("llmdata", "multimodal"),
-    doc="multimodal plumbing: opaque binary payload column -> "
-    "Arrow-batched mapInPandas kernel extracting typed metadata. The "
-    "image decode is stubbed (no imaging libs here; "
-    "llmdata/multimodal.py:decode_image raises, kernel falls back to "
-    "the deterministic fake) — schema, batching, and partitioning are "
-    "real.",
+    doc="multimodal metadata: opaque binary payload column -> "
+    "Arrow-batched mapInPandas kernel running a REAL dependency-free "
+    "header decode (PNG IHDR / JPEG SOF0 / GIF — "
+    "llmdata/multimodal.py:decode_image). The payloads are genuine "
+    "PNG/JPEG containers synthesized JVM-side with dimensions that are "
+    "a function of doc_id, so the oracle recomputes what the parser "
+    "must read back out of the bytes. Malformed payloads dead-letter "
+    "to decode_ok=false rows (kernel test).",
 )
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition before the Python kernel: the single-file corpus
     # would otherwise pin all Arrow batches to 2 cores
-    d = attach_payload(
+    d = attach_image_payload(
         _t(spark, sf_dir, "documents").repartition(
             spark.sparkContext.defaultParallelism
         )

@@ -14,7 +14,11 @@ from stockpulse_spark.llmdata.dedup import (
     ngram_jaccard_pairs,
     simhash32,
 )
-from stockpulse_spark.llmdata.multimodal import attach_payload, extract_media_metadata
+from stockpulse_spark.llmdata.multimodal import (
+    attach_image_payload,
+    decode_image,
+    extract_media_metadata,
+)
 from stockpulse_spark.llmdata.similarity import cosine_topk, srp_lsh_topk
 from stockpulse_spark.plans.registry_llmdata import _mutated_corpus
 from stockpulse_spark.sources.tables import load_table
@@ -81,14 +85,79 @@ def test_srp_recall_vs_bruteforce(spark, emb):
     assert recall >= 0.5, f"recall={recall:.2f}"
 
 
-def test_media_metadata_kernel(spark, docs):
-    out = extract_media_metadata(attach_payload(docs))
+def test_media_metadata_kernel_real_decode(spark, docs):
+    out = extract_media_metadata(attach_image_payload(docs))
     rows = out.collect()
     assert len(rows) == docs.count()
-    r = rows[0]
-    assert r["byte_len"] > 0
-    assert 16 <= r["width"] < 528 and 16 <= r["height"] < 528
-    assert r["decode_ok"] is False  # decoder is stubbed here
+    for r in rows:
+        assert r["decode_ok"] is True
+        assert r["format"] == ("PNG" if r["doc_id"] % 2 == 0 else "JPEG")
+        assert r["width"] == r["doc_id"] % 512 + 16
+        assert r["height"] == (r["doc_id"] * 7) % 512 + 16
+        assert r["channels"] == 3 and r["n_frames"] == 1
     assert out.schema.simpleString().startswith(
         "struct<doc_id:bigint,byte_len:bigint,format:string,width:int,height:int"
     )
+
+
+def _png_bytes(w: int, h: int, color_type: int = 2) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0]) + b"\x00" * 4
+    )
+
+
+def _jpeg_bytes(w: int, h: int, pre_segments: bytes = b"") -> bytes:
+    sof = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    return b"\xff\xd8" + pre_segments + sof
+
+
+def test_decode_image_parses_headers():
+    m = decode_image(_png_bytes(640, 480))
+    assert (m["format"], m["width"], m["height"], m["channels"]) == ("PNG", 640, 480, 3)
+    m = decode_image(_png_bytes(17, 9, color_type=6))
+    assert (m["width"], m["height"], m["channels"]) == (17, 9, 4)
+    m = decode_image(_jpeg_bytes(1920, 1080))
+    assert (m["format"], m["width"], m["height"], m["channels"]) == ("JPEG", 1920, 1080, 3)
+    # SOF behind an APP0/JFIF segment (the common real-file layout)
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    m = decode_image(_jpeg_bytes(33, 44, pre_segments=app0))
+    assert (m["width"], m["height"]) == (33, 44)
+    m = decode_image(b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little"))
+    assert (m["format"], m["width"], m["height"]) == ("GIF", 320, 200)
+
+
+def test_decode_image_rejects_malformed():
+    for bad in (
+        b"",                                   # empty
+        b"plain text payload",                 # no magic
+        _png_bytes(640, 480)[:20],             # truncated IHDR
+        b"\x89PNG\r\n\x1a\x00" + b"\x00" * 20,  # corrupted signature
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 4 + b"IDAT" + b"\x00" * 16,  # no IHDR
+        b"\xff\xd8\xff\xd9",                   # JPEG with no SOF
+        b"\xff\xd8" + b"\x00\x00\x00\x00",     # JPEG lost alignment
+        b"GIF89a\x01",                         # truncated GIF
+    ):
+        with pytest.raises(ValueError):
+            decode_image(bad)
+
+
+def test_media_metadata_dead_letters_malformed(spark):
+    rows = [
+        (1, bytearray(_png_bytes(100, 50))),
+        (2, bytearray(b"not an image at all")),
+        (3, bytearray(_jpeg_bytes(64, 32))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in extract_media_metadata(df).collect()}
+    assert out[1]["decode_ok"] and out[1]["width"] == 100
+    assert out[3]["decode_ok"] and out[3]["height"] == 32
+    assert out[2]["decode_ok"] is False
+    assert out[2]["format"] is None and out[2]["width"] is None
+    assert out[2]["byte_len"] == 19
