@@ -54,6 +54,64 @@ def duplicate_report(df: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def min_label_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation —
+    the transitive closure a dedup keeper assignment needs when
+    near-dup evidence chains (A~B from one blocking key, B~C from
+    another, A⁄~C directly: all three are one group, one keeper).
+
+    Each iteration: label(v) ← min(label(v), min over neighbors'
+    labels) — one join + one partial-agg shuffle — and converges in
+    O(component diameter) rounds, which for near-dup clusters is small
+    (clusters are dense; chains are short). Every round
+    `localCheckpoint`s the labels so lineage stays bounded, and
+    convergence is detected from the (strictly decreasing) sum of
+    labels, a metric computed by the same action that materializes the
+    checkpoint epoch. GraphX/GraphFrames implement exactly this loop;
+    re-expressed here on DataFrames to stay dependency-free.
+
+    Returns (id_col, label): label = min vertex id of the component.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    if vertices is None:
+        verts = sym.select(F.col("a").alias(id_col)).distinct()
+    else:
+        verts = vertices.select(id_col).distinct()
+    labels = verts.select(id_col, F.col(id_col).alias("label")).localCheckpoint()
+    prev = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.select(F.col(id_col).alias("b"), "label"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("a", id_col)
+        )
+        labels = (
+            labels.join(nbr_min, id_col, "left")
+            .select(
+                id_col,
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum("label")).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
 def new_keys_only(batch: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:
     """Rows of `batch` whose key is absent from `existing`.
 

@@ -101,7 +101,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "member. For multi-hop chains this iterates to a fixpoint "
     "(connected components / label propagation, each iteration one "
     "self-join — genuinely iterative, noted as the non-SQL extension); "
-    "1 hop is exact for the pairwise near-dup structure here.",
+    "1 hop is exact for the pairwise near-dup structure here; for "
+    "chained evidence see dedup_keeper_transitive, which iterates "
+    "min_label_components to the fixpoint.",
 )
 def q_dedup_keeper_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _mutated_corpus(spark, sf_dir)
@@ -124,4 +126,116 @@ def q_dedup_keeper_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return members.groupBy("doc_id").agg(
         F.min("other").alias("keeper_id"),
         (F.col("doc_id") != F.min("other")).alias("is_duplicate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# transitive keeper assignment (connected components over chained evidence)
+
+_N_WORDS = "len(string_split(text, ' '))"
+_CHAIN_CTE = f"""
+WITH RECURSIVE corpus3 AS (
+  -- A: first 5 words dropped (keeps the SUFFIX), smallest ids
+  SELECT doc_id,
+         array_to_string((string_split(text, ' '))[6:{_N_WORDS}], ' ') AS text
+  FROM documents WHERE {_N_WORDS} >= 21
+  UNION ALL
+  -- B: the original, mid ids
+  SELECT doc_id + 1000000, text FROM documents WHERE {_N_WORDS} >= 21
+  UNION ALL
+  -- C: last 5 words dropped (keeps the PREFIX), largest ids
+  SELECT doc_id + 2000000,
+         array_to_string((string_split(text, ' '))[1:{_N_WORDS} - 5], ' ')
+  FROM documents WHERE {_N_WORDS} >= 21
+), keyed AS (
+  SELECT doc_id,
+         md5(array_to_string((string_split(text, ' '))[1:10], ' ')) AS pfx,
+         md5(array_to_string(
+           (string_split(text, ' '))[{_N_WORDS} - 9:{_N_WORDS}], ' ')) AS sfx
+  FROM corpus3
+), edges AS (
+  SELECT l.doc_id AS src, r.doc_id AS dst
+  FROM keyed l JOIN keyed r ON l.pfx = r.pfx AND l.doc_id < r.doc_id
+  UNION
+  SELECT l.doc_id, r.doc_id
+  FROM keyed l JOIN keyed r ON l.sfx = r.sfx AND l.doc_id < r.doc_id
+), sym AS (
+  SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges
+), reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), comp AS (
+  SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a
+)
+"""
+
+
+@_register(
+    "dedup_keeper_transitive",
+    oracle=_CHAIN_CTE
+    + """
+    SELECT k.doc_id,
+           LEAST(k.doc_id, COALESCE(c.min_reach, k.doc_id)) AS keeper_id,
+           LEAST(k.doc_id, COALESCE(c.min_reach, k.doc_id)) != k.doc_id
+             AS is_duplicate
+    FROM keyed k LEFT JOIN comp c USING (doc_id)
+    """,
+    tags=("llmdata", "dedup", "iterative"),
+    doc="TRANSITIVE keeper assignment — connected components over "
+    "chained near-dup evidence. The corpus plants genuine A–B–C "
+    "chains: A (front-5-words dropped) matches the original B only on "
+    "the suffix-10 key, C (back-5-words dropped) matches B only on the "
+    "prefix-10 key, and A carries the smallest id — so C can only "
+    "learn its keeper through B, which 1-hop min-id gets WRONG and "
+    "label propagation (operators/dedup.py:min_label_components, "
+    "bounded iterations, localCheckpointed, convergence-detected) gets "
+    "right. Oracle = DuckDB recursive-CTE transitive closure — exact "
+    "for any component shape. Each Spark iteration is one join + one "
+    "partial-agg shuffle over (id,label) pairs only; rounds = "
+    "component diameter, small for near-dup clusters at any scale.",
+)
+def q_dedup_keeper_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.operators.dedup import min_label_components
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split("text", " ")
+    n = F.size(w)
+    d = d.filter(n >= 21)
+    a = d.select("doc_id", F.concat_ws(" ", F.slice(w, 6, n - 5)).alias("text"))
+    b = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    c = d.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, 1, n - 5)).alias("text"),
+    )
+    corpus3 = a.unionAll(b).unionAll(c).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    w2 = F.split("text", " ")
+    n2 = F.size(w2)
+    keyed = corpus3.select(
+        "doc_id",
+        F.md5(F.encode(F.concat_ws(" ", F.slice(w2, 1, 10)), "utf-8")).alias("pfx"),
+        F.md5(F.encode(F.concat_ws(" ", F.slice(w2, n2 - 9, 10)), "utf-8")).alias(
+            "sfx"
+        ),
+    )
+    edges = None
+    for key in ("pfx", "sfx"):
+        l = keyed.select(F.col("doc_id").alias("src"), key)
+        r = keyed.select(F.col("doc_id").alias("dst"), key)
+        e = (
+            l.join(r, key)
+            .filter(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+        )
+        edges = e if edges is None else edges.union(e)
+    edges = edges.distinct()
+    labels = min_label_components(
+        edges, vertices=keyed.select(F.col("doc_id")), id_col="doc_id"
+    )
+    return keyed.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("label", "doc_id").alias("keeper_id"),
+        (F.coalesce("label", "doc_id") != F.col("doc_id")).alias("is_duplicate"),
     )

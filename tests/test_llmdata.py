@@ -161,3 +161,32 @@ def test_media_metadata_dead_letters_malformed(spark):
     assert out[2]["decode_ok"] is False
     assert out[2]["format"] is None and out[2]["width"] is None
     assert out[2]["byte_len"] == 19
+
+
+def test_min_label_components_planted_chains(spark):
+    from stockpulse_spark.operators.dedup import min_label_components
+
+    edges = spark.createDataFrame(
+        [(2, 7), (7, 9), (9, 11), (11, 30), (100, 101), (101, 102)],
+        "src long, dst long",
+    )
+    labels = {r["id"]: r["label"] for r in min_label_components(edges).collect()}
+    assert all(labels[v] == 2 for v in (2, 7, 9, 11, 30))
+    assert all(labels[v] == 100 for v in (100, 101, 102))
+
+
+def test_transitive_keeper_chains_elect_one_keeper(spark):
+    """Every planted A-B-C chain must land in ONE component: C (largest
+    id) only touches B, so 1-hop min-id would elect B as its keeper —
+    label propagation must carry A's id across both hops."""
+    from stockpulse_spark.plans import REGISTRY
+
+    out = REGISTRY["dedup_keeper_transitive"].builder(spark, SF_DIR).collect()
+    keeper = {r["doc_id"]: r["keeper_id"] for r in out}
+    dup = {r["doc_id"]: r["is_duplicate"] for r in out}
+    origs = [d for d in keeper if d < 1000000]
+    assert origs
+    for d in origs:
+        assert keeper[d + 1000000] == keeper[d] == keeper[d + 2000000]
+        assert keeper[d] <= d
+        assert dup[d + 1000000] and dup[d + 2000000]
