@@ -43,6 +43,65 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "value_percentiles_approx",
+    # sketch output is implementation-defined (Greenwald-Khanna rank
+    # error, not a fixed formula DuckDB could mirror) — the driver
+    # records the rows/schema-only check; the ACCURACY contract is
+    # asserted in tests/test_approx.py against the exact twin:
+    # every returned value's rank is within n/accuracy of the target.
+    oracle=None,
+    tags=("agg", "percentile", "approx"),
+    doc="the 100 TB percentile path: approx_percentile (Greenwald-"
+    "Khanna sketch, accuracy=10000 → rank error ≤ n/10000). Single "
+    "pass, map-side partial sketches merged per group — no sort, no "
+    "full materialization of the value set, mergeable across "
+    "partitions; the exact `value_percentiles` twin needs the whole "
+    "group's values in one place. Same shape, same grouping, so the "
+    "two stay comparable in tests.",
+)
+def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            *[
+                _r6(F.expr(f"approx_percentile(value, {q}, 10000)")).alias(
+                    f"p{int(q * 100)}"
+                )
+                for q in (0.25, 0.50, 0.75, 0.99)
+            ]
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "distinct_users_approx",
+    # HLL++ register values are implementation-defined; rows/schema-only
+    # driver check + relative-error assertion vs exact countDistinct in
+    # tests/test_approx.py (rsd=0.02, asserted within 5×rsd).
+    oracle=None,
+    tags=("agg", "approx"),
+    doc="the 100 TB distinct-count path: approx_count_distinct "
+    "(HyperLogLog++, rsd=2%). Constant-size mergeable sketch per "
+    "group vs exact COUNT(DISTINCT)'s shuffle of every distinct key — "
+    "at scale the exact form is a full repartition of the key "
+    "universe, the sketch is a few KB per group. Exact twin: "
+    "`distinct_users_by_type`.",
+)
+def q_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _N_CENTROIDS = 16
 _DOTC = "list_reduce(list_transform(range(1, 65), i -> e[i] * c[i]), (x, y) -> x + y)"
 _NORM = "sqrt(list_reduce(list_transform(range(1, 65), i -> {v}[i] * {v}[i]), (x, y) -> x + y))"
