@@ -16,7 +16,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stockpulse_spark.plans.registry import _register
+from stockpulse_spark.plans.registry import _register, _t
 from stockpulse_spark.sources.tables import load_table
 
 
@@ -82,3 +82,65 @@ def q_stream_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "refusing to return a partially populated memory table"
         )
     return spark.table(name)
+
+
+@_register(
+    "stream_dedup_hourly_batch",
+    oracle="""
+    WITH dd AS (
+      SELECT user_id, ts, MIN(value) AS value
+      FROM events GROUP BY user_id, ts
+    ), wm AS (
+      SELECT MAX(ts) - INTERVAL 2 HOUR AS wm FROM dd
+    ), agg AS (
+      SELECT date_trunc('hour', ts) AS bucket_start,
+             user_id,
+             ROUND(arg_min(value, ts), 6) AS open,
+             MAX(value) AS high,
+             MIN(value) AS low,
+             COUNT(*) AS volume
+      FROM dd GROUP BY user_id, date_trunc('hour', ts)
+    )
+    SELECT a.* FROM agg a, wm
+    WHERE a.bucket_start + INTERVAL 1 HOUR <= wm.wm
+    """,
+    tags=("streaming", "agg"),
+    doc="batch twin of stream_dedup_hourly: the SAME closed-window "
+    "result the availableNow stream emits — dedup on (user_id, ts), "
+    "1-hour tumbling OHLC, restricted to windows whose end is at or "
+    "before the final watermark (max event time − 2h). This anchors "
+    "the streaming query's semantics to a DuckDB oracle: the stream "
+    "row set equals this batch row set (asserted exactly in "
+    "tests/test_streaming.py::test_stream_dedup_matches_batch_twin), "
+    "and this query is oracle-checked — so the watermark/append "
+    "semantics are indirectly oracle-verified, not just rows-counted.",
+)
+def q_stream_dedup_hourly_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dd = ev.groupBy("user_id", "ts").agg(F.min("value").alias("value"))
+    wm = dd.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("wm")
+    )
+    agg = (
+        dd.groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            (F.round(F.min_by("value", "ts") * 1e6) / 1e6).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            F.col("w.end").alias("__end"),
+            "user_id",
+            "open",
+            "high",
+            "low",
+            "volume",
+        )
+    )
+    return (
+        agg.join(F.broadcast(wm))
+        .filter(F.col("__end") <= F.col("wm"))
+        .drop("__end", "wm")
+    )

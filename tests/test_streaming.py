@@ -150,3 +150,21 @@ def test_rest_payload_parsing(spark):
     assert out[1]["open"] == pytest.approx(227.31)
     assert out[1]["volume"] == 104271
     assert str(out[1]["timestamp"]) == "2026-08-12 15:55:00"
+
+
+def test_stream_dedup_matches_batch_twin(spark):
+    """The availableNow stream's emitted row set must EXACTLY equal the
+    oracle-checked batch twin (closed windows under the final
+    watermark) — anchoring watermark/append semantics to the DuckDB
+    gate transitively."""
+    from stockpulse_spark.plans import REGISTRY
+    from tests.conftest import SF_DIR
+
+    def rows(name):
+        return {
+            (r["user_id"], r["bucket_start"]): (r["open"], r["high"], r["low"], r["volume"])
+            for r in REGISTRY[name].builder(spark, SF_DIR).collect()
+        }
+
+    stream, batch = rows("stream_dedup_hourly"), rows("stream_dedup_hourly_batch")
+    assert stream and stream == batch
