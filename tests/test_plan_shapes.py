@@ -69,11 +69,13 @@ def test_anti_join_is_hash_not_loop(spark):
 def test_no_python_udfs_in_relational_queries(spark):
     """Python only in the explicitly-kernelized paths: the multimodal
     decode kernels (media_metadata / media_features) and the MACD
-    default, which routes unbounded series through the linear
-    Arrow applyInPandas EMA kernel (the one genuine UDF need, U1);
-    every other relational/indicator/llmdata query stays JVM-side."""
+    unbounded-history path (the one genuine UDF need, U1 — linear
+    Arrow applyInPandas EMA kernel); every other relational/indicator/
+    llmdata query stays JVM-side. Note macd_12_26_9 itself is NOT
+    exempted: its auto-dispatch must pick the JVM fold on this
+    bounded-series data."""
     for name in REGISTRY:
-        if name in ("media_metadata", "media_features", "macd_12_26_9"):
+        if name in ("media_metadata", "media_features", "macd_unbounded_kernel"):
             continue
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, name
@@ -82,18 +84,39 @@ def test_no_python_udfs_in_relational_queries(spark):
         assert "MapInPandas" not in plan, name
 
 
-def test_macd_default_is_linear_kernel(spark):
-    """The MACD path a user copies must survive unbounded history: the
-    default plan is the linear Arrow kernel — one FlatMapGroupsInPandas,
-    and NO collect_list of the full series (the O(n²) per-key fold)."""
+def test_macd_auto_dispatch_bounded_picks_hof(spark):
+    """On bounded series (max ≈ 700 points here) the probe must choose
+    the JVM `aggregate` fold — no Python in the plan."""
     plan = _plan(spark, "macd_12_26_9")
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "collect_list" in plan
+
+
+def test_macd_auto_dispatch_long_series_picks_kernel(spark):
+    """Past HOF_SERIES_BOUND the probe must route to the linear Arrow
+    kernel: no collect_list of the full series (the O(n²) fold) may
+    appear in the plan a long-history user gets."""
+    from pyspark.sql import functions as F
+
+    from stockpulse_spark.functions.ema import HOF_SERIES_BOUND, add_macd_auto
+
+    n = HOF_SERIES_BOUND + 500
+    df = (
+        spark.range(n)
+        .select(
+            F.lit(1).alias("user_id"),
+            F.col("id").alias("seq"),
+            (F.col("id") % 97).cast("double").alias("close"),
+        )
+    )
+    out = add_macd_auto(df, ["user_id"], ["seq"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
     assert "collect_list" not in plan
 
 
-def test_macd_bounded_hof_is_jvm_side(spark):
-    """The bounded-series fast path stays fully JVM-side (HOF fold)."""
-    plan = _plan(spark, "macd_intraday_hof")
-    assert "FlatMapGroupsInPandas" not in plan
-    assert "MapInPandas" not in plan
-    assert "collect_list" in plan
+def test_macd_forced_kernel_is_linear(spark):
+    """The explicit unbounded path always uses the linear kernel."""
+    plan = _plan(spark, "macd_unbounded_kernel")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "collect_list" not in plan
