@@ -68,7 +68,11 @@ def replay_json_stream(
 ) -> DataFrame:
     """File-replay source for flat stream messages (FIXTURES.md F3) —
     one JSON object per line, `timestamp` as wire-format string parsed
-    to TimestampType (reference stocks_pipeline.py:62-78)."""
+    to TimestampType (reference stocks_pipeline.py:62-78).
+
+    For the swappable-binding seam (file / rate / kafka / pubsublite
+    behind one interface) use sources/connectors.py:open_stream, which
+    routes every bus through the same decode_stream_messages contract."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
