@@ -1,0 +1,223 @@
+"""Training-data pipeline operators over `documents` — the steps
+between a cleaned corpus and a tokenizer-ready dataset: chunking,
+sequence packing, deterministic stratified sampling, and rule-based
+quality filtering. All pure Column expressions (whole-stage codegen,
+zero Python in the row path) with exact DuckDB oracles.
+
+Scale notes: chunking is a per-row explode (no shuffle); packing is
+one window per source partition; sampling is stateless hash math at
+scan speed; the filter is a scan-level predicate — every one of these
+runs at 100 TB as a map-side pass except packing's single sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stockpulse_spark.llmdata.hashing import word32_sql
+from stockpulse_spark.plans.registry import _r6, _register, _t
+
+# chunking parameters: 32-word chunks, 8-word overlap → stride 24
+_CHUNK, _STRIDE = 32, 24
+_PACK_BUDGET = 512  # tokens per packed sequence
+
+_NW = "len(string_split(text, ' '))"
+
+
+@_register(
+    "doc_chunking",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, text, {_NW} AS n,
+             unnest(range(1, {_NW} + 1, {_STRIDE})) AS st
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((st - 1) / {_STRIDE} AS INTEGER) AS chunk_idx,
+           CAST(least({_CHUNK}, n - st + 1) AS INTEGER) AS n_tokens,
+           array_to_string((string_split(text, ' '))[st:st + {_CHUNK} - 1], ' ')
+             AS chunk_text
+    FROM ex
+    """,
+    tags=("llmdata", "pipeline"),
+    doc=f"fixed-size document chunking with overlap ({_CHUNK}-word "
+    f"chunks, {_STRIDE}-word stride): sequence() of chunk starts → "
+    "explode → slice. The canonical pre-tokenization step for "
+    "long-document training data. Pure narrow transformation — no "
+    "shuffle at any scale; output rows ≈ input tokens / stride.",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split("text", " ")
+    n = F.size(w)
+    ex = d.select(
+        "doc_id",
+        "text",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(1), n, F.lit(_STRIDE))).alias("st"),
+    )
+    w2 = F.split("text", " ")
+    return ex.select(
+        "doc_id",
+        ((F.col("st") - 1) / _STRIDE).cast("int").alias("chunk_idx"),
+        F.least(F.lit(_CHUNK), F.col("n") - F.col("st") + 1)
+        .cast("int")
+        .alias("n_tokens"),
+        F.concat_ws(" ", F.slice(w2, F.col("st"), F.lit(_CHUNK))).alias(
+            "chunk_text"
+        ),
+    )
+
+
+@_register(
+    "doc_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_NW} AS n_tokens FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(cum_before / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
+           cum_before % {_PACK_BUDGET} AS offset_in_pack
+    FROM c
+    """,
+    tags=("llmdata", "pipeline"),
+    doc=f"greedy sequence packing (concat-then-split at a "
+    f"{_PACK_BUDGET}-token budget): exclusive running token count per "
+    "source stream → pack_id = cum/budget, offset = cum%budget — the "
+    "standard streaming packer that wastes at most one document "
+    "boundary per pack. One window sort per source partition; integer "
+    "arithmetic end-to-end so the oracle is bit-exact. At 100 TB the "
+    "per-source ordering is the only sort, and it shards by source.",
+)
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = toks.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.col("cum_before") / _PACK_BUDGET).alias("pack_id"),
+        (F.col("cum_before") % _PACK_BUDGET).alias("offset_in_pack"),
+    )
+
+
+_SAMPLE_HASH = word32_sql("concat('sample|', CAST(doc_id AS VARCHAR(20)))")
+# per-stratum keep rate in percent: 5..95 derived from the source number
+_RATE = "(10 * (CAST(substr(source, 4, 8) AS INTEGER) % 10) + 5)"
+
+
+@_register(
+    "doc_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST({_RATE} AS INTEGER) AS keep_pct
+    FROM documents
+    WHERE {_SAMPLE_HASH} % 100 < {_RATE}
+    """,
+    tags=("llmdata", "pipeline", "sampling"),
+    doc="deterministic stratified sampling: per-source keep rates "
+    "(5%-95%, derived from the source id) applied via an md5-derived "
+    "32-bit hash of the doc id — reproducible across engines, runs, "
+    "and partitionings, unlike rand()-based sampling. The standard "
+    "way a training mix downweights a crawl and upweights curated "
+    "sources. Stateless scan-speed predicate; no shuffle.",
+)
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    h = F.expr(_SAMPLE_HASH)
+    rate = F.expr(_RATE)
+    return d.filter((h % 100) < rate).select(
+        "doc_id", "source", rate.cast("int").alias("keep_pct")
+    )
+
+
+@_register(
+    "doc_quality_filter",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             {_NW} AS n_words,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains(['the','a','of','and','to','is','in'], w)))
+               AS n_stop,
+             len(list_distinct(string_split(text, ' '))) AS n_unique
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_words,
+             (n_chars - (n_words - 1)) / n_words AS mean_word_len,
+             n_punct / n_chars AS punct_ratio,
+             n_stop / n_words AS stop_ratio,
+             n_unique / n_words AS unique_ratio
+      FROM f
+    )
+    SELECT doc_id,
+           n_words,
+           ROUND(mean_word_len, 6) AS mean_word_len,
+           ROUND(punct_ratio, 6) AS punct_ratio,
+           ROUND(stop_ratio, 6) AS stop_ratio,
+           ROUND(unique_ratio, 6) AS unique_ratio,
+           n_words BETWEEN 10 AND 10000 AS r_len,
+           mean_word_len BETWEEN 2 AND 12 AS r_word_len,
+           stop_ratio >= 0.03 AS r_stop,
+           punct_ratio <= 0.3 AS r_punct,
+           unique_ratio >= 0.3 AS r_unique,
+           (n_words BETWEEN 10 AND 10000)
+             AND (mean_word_len BETWEEN 2 AND 12)
+             AND stop_ratio >= 0.03
+             AND punct_ratio <= 0.3
+             AND unique_ratio >= 0.3 AS passes
+    FROM r
+    """,
+    tags=("llmdata", "pipeline", "quality"),
+    doc="rule-based corpus filtering in the shape of the public "
+    "Gopher/C4 cleaning rules: word-count bounds, mean-word-length "
+    "band, minimum stopword ratio, punctuation cap, uniqueness floor "
+    "— each rule surfaced as its own boolean (so a pipeline can audit "
+    "WHY a document fell out) plus the conjunction. Rule predicates "
+    "evaluate on unrounded doubles identically in both engines; "
+    "displayed ratios rounded. Scan-level predicate at any scale.",
+)
+def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.llmdata.textstats import quality_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    f = quality_features(F.col("text"))
+    r_len = f["n_words"].between(10, 10000)
+    r_word_len = f["mean_word_len"].between(2, 12)
+    r_stop = f["stopword_ratio"] >= 0.03
+    r_punct = f["punct_ratio"] <= 0.3
+    r_unique = f["unique_ratio"] >= 0.3
+    return d.select(
+        "doc_id",
+        f["n_words"].cast("long").alias("n_words"),
+        _r6(f["mean_word_len"]).alias("mean_word_len"),
+        _r6(f["punct_ratio"]).alias("punct_ratio"),
+        _r6(f["stopword_ratio"]).alias("stop_ratio"),
+        _r6(f["unique_ratio"]).alias("unique_ratio"),
+        r_len.alias("r_len"),
+        r_word_len.alias("r_word_len"),
+        r_stop.alias("r_stop"),
+        r_punct.alias("r_punct"),
+        r_unique.alias("r_unique"),
+        (r_len & r_word_len & r_stop & r_punct & r_unique).alias("passes"),
+    )

@@ -1,0 +1,120 @@
+"""Relational-surface fill-outs: rank-family window functions
+(ntile / percent_rank / cume_dist), set operations
+(INTERSECT / EXCEPT), and a FULL OUTER reconciliation join — the
+remaining ANSI surface a reference user would expect to carry over.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stockpulse_spark.plans.registry import _r6, _register, _t
+
+
+@_register(
+    "value_rank_family",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    tags=("window", "rank"),
+    doc="the rank-family window surface in one query: ntile(4) "
+    "quartile assignment, percent_rank, cume_dist, rank, dense_rank "
+    "per event_type ordered by (value, event_id) — the tiebreak makes "
+    "every function deterministic so both engines agree bit-for-bit. "
+    "One hash exchange + one sort per partition at any scale.",
+)
+def q_value_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        _r6(F.percent_rank().over(w)).alias("pct_rank"),
+        _r6(F.cume_dist().over(w)).alias("cume"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@_register(
+    "user_cohort_set_ops",
+    oracle="""
+    WITH w1 AS (
+      SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-08'
+    ), w2 AS (
+      SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-24'
+    )
+    SELECT user_id, 'retained' AS cohort FROM (SELECT * FROM w1 INTERSECT SELECT * FROM w2)
+    UNION ALL
+    SELECT user_id, 'churned' AS cohort FROM (SELECT * FROM w1 EXCEPT SELECT * FROM w2)
+    UNION ALL
+    SELECT user_id, 'new' AS cohort FROM (SELECT * FROM w2 EXCEPT SELECT * FROM w1)
+    """,
+    tags=("setops",),
+    doc="set-operation surface: INTERSECT / EXCEPT cohorting of users "
+    "between the first and last activity week (retained / churned / "
+    "new). Spark plans these as left-semi / left-anti joins over the "
+    "distinct key sets — same hash-join machinery as the key-match "
+    "gates, no sort.",
+)
+def q_user_cohort_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w1 = ev.filter(F.col("ts") < "2024-01-08").select("user_id").distinct()
+    w2 = ev.filter(F.col("ts") >= "2024-01-24").select("user_id").distinct()
+    return (
+        w1.intersect(w2).select("user_id", F.lit("retained").alias("cohort"))
+        .unionAll(w1.exceptAll(w2).distinct().select("user_id", F.lit("churned").alias("cohort")))
+        .unionAll(w2.exceptAll(w1).distinct().select("user_id", F.lit("new").alias("cohort")))
+    )
+
+
+@_register(
+    "daily_order_ship_reconciliation",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderdate AS d, COUNT(*) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS order_value
+      FROM orders GROUP BY o_orderdate
+    ), s AS (
+      SELECT l_shipdate AS d, COUNT(*) AS n_shipments
+      FROM lineitem GROUP BY l_shipdate
+    )
+    SELECT COALESCE(o.d, s.d) AS date,
+           o.n_orders, o.order_value, s.n_shipments,
+           o.d IS NOT NULL AND s.d IS NOT NULL AS both_sides
+    FROM o FULL OUTER JOIN s ON o.d = s.d
+    """,
+    tags=("join", "outer"),
+    doc="FULL OUTER reconciliation: daily order counts/value vs daily "
+    "shipment counts, null-preserving on both unmatched sides with a "
+    "both_sides audit flag — the dataset-diff shape every warehouse "
+    "migration runs. Both inputs pre-aggregate (partial agg map-side) "
+    "before a sort-merge full join on the date key.",
+)
+def q_daily_order_ship_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    o = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.round(F.sum("o_totalprice") * 100) / 100).alias("order_value"),
+    )
+    s = lineitem.groupBy(F.col("l_shipdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_shipments")
+    )
+    oo, ss = o.alias("o"), s.alias("s")
+    return oo.join(ss, F.col("o.d") == F.col("s.d"), "full").select(
+        F.coalesce(F.col("o.d"), F.col("s.d")).alias("date"),
+        "n_orders",
+        "order_value",
+        "n_shipments",
+        (F.col("o.d").isNotNull() & F.col("s.d").isNotNull()).alias("both_sides"),
+    )

@@ -85,6 +85,125 @@ def q_stream_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stream_session_windows",
+    oracle=None,  # stateful session-merge semantics — rows-only check;
+    # oracle-anchored transitively via session_windows_batch (equality
+    # asserted in tests/test_streaming.py)
+    tags=("streaming", "session"),
+    doc="Structured Streaming SESSION windows under a watermark: "
+    "30-min inactivity gap closes a session, 2-hour watermark bounds "
+    "merge state, availableNow → memory sink emits only finalized "
+    "sessions. The streaming form of sessionize_events; its emitted "
+    "row set equals the oracle-checked session_windows_batch twin.",
+)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events")
+    import os
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.round(F.sum("value") * 1e6) / 1e6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sp_ckpt_"))
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_session_windows: availableNow run exceeded 300s"
+        )
+    return spark.table(name)
+
+
+@_register(
+    "session_windows_batch",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ), agg AS (
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             COUNT(*) AS n_events,
+             ROUND(SUM(value), 6) AS total_value
+      FROM sessions GROUP BY user_id, session_id
+    ), wm AS (
+      SELECT MAX(ts) - INTERVAL 2 HOUR AS wm FROM events
+    )
+    SELECT session_start, session_end, user_id, n_events, total_value
+    FROM agg, wm WHERE session_end <= wm.wm
+    """,
+    tags=("streaming", "session"),
+    doc="batch twin of stream_session_windows: native session_window "
+    "in batch mode, restricted to sessions finalized by the final "
+    "watermark (session end = last event + 30-min gap ≤ max event "
+    "time − 2h). Oracle = the lag→cumsum sessionization in exact "
+    "microseconds (same CTE as sessionize_events) + the watermark "
+    "cut. The stream row set equals this query row-for-row "
+    "(tests/test_streaming.py), closing the oracle loop on streaming "
+    "session semantics.",
+)
+def q_session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("wm"))
+    agg = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.round(F.sum("value") * 1e6) / 1e6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+    return (
+        agg.join(F.broadcast(wm))
+        .filter(F.col("session_end") <= F.col("wm"))
+        .drop("wm")
+    )
+
+
+@_register(
     "stream_dedup_hourly_batch",
     oracle="""
     WITH dd AS (

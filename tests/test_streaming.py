@@ -168,3 +168,21 @@ def test_stream_dedup_matches_batch_twin(spark):
 
     stream, batch = rows("stream_dedup_hourly"), rows("stream_dedup_hourly_batch")
     assert stream and stream == batch
+
+
+def test_stream_sessions_match_batch_twin(spark):
+    """Streaming session windows must emit exactly the finalized
+    sessions the oracle-checked batch twin computes."""
+    from stockpulse_spark.plans import REGISTRY
+    from tests.conftest import SF_DIR
+
+    def rows(name):
+        return {
+            (r["user_id"], r["session_start"], r["session_end"]): (
+                r["n_events"], r["total_value"],
+            )
+            for r in REGISTRY[name].builder(spark, SF_DIR).collect()
+        }
+
+    stream, batch = rows("stream_session_windows"), rows("session_windows_batch")
+    assert stream and stream == batch
