@@ -91,6 +91,10 @@ def _r4(c: Column) -> Column:
     return _rN(c, 4)
 
 
+def _r2(c: Column) -> Column:
+    return _rN(c, 2)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 

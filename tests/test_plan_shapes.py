@@ -120,3 +120,31 @@ def test_macd_forced_kernel_is_linear(spark):
     plan = _plan(spark, "macd_unbounded_kernel")
     assert "FlatMapGroupsInPandas" in plan
     assert "collect_list" not in plan
+
+
+def test_doc_chunking_is_narrow(spark):
+    """Chunking is explode+slice only — a shuffle here would be a
+    regression that costs a full repartition of the corpus at scale."""
+    plan = _plan(spark, "doc_chunking")
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_single_exchange(spark):
+    """Packing needs exactly one shuffle: the per-source window sort."""
+    plan = _plan(spark, "doc_pack_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q5_join_tree_broadcasts_dims(spark):
+    plan = _plan(spark, "local_supplier_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cube_is_one_expand_one_shuffle(spark):
+    """CUBE must plan as Expand feeding ONE partial-agg shuffle, not
+    four separate scans."""
+    plan = _plan(spark, "cube_order_stats")
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
