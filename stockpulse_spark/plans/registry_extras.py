@@ -186,6 +186,119 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    ), q AS (
+      SELECT vec_id, e, scale,
+             list_transform(e, x -> CAST(greatest(-127, least(127,
+               floor(x / scale + 0.5))) AS INTEGER)) AS q8
+      FROM s
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           q8,
+           ROUND(list_reduce(list_transform(range(1, 65),
+                   i -> (e[i] - q8[i] * scale) * (e[i] - q8[i] * scale)),
+                 (a, b) -> a + b) / 64.0, 9) AS mse
+    FROM q
+    """,
+    tags=("llmdata", "similarity", "quantization"),
+    doc="int8 symmetric quantization of the embedding column — the "
+    "4× storage/bandwidth reduction every large-scale ANN index "
+    "applies before sharding. Per-vector scale = max|x|/127, "
+    "quantize via floor(x/scale + 0.5) (floor is bit-identical "
+    "across engines where round() tie-breaking is not), clamp to "
+    "[-127,127], and report per-vector reconstruction MSE. Pure "
+    "Column expressions, narrow (no shuffle).",
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    scale = (
+        F.array_max(F.transform(F.col("e"), lambda x: F.abs(x))) / 127.0
+    ).alias("scale")
+    s = emb.select("vec_id", "e", scale)
+    q8 = F.transform(
+        F.col("e"),
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(x / F.col("scale") + 0.5)),
+        ).cast("int"),
+    )
+    q = s.select("vec_id", "e", "scale", q8.alias("q8"))
+    err = F.zip_with(
+        F.col("e"),
+        F.col("q8"),
+        lambda x, qv: (x - qv * F.col("scale")) * (x - qv * F.col("scale")),
+    )
+    mse = F.aggregate(err, F.lit(0.0), lambda a, b: a + b) / 64.0
+    # mse is computed in its own projection: putting it in the same
+    # select as `_r6(scale) AS scale` makes Spark's lateral column
+    # alias resolution bind the lambda's F.col("scale") to the ROUNDED
+    # alias, silently changing the arithmetic (caught by the oracle)
+    m = q.select("vec_id", "scale", "q8", mse.alias("__mse"))
+    return m.select(
+        "vec_id",
+        _r6(F.col("scale")).alias("scale"),
+        "q8",
+        (F.round(F.col("__mse") * 1e9) / 1e9).alias("mse"),
+    )
+
+
+@_register(
+    "corpus_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), stats AS (
+      SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      FROM toks GROUP BY term
+    ), ranked AS (
+      SELECT term, tf, df,
+             ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS rank
+      FROM stats
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, term, tf, df
+    FROM ranked WHERE rank <= 20
+    """,
+    tags=("llmdata", "text", "agg"),
+    doc="corpus heavy hitters: global top-20 terms by frequency with "
+    "document frequency — the vocabulary/contamination audit every "
+    "corpus build runs. Explode → one partial-agg shuffle on term → "
+    "TakeOrdered top-k (no global sort). At 100 TB the exact form "
+    "needs the one term shuffle; the sketch alternative "
+    "(count-min + heap) drops the shuffle at the cost of ±εN error.",
+)
+def q_corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    stats = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    ranked = stats.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("tf").desc(), "term"))
+        .cast("int")
+        .alias("rank"),
+        "term",
+        "tf",
+        "df",
+    )
+    return ranked.filter(F.col("rank") <= 20)
+
+
+@_register(
     "media_features",
     oracle="""
     SELECT doc_id,
