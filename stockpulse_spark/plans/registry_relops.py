@@ -118,3 +118,39 @@ def q_daily_order_ship_reconciliation(spark: SparkSession, sf_dir: str) -> DataF
         "n_shipments",
         (F.col("o.d").isNotNull() & F.col("s.d").isNotNull()).alias("both_sides"),
     )
+
+
+@_register(
+    "rolling_1h_time_window",
+    oracle="""
+    SELECT user_id, ts,
+           COUNT(*) OVER w AS n_events_1h,
+           ROUND(SUM(value) OVER w, 6) AS sum_value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "range-frame"),
+    doc="TIME-based rolling window (trailing 1 hour per user) via a "
+    "RANGE frame over epoch microseconds — the window class row-based "
+    "frames can't express when events are irregularly spaced: each "
+    "row's frame holds however many events fell in its trailing hour. "
+    "Same single hash-exchange + sort as a rows frame; the frame "
+    "bound comparison is integer microseconds so both engines agree "
+    "exactly (sub-second recipe). COUNT is exact; SUM is a running "
+    "segment aggregate in both engines over identical operand sets, "
+    "rounded at 6dp.",
+)
+def q_rolling_1h_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        _r6(F.sum("value").over(w)).alias("sum_value_1h"),
+    )

@@ -168,3 +168,37 @@ def q_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_name")
     )
+
+
+@_register(
+    "small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_cut
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < pa.qty_cut
+    """,
+    tags=("join", "subquery"),
+    doc="TPC-H Q17 shape: correlated scalar-average subquery "
+    "(quantity below 20% of the part's average) decorrelated into a "
+    "pre-aggregated per-part cutoff joined back to the fact — one "
+    "partial-agg shuffle + one equi-join instead of a per-row "
+    "correlated probe. The per-part cutoff table is part-count-sized "
+    "and broadcastable at any scale.",
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    pa = l.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cut")
+    )
+    j = l.join(F.broadcast(pa), "l_partkey").filter(
+        F.col("l_quantity") < F.col("qty_cut")
+    )
+    return j.agg(
+        _r4(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )

@@ -190,3 +190,21 @@ def test_transitive_keeper_chains_elect_one_keeper(spark):
         assert keeper[d + 1000000] == keeper[d] == keeper[d + 2000000]
         assert keeper[d] <= d
         assert dup[d + 1000000] and dup[d + 2000000]
+
+
+def test_doc_chunking_reconstructs_corpus(spark, docs):
+    """Chunks must cover the corpus losslessly: taking each chunk's
+    first `stride` words (the non-overlapping prefix) in chunk order
+    reassembles every document exactly."""
+    from stockpulse_spark.plans import REGISTRY
+    from stockpulse_spark.plans.registry_llmpipe import _STRIDE
+
+    chunks = REGISTRY["doc_chunking"].builder(spark, SF_DIR).collect()
+    by_doc = {}
+    for r in sorted(chunks, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        part = r["chunk_text"].split(" ")[:_STRIDE]
+        by_doc.setdefault(r["doc_id"], []).extend(part)
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(by_doc) == set(orig)
+    for did, words in by_doc.items():
+        assert " ".join(words) == orig[did], f"doc {did} mangled"
