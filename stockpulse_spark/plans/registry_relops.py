@@ -154,3 +154,81 @@ def q_rolling_1h_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_events_1h"),
         _r6(F.sum("value").over(w)).alias("sum_value_1h"),
     )
+
+
+@_register(
+    "props_json_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
+           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER))
+             AS n_distinct_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("json", "agg"),
+    doc="semi-structured column surface: extract a typed field from "
+    "the JSON `props` payload (get_json_object / $.k path) and "
+    "aggregate it per event type — the schema-on-read shape every "
+    "event pipeline needs before promoting a property to a real "
+    "column. JSON parsing stays inside codegen; at scale promote hot "
+    "paths to from_json with an explicit schema so the parse happens "
+    "once per row, not once per extraction.",
+)
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            _r6(F.avg("k")).alias("avg_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "window_offsets",
+    oracle="""
+    SELECT user_id, ts,
+           ROUND(value, 6) AS value,
+           ROUND(lag(value, 1) OVER w, 6) AS prev_value,
+           ROUND(lead(value, 1) OVER w, 6) AS next_value,
+           ROUND(first_value(value) OVER wf, 6) AS first_val,
+           ROUND(last_value(value) OVER wf, 6) AS last_val,
+           ROUND(nth_value(value, 3) OVER wf, 6) AS third_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts),
+           wf AS (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "offset"),
+    doc="offset/navigation window surface: lag, lead, first_value, "
+    "last_value, nth_value per user series with an explicit full-"
+    "partition frame (the default RANGE frame would make last_value "
+    "mean 'current row' — a classic correctness trap both engines "
+    "share). One exchange + one sort serves all six columns.",
+)
+def q_window_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "ts",
+        _r6(F.col("value")).alias("value"),
+        _r6(F.lag("value", 1).over(w)).alias("prev_value"),
+        _r6(F.lead("value", 1).over(w)).alias("next_value"),
+        _r6(F.first("value").over(wf)).alias("first_val"),
+        _r6(F.last("value").over(wf)).alias("last_val"),
+        _r6(F.nth_value("value", 3).over(wf)).alias("third_val"),
+    )
