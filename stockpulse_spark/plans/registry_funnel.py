@@ -197,3 +197,61 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.5)
         .select("vec_id_1", "vec_id_2", _r6(F.col("cosine")).alias("cosine"))
     )
+
+
+@_register(
+    "doc_edit_distance_pairs",
+    oracle=_MUT_CTE
+    + """
+    , keyed AS (
+      SELECT doc_id, text,
+             md5(array_to_string((string_split(text, ' '))[1:10], ' ')) AS pfx
+      FROM corpus
+    ), cand AS (
+      SELECT l.doc_id AS doc_id_1, r.doc_id AS doc_id_2,
+             l.text AS t1, r.text AS t2
+      FROM keyed l JOIN keyed r ON l.pfx = r.pfx AND l.doc_id < r.doc_id
+    )
+    SELECT doc_id_1, doc_id_2,
+           levenshtein(t1, t2) AS edit_dist,
+           ROUND(1.0 - levenshtein(t1, t2)
+                 / CAST(greatest(length(t1), length(t2)) AS DOUBLE), 6)
+             AS edit_sim
+    FROM cand
+    WHERE 1.0 - levenshtein(t1, t2)
+          / CAST(greatest(length(t1), length(t2)) AS DOUBLE) >= 0.5
+    """,
+    tags=("llmdata", "dedup"),
+    doc="character-level edit-distance verification — the dedup-family "
+    "member that catches typo-level mutations token hashing misses. "
+    "Candidates come from cheap prefix-hash blocking (never all "
+    "pairs); levenshtein runs only within blocks and pairs keep "
+    "edit_sim = 1 - dist/max_len ≥ 0.5. Both engines implement "
+    "classic Wagner-Fischer so the integer distances agree exactly. "
+    "At 100 TB the block is an LSH bucket and the O(len²) distance is "
+    "bounded by a length cap before the verify.",
+)
+def q_doc_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _mutated_corpus(spark, sf_dir)
+    pfx = F.md5(
+        F.encode(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 10)), "utf-8")
+    )
+    keyed = corpus.select("doc_id", "text", pfx.alias("pfx"))
+    l = keyed.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("text").alias("t1"), "pfx"
+    )
+    r = keyed.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("text").alias("t2"), "pfx"
+    )
+    cand = l.join(r, "pfx").filter(F.col("doc_id_1") < F.col("doc_id_2"))
+    dist = F.levenshtein("t1", "t2")
+    sim = 1.0 - dist / F.greatest(F.length("t1"), F.length("t2")).cast("double")
+    scored = cand.select(
+        "doc_id_1",
+        "doc_id_2",
+        dist.alias("edit_dist"),
+        sim.alias("__sim"),
+    )
+    return scored.filter(F.col("__sim") >= 0.5).select(
+        "doc_id_1", "doc_id_2", "edit_dist", _r6(F.col("__sim")).alias("edit_sim")
+    )

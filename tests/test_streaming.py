@@ -186,3 +186,80 @@ def test_stream_sessions_match_batch_twin(spark):
 
     stream, batch = rows("stream_session_windows"), rows("session_windows_batch")
     assert stream and stream == batch
+
+
+def test_stream_stream_interval_join(spark):
+    """Stream-stream inner join with watermarks + a time-bound
+    condition (click within 1 hour after view, same user): Spark's
+    interval-join state machine must produce exactly the batch join on
+    the same data."""
+    import os
+    import tempfile
+    import uuid
+
+    from stockpulse_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    load_table(spark, SF_DIR, "events")
+    raw_schema = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).schema
+
+    def stream():
+        s = (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(SF_DIR)
+        )
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s
+
+    views = (
+        stream()
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "2 hours")
+    )
+    clicks = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sp_ckpt_"))
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r["v_user"], r["v_ts"], r["c_ts"]) for r in spark.table(name).collect()
+    }
+
+    ev = load_table(spark, SF_DIR, "events")
+    bviews = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    bclicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    want = {
+        (r["v_user"], r["v_ts"], r["c_ts"])
+        for r in bviews.join(
+            bclicks,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("c_ts") > F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got and got == want
