@@ -178,3 +178,140 @@ def q_williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
         -100.0 * (hh - F.col("close")) / (hh - ll),
     )
     return bars.select("user_id", "bucket_start", _r6(wr).alias("williams_r"))
+
+
+@_register(
+    "mfi14",
+    oracle=_BARS_CTE
+    + f"""
+    , tpf AS (
+      SELECT user_id, bucket_start,
+             (high + low + close) / 3.0 AS tp, volume
+      FROM bars
+    ), mf AS (
+      SELECT user_id, bucket_start, tp,
+             CASE WHEN tp > lag(tp) OVER ({_W}) THEN tp * volume ELSE 0 END AS pos_mf,
+             CASE WHEN tp < lag(tp) OVER ({_W}) THEN tp * volume ELSE 0 END AS neg_mf,
+             lag(tp) OVER ({_W}) AS prev_tp
+      FROM tpf
+    ), s AS (
+      SELECT user_id, bucket_start,
+             SUM(pos_mf) OVER w14 AS sp,
+             SUM(neg_mf) OVER w14 AS sn,
+             COUNT(prev_tp) OVER w14 AS n_chg
+      FROM mf
+      WINDOW w14 AS ({_W} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, bucket_start,
+           ROUND(CASE WHEN n_chg >= 14 AND sp + sn > 0
+                      THEN 100.0 * sp / (sp + sn) END, 6) AS mfi
+    FROM s
+    """,
+    tags=("window", "indicator"),
+    doc="Money Flow Index (14): volume-weighted RSI analogue — "
+    "typical-price money flow split by direction, 14-bar sums, "
+    "MFI = 100·pos/(pos+neg). Strict min_periods (NULL until 14 "
+    "typical-price changes exist) and a zero-flow guard on both "
+    "engines. Same single window exchange as the RSI family.",
+)
+def q_mfi14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _hourly_bars(spark, sf_dir)
+    wb = Window.partitionBy("user_id").orderBy("bucket_start")
+    w14 = wb.rowsBetween(-13, 0)
+    tp = ((F.col("high") + F.col("low") + F.col("close")) / 3.0).alias("tp")
+    tpf = bars.select("user_id", "bucket_start", tp, "volume")
+    prev = F.lag("tp").over(wb)
+    mf = tpf.select(
+        "user_id",
+        "bucket_start",
+        F.when(F.col("tp") > prev, F.col("tp") * F.col("volume"))
+        .otherwise(F.lit(0.0))
+        .alias("pos_mf"),
+        F.when(F.col("tp") < prev, F.col("tp") * F.col("volume"))
+        .otherwise(F.lit(0.0))
+        .alias("neg_mf"),
+        prev.alias("prev_tp"),
+    )
+    s = mf.select(
+        "user_id",
+        "bucket_start",
+        F.sum("pos_mf").over(w14).alias("sp"),
+        F.sum("neg_mf").over(w14).alias("sn"),
+        F.count("prev_tp").over(w14).alias("n_chg"),
+    )
+    mfi = F.when(
+        (F.col("n_chg") >= 14) & (F.col("sp") + F.col("sn") > 0),
+        100.0 * F.col("sp") / (F.col("sp") + F.col("sn")),
+    )
+    return s.select("user_id", "bucket_start", _r6(mfi).alias("mfi"))
+
+
+@_register(
+    "cci20",
+    oracle=_BARS_CTE
+    + f"""
+    , tpf AS (
+      SELECT user_id, bucket_start, (high + low + close) / 3.0 AS tp
+      FROM bars
+    ), w AS (
+      SELECT user_id, bucket_start, tp,
+             CASE WHEN COUNT(tp) OVER w20 >= 20 THEN AVG(tp) OVER w20 END AS sma,
+             list(tp) OVER w20 AS arr
+      FROM tpf
+      WINDOW w20 AS ({_W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), md AS (
+      SELECT user_id, bucket_start, tp, sma,
+             list_reduce(list_transform(arr, x -> abs(x - sma)), (a, b) -> a + b)
+               / 20.0 AS mean_dev
+      FROM w WHERE TRUE
+    )
+    SELECT user_id, bucket_start,
+           ROUND(CASE WHEN sma IS NOT NULL AND mean_dev > 0
+                      THEN (tp - sma) / (0.015 * mean_dev) END, 6) AS cci
+    FROM md
+    """,
+    tags=("window", "indicator"),
+    doc="Commodity Channel Index (20): (tp − SMA20) / (0.015·mean "
+    "deviation). Mean ABSOLUTE deviation around the CURRENT row's SMA "
+    "is not sum-decomposable, so it folds a bounded 20-element window "
+    "array with a JVM HOF (collect_list over the frame + aggregate) — "
+    "the window-array pattern for non-decomposable window statistics; "
+    "per-row state is 20 doubles regardless of history length. Strict "
+    "min_periods; both engines fold the identical frame order.",
+)
+def q_cci20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _hourly_bars(spark, sf_dir)
+    wb = Window.partitionBy("user_id").orderBy("bucket_start")
+    w20 = wb.rowsBetween(-19, 0)
+    tpf = bars.select(
+        "user_id",
+        "bucket_start",
+        ((F.col("high") + F.col("low") + F.col("close")) / 3.0).alias("tp"),
+    )
+    w = tpf.select(
+        "user_id",
+        "bucket_start",
+        "tp",
+        F.when(F.count("tp").over(w20) >= 20, F.avg("tp").over(w20)).alias("sma"),
+        F.collect_list("tp").over(w20).alias("arr"),
+    )
+    # mean deviation folded in its OWN projection (lateral-alias rule)
+    md = w.select(
+        "user_id",
+        "bucket_start",
+        "tp",
+        "sma",
+        (
+            F.aggregate(
+                F.transform(F.col("arr"), lambda x: F.abs(x - F.col("sma"))),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            / 20.0
+        ).alias("mean_dev"),
+    )
+    cci = F.when(
+        F.col("sma").isNotNull() & (F.col("mean_dev") > 0),
+        (F.col("tp") - F.col("sma")) / (0.015 * F.col("mean_dev")),
+    )
+    return md.select("user_id", "bucket_start", _r6(cci).alias("cci"))
