@@ -1,0 +1,180 @@
+"""Scale smoke: replicate sf0.1 Nx with decorrelated keys and measure
+how the headline queries scale.
+
+Usage:  python tools/scale_smoke.py [N]      (default N=10)
+
+Builds a /tmp copy of the testdata where every table is N times
+larger — new key ranges per replica (more users, more documents, more
+orders: the scale-OUT axis a real 100 TB corpus grows along, rather
+than longer per-key series), text rotated per replica so the dedup
+workload stays realistic instead of finding N planted copies of
+everything — then times each headline query on both the original and
+the big copy and prints one JSON line with the time ratios.
+
+A query whose ratio is ~N is linear (scan/shuffle bound); well below N
+means fixed overhead still dominates at this size; well above N means
+something super-linear snuck in — the regression this tool exists to
+catch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from stockpulse_spark.plans import REGISTRY  # noqa: E402
+from stockpulse_spark.session import get_spark  # noqa: E402
+from stockpulse_spark.sources.tables import load_table  # noqa: E402
+
+QUERIES = [
+    "pricing_summary", "revenue_by_nation", "ohlcv_hourly", "ma5_cma",
+    "rsi14", "macd_12_26_9", "doc_text_stats", "doc_minhash_lsh",
+    "embedding_cosine_topk", "indicator_panel", "asof_prev_close",
+]
+
+
+def _rotate_text(col, i: int):
+    """Rotate the word sequence by 7*i positions — same length/vocab
+    statistics, different shingles, so replicas aren't near-dups."""
+    w = F.split(col, " ")
+    n = F.size(w)
+    k = (F.lit(7 * i) % n) + 1
+    return F.when(F.lit(i) == 0, col).otherwise(
+        F.concat_ws(
+            " ", F.concat(F.slice(w, k, n - k + 1), F.slice(w, 1, k - 1))
+        )
+    )
+
+
+def _replicate(df: DataFrame, n: int, exprs) -> DataFrame:
+    parts = [df.select(*exprs(i)) for i in range(n)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def build_big_dir(spark, src: str, n: int) -> str:
+    out = tempfile.mkdtemp(prefix=f"sp_scale{n}x_")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+    ev = load_table(spark, src, "events")
+    _replicate(
+        ev, n,
+        lambda i: [
+            (F.col("event_id") + 10_000_000 * i).alias("event_id"),
+            F.col("ts"),
+            (F.col("user_id") + 10_000 * i).alias("user_id"),
+            "event_type", "value", "props",
+        ],
+    ).write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+
+    docs = load_table(spark, src, "documents")
+    _replicate(
+        docs, n,
+        lambda i: [
+            (F.col("doc_id") + 100_000 * i).alias("doc_id"),
+            _rotate_text(F.col("text"), i).alias("text"),
+            "lang", "source", "n_chars",
+        ],
+    ).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+    emb = load_table(spark, src, "embeddings")
+    _replicate(
+        emb, n,
+        lambda i: [
+            (F.col("vec_id") + 100_000 * i).alias("vec_id"),
+            # reverse every other replica so vectors decorrelate
+            (F.reverse("embedding") if i % 2 else F.col("embedding")).alias(
+                "embedding"
+            ),
+        ],
+    ).write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+
+    li = load_table(spark, src, "lineitem")
+    _replicate(
+        li, n,
+        lambda i: [
+            (F.col("l_orderkey") + 10_000_000 * i).alias("l_orderkey"),
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+            "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+    ).write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+
+    orders = load_table(spark, src, "orders")
+    _replicate(
+        orders, n,
+        lambda i: [
+            (F.col("o_orderkey") + 10_000_000 * i).alias("o_orderkey"),
+            (F.col("o_custkey") + 1_000_000 * i).alias("o_custkey"),
+            "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+        ],
+    ).write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+
+    cust = load_table(spark, src, "customer")
+    _replicate(
+        cust, n,
+        lambda i: [
+            (F.col("c_custkey") + 1_000_000 * i).alias("c_custkey"),
+            "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        ],
+    ).write.mode("overwrite").parquet(os.path.join(out, "customer.parquet"))
+
+    for dim in ("supplier", "part", "nation", "region"):
+        p = os.path.join(src, f"{dim}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).write.mode("overwrite").parquet(
+                os.path.join(out, f"{dim}.parquet")
+            )
+    return out
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    timings = {}
+    for name in QUERIES:
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            REGISTRY[name].builder(spark, sf_dir).collect()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 3)
+        print(f"# {sf_dir.split('/')[-1]} {name}: {best:.3f}s", file=sys.stderr)
+    return timings
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    big = build_big_dir(spark, src, n)
+    base = time_queries(spark, src)
+    scaled = time_queries(spark, big)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_smoke",
+                "replication": n,
+                "base": base,
+                "scaled": scaled,
+                "ratio": {
+                    q: round(scaled[q] / base[q], 2) for q in QUERIES
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
