@@ -330,3 +330,95 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "byte_len",
         F.transform(F.col("feature_vec"), lambda x: _r6(x)).alias("feature_vec"),
     )
+
+
+_CMS_D, _CMS_W = 4, 256
+
+
+def _cms_hash_sql(r: int) -> str:
+    """Bucket of `term` in sketch row r — ONE expression string valid
+    in both dialects (md5-derived, llmdata/hashing.py)."""
+    from stockpulse_spark.llmdata.hashing import word32_sql
+
+    inner = "concat('cms%d|', term)" % r
+    return "(%s %% %d)" % (word32_sql(inner), _CMS_W)
+
+
+@_register(
+    "term_counts_cms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ), pairs AS (
+      {" UNION ALL ".join(
+          f"SELECT term, {r} AS r, {_cms_hash_sql(r)} AS bucket FROM toks"
+          for r in range(_CMS_D)
+      )}
+    ), cms AS (
+      SELECT r, bucket, COUNT(*) AS cnt FROM pairs GROUP BY r, bucket
+    ), true_tf AS (
+      SELECT term, COUNT(*) AS tf FROM toks GROUP BY term
+    ), top AS (
+      SELECT term, tf FROM true_tf ORDER BY tf DESC, term LIMIT 20
+    ), probe AS (
+      {" UNION ALL ".join(
+          f"SELECT term, tf, {r} AS r, {_cms_hash_sql(r)} AS bucket FROM top"
+          for r in range(_CMS_D)
+      )}
+    )
+    SELECT p.term, MAX(p.tf) AS true_tf,
+           MIN(c.cnt) AS cms_estimate,
+           MIN(c.cnt) - MAX(p.tf) AS overestimate
+    FROM probe p JOIN cms c ON p.r = c.r AND p.bucket = c.bucket
+    GROUP BY p.term
+    """,
+    tags=("llmdata", "sketch", "agg"),
+    doc=f"count-min sketch as a pure DataFrame composition: every "
+    f"term hashes into {_CMS_D} rows × {_CMS_W} buckets (md5-derived "
+    "buckets, so the sketch is deterministic and oracle-checkable — "
+    "the reason this novel-sketch demo can sit in the correctness "
+    "gate at all), bucket counts form the sketch in ONE partial-agg "
+    "shuffle of fixed size d·w regardless of corpus size, and the "
+    "top-20 exact terms probe it with estimate = min over rows. "
+    "overestimate ≥ 0 always (CMS guarantee, asserted in "
+    "tests/test_approx.py); at 100 TB the sketch is the "
+    "frequency-query structure you keep when the exact term table "
+    "no longer fits.",
+)
+def q_term_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    toks = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.expr(_cms_hash_sql(r)).alias("bucket"),
+                )
+                for r in range(_CMS_D)
+            ]
+        )
+    ).alias("rb")
+    cms = (
+        toks.select(rb)
+        .groupBy("rb.r", "rb.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    true_tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    top = true_tf.orderBy(F.col("tf").desc(), "term").limit(20)
+    probe = top.select("term", "tf", rb).select(
+        "term", "tf", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket")
+    )
+    return (
+        probe.join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy("term")
+        .agg(
+            F.max("tf").alias("true_tf"),
+            F.min("cnt").alias("cms_estimate"),
+            (F.min("cnt") - F.max("tf")).alias("overestimate"),
+        )
+    )

@@ -57,3 +57,12 @@ def test_approx_count_distinct_relative_error(spark):
         # 5×rsd is a generous envelope (HLL++ error is ~normal with
         # sd=rsd; 5 sigma won't flake)
         assert rel <= 5 * RSD, f"{row['event_type']}: {row['approx_users']} vs {e}"
+
+
+def test_cms_never_underestimates(spark):
+    """Count-min guarantee: estimate >= true count, always."""
+    rows = REGISTRY["term_counts_cms"].builder(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["cms_estimate"] >= r["true_tf"], r
+        assert r["overestimate"] == r["cms_estimate"] - r["true_tf"]
