@@ -315,3 +315,122 @@ def q_cci20(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tp") - F.col("sma")) / (0.015 * F.col("mean_dev")),
     )
     return md.select("user_id", "bucket_start", _r6(cci).alias("cci"))
+
+
+@_register(
+    "adx14",
+    oracle=_BARS_CTE
+    + f"""
+    , d AS (
+      SELECT user_id, bucket_start, close,
+             CASE WHEN (high - lag(high) OVER ({_W})) > (lag(low) OVER ({_W}) - low)
+                   AND (high - lag(high) OVER ({_W})) > 0
+                  THEN high - lag(high) OVER ({_W}) ELSE 0.0 END AS dmp,
+             CASE WHEN (lag(low) OVER ({_W}) - low) > (high - lag(high) OVER ({_W}))
+                   AND (lag(low) OVER ({_W}) - low) > 0
+                  THEN lag(low) OVER ({_W}) - low ELSE 0.0 END AS dmm,
+             greatest(high - low,
+                      abs(high - coalesce(lag(close) OVER ({_W}), close)),
+                      abs(low - coalesce(lag(close) OVER ({_W}), close))) AS tr
+      FROM bars
+    ), sm AS (
+      SELECT user_id, bucket_start, close,
+             {_wilder_reduce('dmp', 14)} AS sdm,
+             {_wilder_reduce('dmm', 14)} AS smm,
+             {_wilder_reduce('tr', 14)} AS strv
+      FROM d
+    ), dx AS (
+      SELECT user_id, bucket_start, close,
+             CASE WHEN strv = 0 THEN 0.0 ELSE 100.0 * sdm / strv END AS di_plus,
+             CASE WHEN strv = 0 THEN 0.0 ELSE 100.0 * smm / strv END AS di_minus
+      FROM sm
+    ), dx2 AS (
+      SELECT user_id, bucket_start, close, di_plus, di_minus,
+             CASE WHEN di_plus + di_minus = 0 THEN 0.0
+                  ELSE 100.0 * abs(di_plus - di_minus) / (di_plus + di_minus)
+             END AS dx
+      FROM dx
+    )
+    SELECT user_id, bucket_start,
+           ROUND(di_plus, 6) AS di_plus,
+           ROUND(di_minus, 6) AS di_minus,
+           ROUND({_wilder_reduce('dx', 14)}, 6) AS adx
+    FROM dx2
+    """,
+    tags=("window", "indicator", "recursive"),
+    doc="ADX(14) — the triple-recursive Wilder indicator: directional "
+    "movements and true range each Wilder-smoothed, DI+/DI- ratios, "
+    "then the DX series Wilder-smoothed AGAIN into ADX. Three "
+    "dependent recursive folds per series, all JVM-side over one "
+    "collected bounded array (the intraday HOF family — hourly bars "
+    "≤ ~10k points/series); zero-denominator guards return 0 (total "
+    "functions keep the chained folds well-defined identically in "
+    "both engines). Oracle chains the same three list_reduce folds.",
+)
+def q_adx14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _hourly_bars(spark, sf_dir)
+    wb = Window.partitionBy("user_id").orderBy("bucket_start")
+    ph, pl, pc = (F.lag(c).over(wb) for c in ("high", "low", "close"))
+    hd = F.col("high") - ph
+    ld = pl - F.col("low")
+    dmp = F.when((hd > ld) & (hd > 0), hd).otherwise(F.lit(0.0))
+    dmm = F.when((ld > hd) & (ld > 0), ld).otherwise(F.lit(0.0))
+    tr = F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - F.coalesce(pc, F.col("close"))),
+        F.abs(F.col("low") - F.coalesce(pc, F.col("close"))),
+    )
+    d = bars.select(
+        "user_id", "bucket_start",
+        dmp.alias("dmp"), dmm.alias("dmm"), tr.alias("tr"),
+    )
+    g = d.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket_start", "dmp", "dmm", "tr"))
+        ).alias("s")
+    )
+
+    def wilder(arr: str, n: int = 14):
+        return F.expr(
+            f"aggregate(slice({arr}, 2, size({arr}) - 1), array({arr}[0]), "
+            f"(acc, x) -> array_append(acc, (element_at(acc, -1) * {n - 1}.0 + x) / {n}.0))"
+        )
+
+    g = (
+        g.withColumn("sdm", wilder("s.dmp"))
+        .withColumn("smm", wilder("s.dmm"))
+        .withColumn("strv", wilder("s.tr"))
+    )
+    di = lambda num: F.zip_with(  # noqa: E731
+        F.col(num), F.col("strv"),
+        lambda a, b: F.when(b == 0, F.lit(0.0)).otherwise(100.0 * a / b),
+    )
+    g = g.withColumn("dip", di("sdm")).withColumn("dim", di("smm"))
+    g = g.withColumn(
+        "dx",
+        F.zip_with(
+            "dip", "dim",
+            lambda p, m: F.when(p + m == 0, F.lit(0.0)).otherwise(
+                100.0 * F.abs(p - m) / (p + m)
+            ),
+        ),
+    )
+    g = g.withColumn("adx", wilder("dx"))
+    z = g.select(
+        "user_id",
+        F.explode(
+            F.arrays_zip(
+                F.col("s").alias("row"),
+                F.col("dip").alias("di_plus"),
+                F.col("dim").alias("di_minus"),
+                F.col("adx").alias("adx"),
+            )
+        ).alias("z"),
+    )
+    return z.select(
+        "user_id",
+        F.col("z.row.bucket_start").alias("bucket_start"),
+        _r6(F.col("z.di_plus")).alias("di_plus"),
+        _r6(F.col("z.di_minus")).alias("di_minus"),
+        _r6(F.col("z.adx")).alias("adx"),
+    )
