@@ -232,3 +232,48 @@ def q_window_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.last("value").over(wf)).alias("last_val"),
         _r6(F.nth_value("value", 3).over(wf)).alias("third_val"),
     )
+
+
+@_register(
+    "salted_event_type_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(value) AS n_values,
+           ROUND(MAX(value), 6) AS max_value,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(SUM(value), 6) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("agg", "skew"),
+    doc="the two-stage SALTED aggregation under the oracle gate: "
+    "event_type has only 5 values, the textbook low-cardinality "
+    "skewed-reducer shape, so operators/skew.py:salted_agg scatters "
+    "each group over 16 sub-keys, partially aggregates, and merges — "
+    "and must produce byte-identical results to the plain GROUP BY "
+    "the oracle runs. Proves the skew mitigation is semantics-"
+    "preserving, not just property-tested: count/min/max are exact "
+    "under any regrouping and the float sum survives 6dp rounding.",
+)
+def q_salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_values": ("count", "value"),
+            "max_value": ("max", "value"),
+            "min_value": ("min", "value"),
+            "total_value": ("sum", "value"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n_values",
+        _r6(F.col("max_value")).alias("max_value"),
+        _r6(F.col("min_value")).alias("min_value"),
+        _r6(F.col("total_value")).alias("total_value"),
+    ).orderBy("event_type")
