@@ -434,3 +434,116 @@ def q_adx14(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("z.di_minus")).alias("di_minus"),
         _r6(F.col("z.adx")).alias("adx"),
     )
+
+
+@_register(
+    "donchian20",
+    oracle=_BARS_CTE
+    + f"""
+    SELECT user_id, bucket_start,
+           ROUND(CASE WHEN COUNT(*) OVER w >= 20 THEN MAX(high) OVER w END, 6)
+             AS dc_upper,
+           ROUND(CASE WHEN COUNT(*) OVER w >= 20 THEN MIN(low) OVER w END, 6)
+             AS dc_lower,
+           ROUND(CASE WHEN COUNT(*) OVER w >= 20
+                      THEN (MAX(high) OVER w + MIN(low) OVER w) / 2.0 END, 6)
+             AS dc_mid
+    FROM bars
+    WINDOW w AS ({_W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "indicator"),
+    doc="Donchian channel (20): rolling extreme-high/extreme-low "
+    "bands and midline, strict min_periods. Pure rolling min/max — "
+    "the cheapest channel indicator, one shared window exchange.",
+)
+def q_donchian20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _hourly_bars(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("bucket_start").rowsBetween(-19, 0)
+    full = F.count(F.lit(1)).over(w) >= 20
+    hi = F.when(full, F.max("high").over(w))
+    lo = F.when(full, F.min("low").over(w))
+    return bars.select(
+        "user_id",
+        "bucket_start",
+        _r6(hi).alias("dc_upper"),
+        _r6(lo).alias("dc_lower"),
+        _r6((hi + lo) / 2.0).alias("dc_mid"),
+    )
+
+
+@_register(
+    "keltner20",
+    oracle=_BARS_CTE
+    + f"""
+    , t AS (
+      SELECT user_id, bucket_start,
+             (high + low + close) / 3.0 AS tp,
+             greatest(high - low,
+                      abs(high - coalesce(lag(close) OVER ({_W}), close)),
+                      abs(low - coalesce(lag(close) OVER ({_W}), close))) AS tr
+      FROM bars
+    ), sm AS (
+      SELECT user_id, bucket_start,
+             list_reduce(list(tp) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW), (acc, e) -> acc * (1.0 - 2.0/21.0) + e * (2.0/21.0))
+               AS mid,
+             {_wilder_reduce('tr', 10)} AS atr10
+      FROM t
+    )
+    SELECT user_id, bucket_start,
+           ROUND(mid, 6) AS kc_mid,
+           ROUND(mid + 2.0 * atr10, 6) AS kc_upper,
+           ROUND(mid - 2.0 * atr10, 6) AS kc_lower
+    FROM sm
+    """,
+    tags=("window", "indicator", "recursive"),
+    doc="Keltner channel (EMA20 of typical price ± 2·Wilder-ATR10): "
+    "composes the two recursive fold families already pinned by MACD "
+    "and Wilder-RSI — one collected bounded array per series, both "
+    "folds JVM-side, one shuffle.",
+)
+def q_keltner20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _hourly_bars(spark, sf_dir)
+    wb = Window.partitionBy("user_id").orderBy("bucket_start")
+    pc = F.lag("close").over(wb)
+    tp = (F.col("high") + F.col("low") + F.col("close")) / 3.0
+    tr = F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - F.coalesce(pc, F.col("close"))),
+        F.abs(F.col("low") - F.coalesce(pc, F.col("close"))),
+    )
+    t = bars.select("user_id", "bucket_start", tp.alias("tp"), tr.alias("tr"))
+    g = t.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("bucket_start", "tp", "tr"))).alias("s")
+    )
+    # constants as Python-double reprs: Spark SQL would parse
+    # `2.0/21.0` as DECIMAL division (truncated scale) while DuckDB's
+    # `/` is double division — the repr'd literals keep both engines
+    # on the identical IEEE constant (same trick as ema.py)
+    a = 2.0 / 21.0
+    ema = F.expr(
+        "aggregate(slice(s.tp, 2, size(s.tp) - 1), array(s.tp[0]), "
+        f"(acc, x) -> array_append(acc, element_at(acc, -1) * {1 - a!r} + x * {a!r}))"
+    )
+    atr = F.expr(
+        "aggregate(slice(s.tr, 2, size(s.tr) - 1), array(s.tr[0]), "
+        "(acc, x) -> array_append(acc, (element_at(acc, -1) * 9.0 + x) / 10.0))"
+    )
+    g = g.withColumn("mid", ema).withColumn("atr10", atr)
+    z = g.select(
+        "user_id",
+        F.explode(
+            F.arrays_zip(
+                F.col("s").alias("row"),
+                F.col("mid").alias("mid"),
+                F.col("atr10").alias("atr10"),
+            )
+        ).alias("z"),
+    )
+    return z.select(
+        "user_id",
+        F.col("z.row.bucket_start").alias("bucket_start"),
+        _r6(F.col("z.mid")).alias("kc_mid"),
+        _r6(F.col("z.mid") + 2.0 * F.col("z.atr10")).alias("kc_upper"),
+        _r6(F.col("z.mid") - 2.0 * F.col("z.atr10")).alias("kc_lower"),
+    )
