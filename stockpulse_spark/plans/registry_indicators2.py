@@ -547,3 +547,68 @@ def q_keltner20(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("z.mid") + 2.0 * F.col("z.atr10")).alias("kc_upper"),
         _r6(F.col("z.mid") - 2.0 * F.col("z.atr10")).alias("kc_lower"),
     )
+
+
+@_register(
+    "ichimoku",
+    oracle=_BARS_CTE
+    + f"""
+    , m AS (
+      SELECT user_id, bucket_start, close,
+             CASE WHEN COUNT(*) OVER w9 >= 9
+                  THEN (MAX(high) OVER w9 + MIN(low) OVER w9) / 2.0 END AS tenkan,
+             CASE WHEN COUNT(*) OVER w26 >= 26
+                  THEN (MAX(high) OVER w26 + MIN(low) OVER w26) / 2.0 END AS kijun,
+             CASE WHEN COUNT(*) OVER w52 >= 52
+                  THEN (MAX(high) OVER w52 + MIN(low) OVER w52) / 2.0 END AS mid52
+      FROM bars
+      WINDOW w9  AS ({_W} ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+             w26 AS ({_W} ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+             w52 AS ({_W} ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, bucket_start,
+           ROUND(tenkan, 6) AS tenkan,
+           ROUND(kijun, 6) AS kijun,
+           ROUND(lag((tenkan + kijun) / 2.0, 26) OVER ({_W}), 6) AS senkou_a,
+           ROUND(lag(mid52, 26) OVER ({_W}), 6) AS senkou_b,
+           ROUND(lead(close, 26) OVER ({_W}), 6) AS chikou
+    FROM m
+    """,
+    tags=("window", "indicator"),
+    doc="Ichimoku overlay: three rolling midlines (9/26/52 bars, "
+    "strict min_periods) plus the time-shifted spans (senkou A/B "
+    "lagged 26 forward in display terms = lag 26 in data terms; "
+    "chikou = close led 26). Three frames + two offsets share ONE "
+    "window exchange and sort — frame variety is free once the "
+    "partitioning is shared.",
+)
+def q_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _hourly_bars(spark, sf_dir)
+    wb = Window.partitionBy("user_id").orderBy("bucket_start")
+
+    def mid(n: int):
+        w = wb.rowsBetween(-(n - 1), 0)
+        return F.when(
+            F.count(F.lit(1)).over(w) >= n,
+            (F.max("high").over(w) + F.min("low").over(w)) / 2.0,
+        )
+
+    m = bars.select(
+        "user_id",
+        "bucket_start",
+        "close",
+        mid(9).alias("tenkan"),
+        mid(26).alias("kijun"),
+        mid(52).alias("mid52"),
+    )
+    return m.select(
+        "user_id",
+        "bucket_start",
+        _r6(F.col("tenkan")).alias("tenkan"),
+        _r6(F.col("kijun")).alias("kijun"),
+        _r6(F.lag((F.col("tenkan") + F.col("kijun")) / 2.0, 26).over(wb)).alias(
+            "senkou_a"
+        ),
+        _r6(F.lag("mid52", 26).over(wb)).alias("senkou_b"),
+        _r6(F.lead("close", 26).over(wb)).alias("chikou"),
+    )
