@@ -612,3 +612,133 @@ def q_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.lag("mid52", 26).over(wb)).alias("senkou_b"),
         _r6(F.lead("close", 26).over(wb)).alias("chikou"),
     )
+
+
+_PSAR_RISE = "least(acc.psar + acc.af * (acc.ep - acc.psar), acc.p1l, acc.p2l)"
+_PSAR_FALL = "greatest(acc.psar + acc.af * (acc.ep - acc.psar), acc.p1h, acc.p2h)"
+_PSAR_INIT = (
+    "named_struct("
+    "'rising', s[1].high + s[1].low >= s[0].high + s[0].low, "
+    "'psar', CAST(CASE WHEN s[1].high + s[1].low >= s[0].high + s[0].low THEN s[0].low ELSE s[0].high END AS DOUBLE), "
+    "'ep', CAST(CASE WHEN s[1].high + s[1].low >= s[0].high + s[0].low THEN s[1].high ELSE s[1].low END AS DOUBLE), "
+    "'af', CAST(0.02 AS DOUBLE), "
+    "'p1h', CAST(s[1].high AS DOUBLE), 'p1l', CAST(s[1].low AS DOUBLE), "
+    "'p2h', CAST(s[0].high AS DOUBLE), 'p2l', CAST(s[0].low AS DOUBLE), "
+    "'arr', array(CAST(NULL AS DOUBLE), "
+    "CAST(CASE WHEN s[1].high + s[1].low >= s[0].high + s[0].low THEN s[0].low ELSE s[0].high END AS DOUBLE)))"
+)
+_PSAR_STEP = f"""named_struct(
+  'rising', CASE WHEN acc.rising THEN NOT (e.low < {_PSAR_RISE}) ELSE (e.high > {_PSAR_FALL}) END,
+  'psar', CASE WHEN acc.rising
+               THEN CASE WHEN e.low < {_PSAR_RISE} THEN acc.ep ELSE {_PSAR_RISE} END
+               ELSE CASE WHEN e.high > {_PSAR_FALL} THEN acc.ep ELSE {_PSAR_FALL} END END,
+  'ep', CASE WHEN acc.rising
+             THEN CASE WHEN e.low < {_PSAR_RISE} THEN CAST(e.low AS DOUBLE)
+                       WHEN e.high > acc.ep THEN CAST(e.high AS DOUBLE) ELSE acc.ep END
+             ELSE CASE WHEN e.high > {_PSAR_FALL} THEN CAST(e.high AS DOUBLE)
+                       WHEN e.low < acc.ep THEN CAST(e.low AS DOUBLE) ELSE acc.ep END END,
+  'af', CASE WHEN acc.rising
+             THEN CASE WHEN e.low < {_PSAR_RISE} THEN CAST(0.02 AS DOUBLE)
+                       WHEN e.high > acc.ep THEN least(acc.af + 0.02, 0.2) ELSE acc.af END
+             ELSE CASE WHEN e.high > {_PSAR_FALL} THEN CAST(0.02 AS DOUBLE)
+                       WHEN e.low < acc.ep THEN least(acc.af + 0.02, 0.2) ELSE acc.af END END,
+  'p1h', CAST(e.high AS DOUBLE), 'p1l', CAST(e.low AS DOUBLE),
+  'p2h', acc.p1h, 'p2l', acc.p1l,
+  'arr', array_append(acc.arr,
+    CASE WHEN acc.rising
+         THEN CASE WHEN e.low < {_PSAR_RISE} THEN acc.ep ELSE {_PSAR_RISE} END
+         ELSE CASE WHEN e.high > {_PSAR_FALL} THEN acc.ep ELSE {_PSAR_FALL} END END))"""
+
+# DuckDB cannot run this as a lambda fold (list_reduce lambdas evaluate
+# CASE branches inconsistently across struct fields — observed engine
+# bug), so the oracle carries the identical state machine as a
+# RECURSIVE CTE: one frontier row per series per step, plain SQL CASE.
+_S_RISE = "least(s.psar + s.af * (s.ep - s.psar), s.p1l, s.p2l)"
+_S_FALL = "greatest(s.psar + s.af * (s.ep - s.psar), s.p1h, s.p2h)"
+_PSAR_ORACLE = f"""
+WITH RECURSIVE bars AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+         max(value) AS high, min(value) AS low
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+), b AS (
+  SELECT user_id, bucket_start, high, low,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY bucket_start) AS INTEGER) AS rn
+  FROM bars
+), step AS (
+  SELECT b2.user_id, b2.rn,
+         b2.high + b2.low >= b1.high + b1.low AS rising,
+         CAST(CASE WHEN b2.high + b2.low >= b1.high + b1.low THEN b1.low ELSE b1.high END AS DOUBLE) AS psar,
+         CAST(CASE WHEN b2.high + b2.low >= b1.high + b1.low THEN b2.high ELSE b2.low END AS DOUBLE) AS ep,
+         CAST(0.02 AS DOUBLE) AS af,
+         CAST(b2.high AS DOUBLE) AS p1h, CAST(b2.low AS DOUBLE) AS p1l,
+         CAST(b1.high AS DOUBLE) AS p2h, CAST(b1.low AS DOUBLE) AS p2l
+  FROM b b1 JOIN b b2 ON b1.user_id = b2.user_id AND b1.rn = 1 AND b2.rn = 2
+  UNION ALL
+  SELECT s.user_id, n.rn,
+         CASE WHEN s.rising THEN NOT (n.low < {_S_RISE}) ELSE (n.high > {_S_FALL}) END,
+         CASE WHEN s.rising
+              THEN CASE WHEN n.low < {_S_RISE} THEN s.ep ELSE {_S_RISE} END
+              ELSE CASE WHEN n.high > {_S_FALL} THEN s.ep ELSE {_S_FALL} END END,
+         CASE WHEN s.rising
+              THEN CASE WHEN n.low < {_S_RISE} THEN CAST(n.low AS DOUBLE)
+                        WHEN n.high > s.ep THEN CAST(n.high AS DOUBLE) ELSE s.ep END
+              ELSE CASE WHEN n.high > {_S_FALL} THEN CAST(n.high AS DOUBLE)
+                        WHEN n.low < s.ep THEN CAST(n.low AS DOUBLE) ELSE s.ep END END,
+         CASE WHEN s.rising
+              THEN CASE WHEN n.low < {_S_RISE} THEN CAST(0.02 AS DOUBLE)
+                        WHEN n.high > s.ep THEN least(s.af + 0.02, 0.2) ELSE s.af END
+              ELSE CASE WHEN n.high > {_S_FALL} THEN CAST(0.02 AS DOUBLE)
+                        WHEN n.low < s.ep THEN least(s.af + 0.02, 0.2) ELSE s.af END END,
+         CAST(n.high AS DOUBLE), CAST(n.low AS DOUBLE), s.p1h, s.p1l
+  FROM step s JOIN b n ON n.user_id = s.user_id AND n.rn = s.rn + 1
+)
+SELECT b.user_id, b.bucket_start, ROUND(step.psar, 6) AS psar
+FROM b LEFT JOIN step ON b.user_id = step.user_id AND b.rn = step.rn
+"""
+
+
+@_register(
+    "psar",
+    oracle=_PSAR_ORACLE,
+    tags=("window", "indicator", "recursive", "iterative"),
+    doc="Parabolic SAR — the PATH-DEPENDENT indicator: a per-series "
+    "state machine (trend direction, extreme point, accelerating "
+    "factor with reset-on-reversal) that no window frame expresses. "
+    "Spark folds the full transition function JVM-side with one "
+    "aggregate() over the bounded per-series array, state = one "
+    "9-field struct. The oracle runs the IDENTICAL state machine as "
+    "a DuckDB recursive CTE (one frontier row per series per step) — "
+    "DuckDB's lambda folds evaluate CASE branches inconsistently "
+    "across struct fields (engine bug found while building this), so "
+    "recursion is the trustworthy formulation there. Exact to 1e-15 "
+    "against an independent Python reference before rounding.",
+)
+def q_psar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _hourly_bars(spark, sf_dir)
+    g = bars.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("bucket_start", "high", "low"))).alias(
+            "s0"
+        )
+    )
+    g = g.withColumn(
+        "s", F.expr("transform(s0, x -> named_struct('high', x.high, 'low', x.low))")
+    )
+    psar_arr = F.when(
+        F.size("s") < 2, F.expr("array(CAST(NULL AS DOUBLE))")
+    ).otherwise(
+        F.expr(
+            f"aggregate(slice(s, 3, size(s) - 2), {_PSAR_INIT}, "
+            f"(acc, e) -> {_PSAR_STEP}).arr"
+        )
+    )
+    z = g.select(
+        "user_id",
+        F.explode(
+            F.arrays_zip(F.col("s0").alias("row"), psar_arr.alias("psar"))
+        ).alias("z"),
+    )
+    return z.select(
+        "user_id",
+        F.col("z.row.bucket_start").alias("bucket_start"),
+        _r6(F.col("z.psar")).alias("psar"),
+    )
