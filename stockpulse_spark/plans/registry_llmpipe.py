@@ -221,3 +221,116 @@ def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_unique.alias("r_unique"),
         (r_len & r_word_len & r_stop & r_punct & r_unique).alias("passes"),
     )
+
+
+@_register(
+    "training_data_pipeline",
+    oracle=f"""
+    WITH passed AS (
+      SELECT doc_id, source, text FROM documents
+      WHERE {_NW} BETWEEN 10 AND 10000
+        AND (length(text) - ({_NW} - 1)) / {_NW} BETWEEN 2 AND 12
+        AND len(list_filter(string_split(text, ' '),
+              w -> list_contains(['the','a','of','and','to','is','in'], w)))
+            / {_NW} >= 0.03
+        AND length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+            / length(text) <= 0.3
+        AND len(list_distinct(string_split(text, ' '))) / {_NW} >= 0.3
+    ), kept AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM passed
+      ) WHERE rn = 1
+    ), sampled AS (
+      SELECT doc_id, source, text FROM kept
+      WHERE {_SAMPLE_HASH} % 100 < {_RATE}
+    ), chunks AS (
+      SELECT doc_id, source,
+             CAST((st - 1) / {_STRIDE} AS INTEGER) AS chunk_idx,
+             CAST(least({_CHUNK}, n - st + 1) AS BIGINT) AS n_tokens
+      FROM (
+        SELECT doc_id, source, text, {_NW} AS n,
+               unnest(range(1, {_NW} + 1, {_STRIDE})) AS st
+        FROM sampled
+      )
+    ), packed AS (
+      SELECT doc_id, source, chunk_idx, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM chunks
+    )
+    SELECT doc_id, source, chunk_idx, n_tokens,
+           CAST(floor(cum_before / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
+           cum_before % {_PACK_BUDGET} AS offset_in_pack
+    FROM packed
+    """,
+    tags=("llmdata", "pipeline", "composition"),
+    doc="the COMPLETE training-data pipeline as ONE declarative plan: "
+    "quality-rule filter (scan-level predicate) → exact dedup keeper "
+    "(one shuffle on the md5 key) → deterministic stratified sample "
+    "(stateless hash predicate) → overlapping chunking (narrow "
+    "explode) → greedy sequence packing (one window per source). "
+    "Catalyst fuses the filter/sample/chunk stages into the scan "
+    "side of the dedup shuffle — five pipeline stages, two shuffles "
+    "total. This is the composition a 100 TB corpus build actually "
+    "runs; every stage is individually oracle-checked above and the "
+    "composition is oracle-checked here.",
+)
+def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.llmdata.textstats import quality_features
+    from stockpulse_spark.operators.dedup import dedup_keep_latest
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    f = quality_features(F.col("text"))
+    passed = d.filter(
+        f["n_words"].between(10, 10000)
+        & f["mean_word_len"].between(2, 12)
+        & (f["stopword_ratio"] >= 0.03)
+        & (f["punct_ratio"] <= 0.3)
+        & (f["unique_ratio"] >= 0.3)
+    )
+    # exact dedup, keeper = smallest doc_id per content hash
+    kept = (
+        dedup_keep_latest(
+            passed.withColumn("__k", F.md5(F.encode("text", "utf-8"))).withColumn(
+                "__neg", -F.col("doc_id")
+            ),
+            keys=["__k"],
+            order_cols=["__neg"],
+        )
+        .drop("__k", "__neg")
+    )
+    sampled = kept.filter((F.expr(_SAMPLE_HASH) % 100) < F.expr(_RATE))
+    w = F.split("text", " ")
+    n = F.size(w)
+    chunks = sampled.select(
+        "doc_id",
+        "source",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(1), n, F.lit(_STRIDE))).alias("st"),
+    ).select(
+        "doc_id",
+        "source",
+        ((F.col("st") - 1) / _STRIDE).cast("int").alias("chunk_idx"),
+        F.least(F.lit(_CHUNK), F.col("n") - F.col("st") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = chunks.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        "chunk_idx",
+        "n_tokens",
+        F.floor(F.col("cum_before") / _PACK_BUDGET).alias("pack_id"),
+        (F.col("cum_before") % _PACK_BUDGET).alias("offset_in_pack"),
+    )
