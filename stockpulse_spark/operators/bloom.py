@@ -1,0 +1,135 @@
+"""Bloom-filter pre-filtered semi-join.
+
+The scale problem: a semi-join where the build side is too large to
+broadcast as a hash relation forces a full shuffle of the (much
+larger) probe side. A Bloom filter of the build keys is hundreds of
+times smaller than the hash relation, so it CAN ship to every task,
+and pre-filtering the probe with it cuts the rows that enter the
+shuffle to roughly the true match count plus the false-positive rate.
+Spark's own runtime bloom filter (`bloom_filter_agg` /
+`might_contain`, SPARK-32268) does exactly this inside AQE, but those
+expressions are not registered for public SQL in this build — this
+operator composes the identical structure from public primitives:
+
+- k hash positions per key via `xxhash64(key, seed)` (JVM codegen, no
+  Python; the seed literal participates in the hash, giving k
+  independent functions),
+- the bitset words built DISTRIBUTED: explode positions -> one
+  map-side-combinable `bit_or` shuffle of at most k·|build| tiny rows,
+  output <= m/64 (word, bits) rows,
+- the words scattered into a dense array on the DRIVER (<= m/64 tiny
+  rows collected — the broadcast-variable pattern) and embedded as a
+  single array<long> LITERAL in the probe filter,
+- the probe filter as `forall(positions, bit_get(...))` — whole-stage
+  codegen, O(k) per row against the shared literal.
+
+Why a literal and not a join: carrying the bitset as a column of a
+broadcast (nested-loop or scalar-subquery) join makes Spark copy the
+full array into EVERY probe row at the join's unsafe-row boundary —
+measured 16 s for 100k rows at m=2^20 vs 0.3 s with the literal, cost
+scaling linearly with m. Scalar subqueries inside higher-order
+functions are rejected by the analyzer, so the literal (built from a
+metadata-sized collect, m/64 longs) is the Spark-native shape; the
+plan-embedding cost is one-time and the per-row cost is flat. This is
+the same materialize-once-then-inline move Spark's own runtime filter
+makes with its subquery result.
+
+False positives are then removed by the exact semi-join that follows,
+so the composed operator is semantically EXACT (Bloom filters have no
+false negatives) — which is why its DuckDB oracle is a plain semi-join.
+
+Reference parity: the reference has no >broadcast-sized joins (its
+warehouse queries join symbol-sized dims, app/database.py), so this is
+part of the 100 TB design surface, not reference surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bloom_build", "bloom_literal", "bloom_semi_join"]
+
+
+def _positions(key: Column, m_bits: int, k: int) -> Column:
+    """k bit positions in [0, m_bits) for a key: independent xxhash64
+    seeds, non-negative mod. m_bits should be a power of two."""
+    return F.array(
+        *[F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(m_bits)) for seed in range(k)]
+    )
+
+
+def bloom_build(
+    build: DataFrame, key: str, m_bits: int = 1 << 18, k: int = 5
+) -> DataFrame:
+    """Sparse bitset words: <= m_bits/64 rows of (widx, word). The only
+    distributed work — one bit_or aggregation, map-side combinable, so
+    the shuffle moves at most m/64 partial words per map task no matter
+    how large the build side is. Null keys are never inserted (SQL
+    join semantics: null never matches)."""
+    return (
+        build.filter(F.col(key).isNotNull())
+        .select(F.explode(_positions(F.col(key), m_bits, k)).alias("pos"))
+        # shiftleft's Python API wants a literal shift amount, so the
+        # column-shift goes through the SQL expression form
+        .select(
+            (F.col("pos") / 64).cast("long").alias("widx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def bloom_literal(words: DataFrame, m_bits: int) -> Column:
+    """Collect the sparse words (metadata-sized: <= m_bits/64 tiny
+    rows) and scatter into a dense array<long> literal for O(1)
+    element_at in the probe. Driver memory: 8·m/64 bytes (128 KB at
+    m=2^20)."""
+    dense = [0] * (m_bits // 64)
+    for r in words.collect():
+        dense[int(r["widx"])] = int(r["word"])
+    # explicit cast: lit() type-infers int32 for small values (e.g. an
+    # all-zero bitset from an empty build), and bit_get range-checks
+    # the shift against the ELEMENT type's width
+    return F.lit(dense).cast("array<bigint>")
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    m_bits: int = 1 << 18,
+    k: int = 5,
+) -> DataFrame:
+    """Exact semi-join with a Bloom pre-filter on the probe side.
+
+    Equivalent to `probe.join(build, probe[pk]==build[bk], "left_semi")`
+    for any inputs; the bloom stage only reduces how many probe rows
+    reach the shuffle. Sizing: false-positive rate is
+    (1 - e^(-k·n/m))^k — the default m=2^18, k=5 gives < 1e-4 for
+    n = 10k build keys; at larger build cardinalities pass a larger
+    m_bits (cost: 8·m/64 bytes in the plan and on the driver, one
+    time). Note the filter is built EAGERLY (the words aggregate runs
+    when this function is called) — same contract as Spark's AQE
+    runtime-filter subquery, which also materializes before the main
+    stage."""
+    lit = bloom_literal(bloom_build(build, build_key, m_bits, k), m_bits)
+    pref = probe.withColumn("__pos", _positions(F.col(probe_key), m_bits, k)).filter(
+        F.forall(
+            F.col("__pos"),
+            lambda pos: (
+                F.bit_get(
+                    F.element_at(lit, (pos / 64).cast("int") + 1),
+                    (pos % 64).cast("int"),
+                )
+                == 1
+            ),
+        )
+    )
+    return pref.drop("__pos").join(
+        build.select(F.col(build_key).alias(probe_key)).distinct(),
+        on=probe_key,
+        how="left_semi",
+    )

@@ -148,3 +148,29 @@ def test_cube_is_one_expand_one_shuffle(spark):
     plan = _plan(spark, "cube_order_stats")
     assert "Expand" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_min_cost_supplier_broadcasts_all_dims(spark):
+    """Q2 shape: the only hash shuffle is the (part, supplier) cost
+    pre-agg + its window top-1; part/supplier/nation/region all
+    broadcast."""
+    plan = _plan(spark, "min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_important_parts_single_fact_scan(spark):
+    """Q11 shape: the fact table is scanned once; the global-scalar
+    cut joins back as a broadcast, never a shuffle join."""
+    plan = _plan(spark, "important_parts")
+    assert plan.count("Scan parquet") <= 3  # lineitem + 2 broadcast dims
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_supplier_revenue_pushes_date_filter(spark):
+    """Q15 shape: the quarter filter reaches the parquet scan and the
+    max-revenue scalar broadcasts back against the revenue view."""
+    plan = _plan(spark, "top_supplier_revenue")
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
