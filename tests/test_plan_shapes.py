@@ -174,3 +174,20 @@ def test_top_supplier_revenue_pushes_date_filter(spark):
     plan = _plan(spark, "top_supplier_revenue")
     assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_grouping_sets_one_expand_one_shuffle(spark):
+    """GROUPING SETS must plan like CUBE: Expand feeding ONE
+    partial-agg shuffle, not one scan per grouping level."""
+    plan = _plan(spark, "grouping_sets_revenue")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_unpivot_is_narrow_expand(spark):
+    """UNPIVOT plans as Expand in the scan's own stage — a melt that
+    shuffled or unioned four scans would be the scale bug."""
+    plan = _plan(spark, "unpivot_ohlc")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
