@@ -169,3 +169,75 @@ def streaming_resample(
         .select(F.col("w.start").alias("bucket_start"), *partition_cols,
                 "open", "high", "low", "close", "volume")
     )
+
+
+def read_upsert_snapshot(spark: SparkSession, snapshot_base: str) -> DataFrame | None:
+    """Latest version of an upsert-sink snapshot, or None before the
+    first commit. Versions are plain `v<batch_id>` parquet dirs; a
+    production deployment swaps this for a transactional table format
+    (Delta/Iceberg) — the sink contract is identical."""
+    import os
+
+    if not os.path.isdir(snapshot_base):
+        return None
+    versions = sorted(
+        d for d in os.listdir(snapshot_base)
+        if d.startswith("v") and os.path.isdir(os.path.join(snapshot_base, d))
+    )
+    if not versions:
+        return None
+    return spark.read.parquet(os.path.join(snapshot_base, versions[-1]))
+
+
+def upsert_sink_writer(snapshot_base: str, keys: list[str], order_by: str):
+    """foreachBatch streaming MERGE: each micro-batch upserts into a
+    versioned snapshot via operators/merge.merge_upsert (newer
+    `order_by` wins). This is the streaming face of the batch MERGE
+    operator — the reference's subscriber achieves the same net state
+    with per-record EXISTS checks plus a periodic dedup rewrite
+    (bigquery_loader.py:264-307, dedup_pipeline.py:114-130); here one
+    declarative reconciliation per batch does it.
+
+    Idempotent under checkpoint replay: the batch collapses to one row
+    per key first, and a replayed batch_id overwrites its own version
+    dir, so at-least-once delivery still yields exactly-once state.
+    """
+    from pyspark.sql import Window
+
+    from stockpulse_spark.operators.merge import merge_upsert
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(*keys).orderBy(F.col(order_by).desc())
+        collapsed = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        cur = read_upsert_snapshot(batch.sparkSession, snapshot_base)
+        if cur is None:
+            merged = collapsed
+        else:
+            merged = merge_upsert(
+                cur.select(*collapsed.columns), collapsed, keys, order_by
+            ).drop("__merge_action").select(*collapsed.columns)
+        merged.write.mode("overwrite").parquet(
+            f"{snapshot_base}/v{batch_id:09d}"
+        )
+
+    return write_batch
+
+
+def start_upsert_sink(
+    df: DataFrame,
+    snapshot_base: str,
+    checkpoint: str,
+    keys: list[str] = ("symbol",),
+    order_by: str = "timestamp",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Wire the streaming MERGE sink with checkpointing."""
+    writer = df.writeStream.foreachBatch(
+        upsert_sink_writer(snapshot_base, list(keys), order_by)
+    ).option("checkpointLocation", checkpoint)
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

@@ -263,3 +263,39 @@ def test_stream_stream_interval_join(spark):
         ).collect()
     }
     assert got and got == want
+
+
+def test_streaming_upsert_sink(spark, stream_dirs):
+    """Streaming MERGE: the snapshot converges to latest-per-key across
+    restarts — updates overwrite, inserts append, untouched keys keep."""
+    from stockpulse_spark.streaming.pipeline import (
+        read_upsert_snapshot,
+        start_upsert_sink,
+    )
+
+    d = stream_dirs
+    snap = str(d["base"] / "snap")
+    _write_file(d["src"], "b0.json", [
+        _bar("2024-01-02 09:30:00", "AAPL", 100.0),
+        _bar("2024-01-02 09:31:00", "AAPL", 100.5),  # same key, newer
+        _bar("2024-01-02 09:30:00", "MSFT", 390.0),
+    ])
+    q = start_upsert_sink(replay_json_stream(spark, d["src"]), snap, d["ckpt"])
+    assert q.awaitTermination(120)
+    got = {r.symbol: r.close for r in read_upsert_snapshot(spark, snap).collect()}
+    assert got == {"AAPL": 100.5, "MSFT": 390.0}
+
+    # restart with an update + an insert; checkpoint skips b0
+    _write_file(d["src"], "b1.json", [
+        _bar("2024-01-02 09:40:00", "AAPL", 101.0),   # update
+        _bar("2024-01-02 09:30:00", "GOOG", 140.0),   # insert
+    ])
+    q2 = start_upsert_sink(replay_json_stream(spark, d["src"]), snap, d["ckpt"])
+    assert q2.awaitTermination(120)
+    final = read_upsert_snapshot(spark, snap)
+    got = {r.symbol: (r.close, str(r.timestamp)) for r in final.collect()}
+    assert got == {
+        "AAPL": (101.0, "2024-01-02 09:40:00"),
+        "MSFT": (390.0, "2024-01-02 09:30:00"),
+        "GOOG": (140.0, "2024-01-02 09:30:00"),
+    }
