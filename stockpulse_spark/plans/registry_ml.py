@@ -210,3 +210,47 @@ def q_doc_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "word_entropy")
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "ohlcv_daily_from_hourly",
+    oracle="""
+    -- the oracle aggregates DIRECTLY from raw events: passing proves
+    -- the hourly->daily reaggregation algebra loses nothing
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           ROUND(arg_min(value, ts), 6) AS open,
+           ROUND(max(value), 6)         AS high,
+           ROUND(min(value), 6)         AS low,
+           ROUND(arg_max(value, ts), 6) AS close,
+           count(*)                     AS volume
+    FROM events
+    GROUP BY user_id, date_trunc('day', ts)
+    ORDER BY user_id, day
+    """,
+    tags=("agg", "resample", "rollup"),
+    doc="Continuous-aggregate rollup reuse: daily OHLCV computed FROM "
+    "THE HOURLY BARS (open = open of first hour via min_by on "
+    "bucket_start, high = max of highs, volume = sum of volumes), "
+    "while the oracle aggregates directly from raw ticks — equality "
+    "proves the reaggregation algebra, which is what lets a "
+    "hypertable serve day/week/month queries from the hourly rollup "
+    "instead of rescanning raw data (the TimescaleDB continuous-"
+    "aggregate pattern). At 100 TB this turns every coarser-grain "
+    "query into a scan of the hourly table: ~3600x fewer rows.",
+)
+def q_ohlcv_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.plans.registry import _hourly_bars
+
+    bars = _hourly_bars(spark, sf_dir)
+    day = F.date_trunc("day", "bucket_start")
+    return (
+        bars.groupBy("user_id", day.alias("day"))
+        .agg(
+            _r6(F.min_by("open", "bucket_start")).alias("open"),
+            _r6(F.max("high")).alias("high"),
+            _r6(F.min("low")).alias("low"),
+            _r6(F.max_by("close", "bucket_start")).alias("close"),
+            F.sum("volume").alias("volume"),
+        )
+        .orderBy("user_id", "day")
+    )
