@@ -42,3 +42,42 @@ def test_merge_schema_mismatch_raises(spark):
     b = spark.createDataFrame([(1, 1, "x")], "k: int, ver: int, v: string")
     with pytest.raises(ValueError, match="schema mismatch"):
         merge_upsert(a, b, keys=["k"], order_by="ver")
+
+
+def test_merge_property_vs_dict_model(spark):
+    """merge_upsert agrees with the obvious dict model (newer-or-tie
+    source wins, unmatched rows pass through) on generated batches."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows = st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 20)),
+        min_size=0, max_size=25,
+    )
+
+    @given(t=rows, s=rows)
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(t, s):
+        # one row per key per side (the operator's target/source contract)
+        tm = {k: v for k, v in t}
+        sm = {k: v for k, v in s}
+        expect = dict(tm)
+        for k, v in sm.items():
+            if k not in expect or v >= expect[k]:
+                expect[k] = v
+        tdf = spark.createDataFrame(
+            list(tm.items()) or [(None, None)], "k: int, ver: int"
+        ).filter("k IS NOT NULL")
+        sdf = spark.createDataFrame(
+            list(sm.items()) or [(None, None)], "k: int, ver: int"
+        ).filter("k IS NOT NULL")
+        got = {
+            r.k: r.ver
+            for r in merge_upsert(tdf, sdf, keys=["k"], order_by="ver").collect()
+        }
+        assert got == expect
+
+    run()

@@ -38,6 +38,10 @@ QUERIES = [
     "pricing_summary", "revenue_by_nation", "ohlcv_hourly", "ma5_cma",
     "rsi14", "macd_12_26_9", "doc_text_stats", "doc_minhash_lsh",
     "embedding_cosine_topk", "indicator_panel", "asof_prev_close",
+    # second round-2 wave: the new shuffle-heavy shapes
+    "bloom_prefilter_semi_join", "orders_merge_upsert",
+    "doc_unigram_logprob", "rolling_corr20", "kmeans_lloyd_2iter",
+    "min_cost_supplier",
 ]
 
 
