@@ -84,8 +84,8 @@ def bloom_build(
 def bloom_literal(words: DataFrame, m_bits: int) -> Column:
     """Collect the sparse words (metadata-sized: <= m_bits/64 tiny
     rows) and scatter into a dense array<long> literal for O(1)
-    element_at in the probe. Driver memory: 8·m/64 bytes (128 KB at
-    m=2^20)."""
+    element_at in the probe. Driver memory: 8·m/64 bytes (32 KB at the
+    default m=2^18, 128 KB at m=2^20)."""
     dense = [0] * (m_bits // 64)
     for r in words.collect():
         dense[int(r["widx"])] = int(r["word"])

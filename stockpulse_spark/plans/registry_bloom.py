@@ -3,7 +3,8 @@
 The 100 TB motivation: `events` is the fact stream; "customers with a
 high balance" is a build side that at production scale is far beyond
 the broadcast threshold, so a naive semi-join shuffles every event row.
-The bloom bitset (128 KB regardless of build cardinality) broadcasts
+The bloom bitset (32 KB at the default m=2^18, independent of build
+cardinality) broadcasts
 instead and drops non-matching events before the shuffle. Semantics
 stay exact (no false negatives + exact residual semi-join), so the
 DuckDB oracle is the plain semi-join aggregate.
