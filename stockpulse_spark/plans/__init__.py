@@ -26,5 +26,9 @@ from stockpulse_spark.plans import registry_relops3  # noqa: F401, E402
 from stockpulse_spark.plans import registry_ml  # noqa: F401, E402
 from stockpulse_spark.plans import registry_analytics3  # noqa: F401, E402
 from stockpulse_spark.plans import registry_tpch3  # noqa: F401, E402
+from stockpulse_spark.plans import registry_tpch4  # noqa: F401, E402
+from stockpulse_spark.plans import registry_corpus2  # noqa: F401, E402
+from stockpulse_spark.plans import registry_mmr  # noqa: F401, E402
+from stockpulse_spark.plans import registry_attrib  # noqa: F401, E402
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql"]

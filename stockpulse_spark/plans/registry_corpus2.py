@@ -1,0 +1,252 @@
+"""Corpus-statistics wave 2: Zipf rank-frequency fit, temperature-
+scaled source sampling weights, and benchmark-decontamination overlap.
+
+Reference parity: these are the curation decisions a training-data
+pipeline makes from corpus statistics — does a source's term
+distribution look natural (Zipf), how hard should each source be
+up/down-sampled (temperature sampling a la multilingual LM training),
+and which train docs collide with the held-out split (n-gram
+decontamination). All pure DataFrame ops; hashing is md5-derived
+(llmdata/hashing.py) so every stage keeps a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stockpulse_spark.llmdata.hashing import hex_to_int_sql
+from stockpulse_spark.plans.registry import _r6, _register, _t
+
+
+@_register(
+    "zipf_slope",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT source, term, COUNT(*) AS freq FROM toks GROUP BY 1, 2
+    ), ranked AS (
+      SELECT source, freq,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY freq DESC, term) AS rnk
+      FROM tf
+    )
+    SELECT source,
+           COUNT(*) AS n_terms,
+           ROUND(regr_slope(ln(freq), ln(rnk)), 6) AS zipf_slope,
+           ROUND(regr_r2(ln(freq), ln(rnk)), 6) AS fit_r2
+    FROM ranked WHERE rnk <= 64
+    GROUP BY source ORDER BY source
+    """,
+    tags=("llmdata", "text", "agg"),
+    doc="Zipf's-law fit per source: OLS slope and R^2 of ln(freq) ~ "
+    "ln(rank) over the top-64 terms. Natural text fits slope ~ -1; a "
+    "flat or cliff-shaped curve marks template spam or boilerplate. "
+    "Slope = covar_pop/var_pop and R^2 = corr^2 as single-pass "
+    "aggregates (Spark's regression moments), matching DuckDB's "
+    "regr_slope/regr_r2 definitions exactly. Rank via one window over "
+    "the (source, term) frequency table — vocabulary-sized, tiny next "
+    "to the token explode that feeds it, which is map-side partial-"
+    "aggregated before its one shuffle.",
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("source", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    tf = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("freq").desc(), F.col("term")
+    )
+    ranked = tf.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 64
+    )
+    x = F.log(F.col("rnk").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            _r6(F.try_divide(F.covar_pop(y, x), F.var_pop(x))).alias(
+                "zipf_slope"
+            ),
+            _r6(F.pow(F.corr(y, x), F.lit(2.0))).alias("fit_r2"),
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
+    "source_sampling_weights",
+    oracle="""
+    WITH per_src AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY source
+    ), raw AS (
+      SELECT source, n_docs, n_tokens,
+             n_tokens * 1.0 / SUM(n_tokens) OVER () AS raw_share
+      FROM per_src
+    ), shares AS (
+      SELECT source, n_docs, n_tokens, raw_share,
+             pow(raw_share, 0.3)
+               / SUM(pow(raw_share, 0.3)) OVER () AS sampled_share
+      FROM raw
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(raw_share, 6) AS raw_share,
+           ROUND(sampled_share, 6) AS sampled_share,
+           ROUND(sampled_share / raw_share, 6) AS oversample_factor
+    FROM shares ORDER BY source
+    """,
+    tags=("llmdata", "sample", "agg"),
+    doc="Temperature-scaled source sampling weights (alpha = 0.3, the "
+    "multilingual-LM recipe): p_i proportional to share_i^alpha, "
+    "renormalised — small sources get oversampled, dominant crawls "
+    "damped. One partial-agg shuffle to per-source token counts, then "
+    "unpartitioned windows over the SOURCE-count-sized frame (tens of "
+    "rows at any data scale — the single-partition window is on "
+    "metadata, not data). oversample_factor > 1 tells the sampler to "
+    "repeat-epoch that source.",
+)
+def q_source_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    raw_df = per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") * 1.0 / F.sum("n_tokens").over(w)).alias(
+            "raw_share"
+        ),
+    )
+    shares = raw_df.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "raw_share",
+        (
+            F.pow("raw_share", 0.3)
+            / F.sum(F.pow("raw_share", 0.3)).over(w)
+        ).alias("sampled_share"),
+    )
+    return shares.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        _r6(F.col("raw_share")).alias("raw_share"),
+        _r6(F.col("sampled_share")).alias("sampled_share"),
+        _r6(F.col("sampled_share") / F.col("raw_share")).alias(
+            "oversample_factor"
+        ),
+    ).orderBy("source")
+
+
+_NGRAM_N = 5
+# DuckDB 5-gram shingles over whitespace words (inclusive slice i..i+4)
+_D_SHINGLES = (
+    "list_transform(range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1), "
+    "i -> array_to_string((string_split(text, ' '))[i:i+4], ' '))"
+)
+
+
+@_register(
+    "decontamination_overlap",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, source, text,
+             {hex_to_int_sql("md5(text)")} % 100 AS bucket
+      FROM documents
+    ), eval_grams AS (
+      SELECT DISTINCT md5(g) AS gh
+      FROM b, unnest({_D_SHINGLES}) AS t(g)
+      WHERE bucket >= 90
+    ), train_grams AS (
+      SELECT DISTINCT doc_id, source, md5(g) AS gh
+      FROM b, unnest({_D_SHINGLES}) AS t(g)
+      WHERE bucket < 90
+    ), hits AS (
+      SELECT t.doc_id, t.source, COUNT(*) AS n_hits
+      FROM train_grams t JOIN eval_grams e ON t.gh = e.gh
+      GROUP BY t.doc_id, t.source
+    )
+    SELECT b.source,
+           COUNT(*) AS n_train_docs,
+           COUNT(h.doc_id) AS n_contaminated,
+           ROUND(COUNT(h.doc_id) * 1.0 / COUNT(*), 6) AS contaminated_pct,
+           COALESCE(SUM(h.n_hits), 0) AS total_gram_hits
+    FROM b LEFT JOIN hits h ON h.doc_id = b.doc_id
+    WHERE b.bucket < 90
+    GROUP BY b.source ORDER BY b.source
+    """,
+    tags=("llmdata", "dedup", "join"),
+    doc="Benchmark decontamination: hash every 5-gram of the held-out "
+    "split (content-md5 bucket >= 90, the same split key as "
+    "doc_train_test_split so dedup can't leak across it), then flag "
+    "train docs sharing any 5-gram hash. The train->eval check is an "
+    "equi-join on 32-byte gram hashes — hash-partitioned, "
+    "sub-quadratic, never all-pairs; per-doc grams are DISTINCT'd "
+    "map-side before the shuffle. At 100 TB the eval gram set is "
+    "still benchmark-sized: broadcast it, or bloom-prefilter "
+    "(operators/bloom.py) before the residual join.",
+)
+def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    words = F.split("text", " ")
+    shingles = F.when(
+        F.size(words) >= _NGRAM_N,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - _NGRAM_N),
+            lambda i: F.array_join(F.slice(words, i + 1, _NGRAM_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    b = d.select(
+        "doc_id",
+        "source",
+        shingles.alias("grams"),
+        (F.expr(hex_to_int_sql("md5(text)")) % 100).alias("bucket"),
+    )
+    eval_grams = (
+        b.filter(F.col("bucket") >= 90)
+        .select(F.explode("grams").alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    train = b.filter(F.col("bucket") < 90)
+    train_grams = train.select(
+        "doc_id", "source", F.explode("grams").alias("g")
+    ).select("doc_id", "source", F.md5("g").alias("gh")).distinct()
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        train.join(F.broadcast(hits), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.count("n_hits").alias("n_contaminated"),
+            _r6(
+                F.count("n_hits") * 1.0 / F.count(F.lit(1))
+            ).alias("contaminated_pct"),
+            F.coalesce(F.sum("n_hits"), F.lit(0)).alias("total_gram_hits"),
+        )
+        .orderBy("source")
+    )

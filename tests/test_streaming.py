@@ -299,3 +299,21 @@ def test_streaming_upsert_sink(spark, stream_dirs):
         "MSFT": (390.0, "2024-01-02 09:30:00"),
         "GOOG": (140.0, "2024-01-02 09:30:00"),
     }
+
+
+def test_stream_attribution_matches_batch_twin(spark):
+    """The registered stream-stream attribution join must emit exactly
+    the oracle-checked batch twin's pairs — inner joins emit all
+    matches, watermarks only bound state, so equality is exact."""
+    from stockpulse_spark.plans import REGISTRY
+    from tests.conftest import SF_DIR
+
+    def rows(name):
+        return {
+            (r["purchase_id"], r["click_id"]): (r["latency_us"], r["purchase_value"])
+            for r in REGISTRY[name].builder(spark, SF_DIR).collect()
+        }
+
+    stream = rows("stream_purchase_attribution")
+    batch = rows("purchase_attribution_batch")
+    assert stream and stream == batch
