@@ -30,5 +30,7 @@ from stockpulse_spark.plans import registry_tpch4  # noqa: F401, E402
 from stockpulse_spark.plans import registry_corpus2  # noqa: F401, E402
 from stockpulse_spark.plans import registry_mmr  # noqa: F401, E402
 from stockpulse_spark.plans import registry_attrib  # noqa: F401, E402
+from stockpulse_spark.plans import registry_seasonal  # noqa: F401, E402
+from stockpulse_spark.plans import registry_curation3  # noqa: F401, E402
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql"]

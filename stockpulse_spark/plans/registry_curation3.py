@@ -1,0 +1,260 @@
+"""Curation wave 3: embedding-space outlier detection, token-budget
+sampling, and week-over-week growth.
+
+Reference parity: embedding_label_outliers is the vector-quality gate
+(mislabeled / out-of-distribution vectors sit far from their label
+centroid); doc_token_budget_sample closes the sampling pipeline opened
+by source_sampling_weights — it materialises the actual per-source doc
+selection under a global token budget; revenue_wow_growth is the
+dashboard's growth tile as one window over a metadata-sized weekly
+rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stockpulse_spark.llmdata.similarity import _as_double, dot, norm
+from stockpulse_spark.plans.registry import _r4, _r6, _register, _t
+from stockpulse_spark.plans.registry_ml import _DIMS, _d_cos
+
+_BUDGET = 10_000  # global token budget for the sample
+
+
+@_register(
+    "embedding_label_outliers",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ), cent AS (
+      SELECT label, list(mu ORDER BY pos) AS c FROM (
+        SELECT v.label, p.pos, ROUND(AVG(v.e[p.pos]), 6) AS mu
+        FROM v, (SELECT unnest(range(1, {_DIMS + 1})) AS pos) p
+        GROUP BY v.label, p.pos
+      ) GROUP BY label
+    ), d AS (
+      SELECT v.vec_id, v.label,
+             1 - {_d_cos('v.e', 'c.c')} AS dist
+      FROM v JOIN cent c USING (label)
+    ), stats AS (
+      SELECT label, COUNT(*) AS n,
+             AVG(dist) AS mu_d, stddev_pop(dist) AS sd_d
+      FROM d GROUP BY label
+    )
+    SELECT s.label, s.n,
+           ROUND(s.mu_d, 6) AS avg_dist,
+           ROUND(s.sd_d, 6) AS sd_dist,
+           SUM(CASE WHEN d.dist > s.mu_d + 2 * s.sd_d
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM d JOIN stats s USING (label)
+    GROUP BY s.label, s.n, s.mu_d, s.sd_d
+    ORDER BY s.label
+    """,
+    tags=("llmdata", "similarity", "agg"),
+    doc="Embedding-space outlier gate: cosine distance of every "
+    "vector to its label centroid (dimension-wise mean, snapped to "
+    "6 dp so both engines feed bit-identical centroids — the kmeans "
+    "recipe), flagging vectors beyond mean + 2 sigma. Centroids are "
+    "LABELS x DIMS rows (KBs at any scale) and broadcast; the "
+    "per-vector distance is a sequential JVM fold; two partial-agg "
+    "shuffles end-to-end. The curation signal that catches "
+    "mislabeled and out-of-distribution vectors before training.",
+)
+def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("e")
+    )
+    cent = (
+        v.select("label", F.posexplode("e").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(_r6(F.avg("val")).alias("mu"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                lambda s: s.getField("mu"),
+            ).alias("c")
+        )
+    )
+    d = (
+        v.join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            "label",
+            (
+                1 - dot(F.col("e"), F.col("c"))
+                / (norm(F.col("e")) * norm(F.col("c")))
+            ).alias("dist"),
+        )
+    )
+    stats = d.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dist").alias("mu_d"),
+        F.stddev_pop("dist").alias("sd_d"),
+    )
+    return (
+        d.join(F.broadcast(stats), "label")
+        .groupBy("label", "n", "mu_d", "sd_d")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dist") > F.col("mu_d") + 2 * F.col("sd_d"), 1
+                ).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .select(
+            "label",
+            "n",
+            _r6(F.col("mu_d")).alias("avg_dist"),
+            _r6(F.col("sd_d")).alias("sd_dist"),
+            "n_outliers",
+        )
+        .orderBy("label")
+    )
+
+
+@_register(
+    "doc_token_budget_sample",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY source
+    ), raw AS (
+      SELECT source, n_tokens,
+             n_tokens * 1.0 / SUM(n_tokens) OVER () AS raw_share
+      FROM per_src
+    ), sh AS (
+      SELECT source,
+             pow(raw_share, 0.3)
+               / SUM(pow(raw_share, 0.3)) OVER () AS sampled_share
+      FROM raw
+    ), quota AS (
+      SELECT source,
+             CAST(floor({_BUDGET} * sampled_share) AS BIGINT) AS quota
+      FROM sh
+    ), cum AS (
+      SELECT source, doc_id,
+             len(string_split(text, ' ')) AS toks,
+             SUM(len(string_split(text, ' '))) OVER (
+               PARTITION BY source ORDER BY md5(text), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctoks
+      FROM documents
+    )
+    SELECT c.source, q.quota,
+           SUM(CASE WHEN c.ctoks <= q.quota THEN 1 ELSE 0 END) AS n_docs_sampled,
+           COALESCE(MAX(CASE WHEN c.ctoks <= q.quota THEN c.ctoks END), 0)
+             AS tokens_sampled,
+           ROUND(COALESCE(MAX(CASE WHEN c.ctoks <= q.quota THEN c.ctoks END), 0)
+                 * 1.0 / q.quota, 6) AS utilization
+    FROM cum c JOIN quota q USING (source)
+    GROUP BY c.source, q.quota
+    ORDER BY c.source
+    """,
+    tags=("llmdata", "sample", "window"),
+    doc=f"Token-budget sampler: split a {_BUDGET}-token global budget "
+    "across sources by the temperature-scaled weights "
+    "(source_sampling_weights, alpha=0.3), then take each source's "
+    "docs in content-md5 priority order until the quota is exhausted "
+    "— a deterministic, resumable sample (same corpus -> same "
+    "sample, no RNG state). One integer cumsum window per source "
+    "partition; quotas are SOURCE-count-sized and broadcast. "
+    "Utilization < 1 shows quantisation loss to the curator.",
+)
+def q_doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    toks = F.size(F.split("text", " "))
+    per_src = d.groupBy("source").agg(F.sum(toks).alias("n_tokens"))
+    w = Window.partitionBy()
+    raw = per_src.select(
+        "source",
+        (F.col("n_tokens") * 1.0 / F.sum("n_tokens").over(w)).alias(
+            "raw_share"
+        ),
+    )
+    sh = raw.select(
+        "source",
+        (
+            F.pow("raw_share", 0.3)
+            / F.sum(F.pow("raw_share", 0.3)).over(w)
+        ).alias("sampled_share"),
+    )
+    quota = sh.select(
+        "source",
+        F.floor(_BUDGET * F.col("sampled_share")).cast("bigint").alias(
+            "quota"
+        ),
+    )
+    wc = (
+        Window.partitionBy("source")
+        .orderBy(F.md5("text"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = d.select(
+        "source", "doc_id", F.sum(toks).over(wc).alias("ctoks")
+    )
+    in_budget = F.when(F.col("ctoks") <= F.col("quota"), F.col("ctoks"))
+    return (
+        cum.join(F.broadcast(quota), "source")
+        .groupBy("source", "quota")
+        .agg(
+            F.sum(
+                F.when(F.col("ctoks") <= F.col("quota"), 1).otherwise(0)
+            ).alias("n_docs_sampled"),
+            F.coalesce(F.max(in_budget), F.lit(0)).alias("tokens_sampled"),
+        )
+        .select(
+            "source",
+            "quota",
+            "n_docs_sampled",
+            "tokens_sampled",
+            _r6(F.col("tokens_sampled") * 1.0 / F.col("quota")).alias(
+                "utilization"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
+    "revenue_wow_growth",
+    oracle="""
+    WITH weekly AS (
+      SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS wk,
+             SUM(o_totalprice) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT wk, ROUND(revenue, 4) AS revenue, n_orders,
+           ROUND((revenue - lag(revenue) OVER (ORDER BY wk))
+                 / lag(revenue) OVER (ORDER BY wk), 6) AS wow_growth
+    FROM weekly ORDER BY wk
+    """,
+    tags=("analytics", "window"),
+    doc="Week-over-week revenue growth: one partial-agg shuffle to "
+    "the weekly rollup (52 rows/year at ANY data scale), then the "
+    "lag window runs single-partition on metadata — the correct "
+    "shape for growth tiles: never window the fact table, window "
+    "the rollup. date_trunc('week') cast to TIMESTAMP on both "
+    "engines (DuckDB returns DATE).",
+)
+def q_revenue_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.date_trunc("week", "o_orderdate").alias("wk")
+    ).agg(
+        F.sum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.partitionBy().orderBy("wk")
+    return weekly.select(
+        "wk",
+        _r4(F.col("revenue")).alias("revenue"),
+        "n_orders",
+        _r6(
+            F.try_divide(
+                F.col("revenue") - F.lag("revenue").over(w),
+                F.lag("revenue").over(w),
+            )
+        ).alias("wow_growth"),
+    ).orderBy("wk")
