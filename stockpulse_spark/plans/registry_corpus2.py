@@ -250,3 +250,100 @@ def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@_register(
+    "corpus_drift_jsd",
+    oracle=f"""
+    WITH b AS (
+      SELECT source, text,
+             {hex_to_int_sql("md5(text)")} % 100 AS bucket
+      FROM documents
+    ), toks AS (
+      SELECT source, bucket < 50 AS half_a,
+             unnest(string_split(text, ' ')) AS term
+      FROM b
+    ), counts AS (
+      SELECT source, term,
+             SUM(CASE WHEN half_a THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN half_a THEN 0 ELSE 1 END) AS cb
+      FROM toks GROUP BY source, term
+    ), tot AS (
+      SELECT source, SUM(ca) AS na, SUM(cb) AS nb,
+             COUNT(*) AS vocab
+      FROM counts GROUP BY source
+    ), pq AS (
+      SELECT c.source, t.vocab,
+             (c.ca + 0.5) / (t.na + 0.5 * t.vocab) AS p,
+             (c.cb + 0.5) / (t.nb + 0.5 * t.vocab) AS q
+      FROM counts c JOIN tot t USING (source)
+    )
+    SELECT source, MAX(vocab) AS vocab_size,
+           ROUND(0.5 * SUM(p * ln(2 * p / (p + q)))
+               + 0.5 * SUM(q * ln(2 * q / (p + q))), 6) AS jsd,
+           ROUND(0.5 * SUM(abs(p - q)), 6) AS tv_distance
+    FROM pq GROUP BY source ORDER BY source
+    """,
+    tags=("llmdata", "text", "agg"),
+    doc="Distribution-drift detector per source: Jensen-Shannon "
+    "divergence and total-variation distance between the unigram "
+    "distributions of two content-md5 halves of each source "
+    "(add-half smoothing over the union vocabulary). Near-zero = "
+    "internally homogeneous source; a spike = mixed registers or an "
+    "ingestion regime change — the check run before declaring two "
+    "crawls 'the same distribution'. One token-explode shuffle to "
+    "(source, term) counts with both halves' counts in ONE row "
+    "(conditional sums, so no self-join), then vocabulary-sized "
+    "arithmetic.",
+)
+def q_corpus_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            "text",
+            (
+                (F.expr(hex_to_int_sql("md5(text)")) % 100) < 50
+            ).alias("half_a"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    toks = d.select(
+        "source", "half_a", F.explode(F.split("text", " ")).alias("term")
+    )
+    counts = toks.groupBy("source", "term").agg(
+        F.sum(F.when(F.col("half_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("half_a"), 0).otherwise(1)).alias("cb"),
+    )
+    tot = counts.groupBy("source").agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    p = (F.col("ca") + 0.5) / (F.col("na") + 0.5 * F.col("vocab"))
+    q = (F.col("cb") + 0.5) / (F.col("nb") + 0.5 * F.col("vocab"))
+    pq = counts.join(F.broadcast(tot), "source").select(
+        "source", "vocab", p.alias("p"), q.alias("q")
+    )
+    return (
+        pq.groupBy("source")
+        .agg(
+            F.max("vocab").alias("vocab_size"),
+            _r6(
+                0.5
+                * F.sum(
+                    F.col("p")
+                    * F.log(2 * F.col("p") / (F.col("p") + F.col("q")))
+                )
+                + 0.5
+                * F.sum(
+                    F.col("q")
+                    * F.log(2 * F.col("q") / (F.col("p") + F.col("q")))
+                )
+            ).alias("jsd"),
+            _r6(0.5 * F.sum(F.abs(F.col("p") - F.col("q")))).alias(
+                "tv_distance"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -191,3 +191,47 @@ def test_unpivot_is_narrow_expand(spark):
     plan = _plan(spark, "unpivot_ohlc")
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_nation_market_share_no_cartesian_single_agg(spark):
+    """Q8 shape: share computed in ONE aggregation pass (conditional
+    sum), dims broadcast, never a cartesian."""
+    plan = _plan(spark, "nation_market_share")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # 8 scans: fact + 6 dims with nation under two roles — the share
+    # is a conditional sum in ONE agg pass, never a second fact scan
+    assert plan.count("Scan parquet") <= 8
+
+
+def test_copurchase_pairs_is_equi_join(spark):
+    """Market-basket self-join must ride the order-key equi-join —
+    an accidental cross join here is the classic quadratic bug."""
+    plan = _plan(spark, "copurchase_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20, never global sort
+
+
+def test_attribution_rides_user_equi_join(spark):
+    """The interval predicate must be a post-condition on a user_id
+    hash join, not a nested-loop range join."""
+    plan = _plan(spark, "purchase_attribution_batch")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sliding_7d_bounded_fanout_shape(spark):
+    """The WAU rewrite must explode AFTER the (user, day) dedup — the
+    explode feeding from an aggregate, never from the raw scan."""
+    plan = _plan(spark, "sliding_7d_active_users")
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_stats_stays_in_codegen(spark):
+    """The Morton interleave must be plain integer expressions inside
+    codegen — no UDF, no python."""
+    plan = _plan(spark, "zorder_clustering_stats")
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan

@@ -42,6 +42,10 @@ QUERIES = [
     "bloom_prefilter_semi_join", "orders_merge_upsert",
     "doc_unigram_logprob", "rolling_corr20", "kmeans_lloyd_2iter",
     "min_cost_supplier",
+    # third round-2 wave: join-breadth, decontamination, attribution
+    "nation_market_share", "decontamination_overlap",
+    "purchase_attribution_batch", "zipf_slope",
+    "embedding_label_outliers",
 ]
 
 
@@ -100,6 +104,7 @@ def build_big_dir(spark, src: str, n: int) -> str:
             (F.reverse("embedding") if i % 2 else F.col("embedding")).alias(
                 "embedding"
             ),
+            "label",
         ],
     ).write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
 
