@@ -252,3 +252,50 @@ def q_embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_r6(F.corr("vi", "vj")).alias("pearson"))
         .orderBy("dim_i", "dim_j")
     )
+
+
+@_register(
+    "hourly_count_autocorr",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             COUNT(*) AS n, ROUND(SUM(value), 6) AS total
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY hr) AS n_prev
+      FROM hc
+    )
+    SELECT event_type,
+           COUNT(*) AS n_hours,
+           ROUND(corr(n, n_prev), 6) AS autocorr_lag1
+    FROM lagged WHERE n_prev IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("analytics", "window", "agg"),
+    doc="Lag-1 autocorrelation of hourly event counts per type — the "
+    "burstiness diagnostic (white-noise arrivals ~0; sustained load "
+    "waves or feedback loops push it up). Counts first (events "
+    "collapse to an HOURS x TYPES table in one partial-agg shuffle), "
+    "then lag + corr run on that metadata-sized rollup — never "
+    "window the raw events for a rollup statistic.",
+)
+def q_hourly_count_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    lagged = hc.select(
+        "event_type",
+        F.col("n").cast("double").alias("n"),
+        F.lag("n").over(w).cast("double").alias("n_prev"),
+    ).filter(F.col("n_prev").isNotNull())
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            _r6(F.corr("n", "n_prev")).alias("autocorr_lag1"),
+        )
+        .orderBy("event_type")
+    )
