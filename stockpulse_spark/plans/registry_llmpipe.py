@@ -334,3 +334,221 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("cum_before") / _PACK_BUDGET).alias("pack_id"),
         (F.col("cum_before") % _PACK_BUDGET).alias("offset_in_pack"),
     )
+
+
+# v2 pipeline: decontamination + temperature-budget sampling stages
+_V2_BUDGET = 5_000  # global token budget for the curated sample
+_V2_SHINGLES = (
+    "list_transform(range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1), "
+    "i -> array_to_string((string_split(text, ' '))[i:i+4], ' '))"
+)
+def _v2_oracle() -> str:
+    from stockpulse_spark.llmdata.hashing import hex_to_int_sql
+
+    bucket = f"{hex_to_int_sql('md5(text)')} % 100"
+    return f"""
+    WITH passed AS (
+      SELECT doc_id, source, text FROM documents
+      WHERE {_NW} BETWEEN 10 AND 10000
+        AND (length(text) - ({_NW} - 1)) / {_NW} BETWEEN 2 AND 12
+        AND len(list_filter(string_split(text, ' '),
+              w -> list_contains(['the','a','of','and','to','is','in'], w)))
+            / {_NW} >= 0.03
+        AND length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+            / length(text) <= 0.3
+        AND len(list_distinct(string_split(text, ' '))) / {_NW} >= 0.3
+    ), kept AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM passed
+      ) WHERE rn = 1
+    ), b AS (
+      SELECT doc_id, source, text, {bucket} AS bucket FROM kept
+    ), eval_grams AS (
+      SELECT DISTINCT md5(g) AS gh
+      FROM b, unnest({_V2_SHINGLES}) AS t(g)
+      WHERE bucket >= 90
+    ), contaminated AS (
+      SELECT DISTINCT tg.doc_id
+      FROM (
+        SELECT doc_id, md5(g) AS gh
+        FROM b, unnest({_V2_SHINGLES}) AS t(g)
+        WHERE bucket < 90
+      ) tg JOIN eval_grams e ON tg.gh = e.gh
+    ), clean AS (
+      SELECT doc_id, source, text FROM b
+      WHERE bucket < 90
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), per_src AS (
+      SELECT source, SUM({_NW}) AS n_tokens FROM clean GROUP BY source
+    ), raw AS (
+      SELECT source,
+             n_tokens * 1.0 / SUM(n_tokens) OVER () AS raw_share
+      FROM per_src
+    ), quota AS (
+      SELECT source,
+             CAST(floor({_V2_BUDGET} * pow(raw_share, 0.3)
+                  / SUM(pow(raw_share, 0.3)) OVER ()) AS BIGINT) AS quota
+      FROM raw
+    ), cum AS (
+      SELECT doc_id, source, text,
+             SUM({_NW}) OVER (PARTITION BY source
+               ORDER BY md5(text), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctoks
+      FROM clean
+    ), sampled AS (
+      SELECT c.doc_id, c.source, c.text
+      FROM cum c JOIN quota q USING (source)
+      WHERE c.ctoks <= q.quota
+    ), chunks AS (
+      SELECT doc_id, source,
+             CAST((st - 1) / {_STRIDE} AS INTEGER) AS chunk_idx,
+             CAST(least({_CHUNK}, n - st + 1) AS BIGINT) AS n_tokens
+      FROM (
+        SELECT doc_id, source, text, {_NW} AS n,
+               unnest(range(1, {_NW} + 1, {_STRIDE})) AS st
+        FROM sampled
+      )
+    ), packed AS (
+      SELECT doc_id, source, chunk_idx, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM chunks
+    )
+    SELECT doc_id, source, chunk_idx, n_tokens,
+           CAST(floor(cum_before / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
+           cum_before % {_PACK_BUDGET} AS offset_in_pack
+    FROM packed
+    """
+
+
+@_register(
+    "training_data_pipeline_v2",
+    oracle=_v2_oracle(),
+    tags=("llmdata", "pipeline", "composition"),
+    doc="the curated training-data pipeline v2, ONE declarative plan "
+    "adding the two curation stages v1 lacks: quality filter -> exact "
+    "dedup -> 5-gram DECONTAMINATION against the content-keyed "
+    "held-out split (gram-hash semi-join, never all-pairs) -> "
+    f"TEMPERATURE-BUDGET sampling ({_V2_BUDGET} tokens split by "
+    "share^0.3 quotas, md5-priority integer cumsum) -> chunking -> "
+    "packing. Catalyst still fuses the narrow stages; the additions "
+    "cost one gram-hash shuffle plus source-sized quota broadcasts. "
+    "Every stage is individually oracle-checked by its standalone "
+    "query (doc_quality_filter, doc_dedup_exact, "
+    "decontamination_overlap, doc_token_budget_sample, doc_chunking, "
+    "doc_pack_sequences); the composition is oracle-checked here.",
+)
+def q_training_data_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.llmdata.hashing import hex_to_int_sql
+    from stockpulse_spark.llmdata.textstats import quality_features
+    from stockpulse_spark.operators.dedup import dedup_keep_latest
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    f = quality_features(F.col("text"))
+    passed = d.filter(
+        f["n_words"].between(10, 10000)
+        & f["mean_word_len"].between(2, 12)
+        & (f["stopword_ratio"] >= 0.03)
+        & (f["punct_ratio"] <= 0.3)
+        & (f["unique_ratio"] >= 0.3)
+    )
+    kept = (
+        dedup_keep_latest(
+            passed.withColumn("__k", F.md5(F.encode("text", "utf-8")))
+            .withColumn("__neg", -F.col("doc_id")),
+            keys=["__k"],
+            order_cols=["__neg"],
+        )
+        .drop("__k", "__neg")
+    )
+    b = kept.withColumn(
+        "bucket", F.expr(hex_to_int_sql("md5(text)")) % 100
+    )
+    words = F.split("text", " ")
+    grams = F.when(
+        F.size(words) >= 5,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 5),
+            lambda i: F.md5(F.array_join(F.slice(words, i + 1, 5), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    eval_grams = (
+        b.filter(F.col("bucket") >= 90)
+        .select(F.explode(grams).alias("gh"))
+        .distinct()
+    )
+    train = b.filter(F.col("bucket") < 90)
+    contaminated = (
+        train.select("doc_id", F.explode(grams).alias("gh"))
+        .join(F.broadcast(eval_grams), "gh")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = train.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "source", "text"
+    )
+    toks = F.size(F.split("text", " "))
+    per_src = clean.groupBy("source").agg(F.sum(toks).alias("n_tokens"))
+    wall = Window.partitionBy()
+    raw = per_src.select(
+        "source",
+        (F.col("n_tokens") * 1.0 / F.sum("n_tokens").over(wall)).alias(
+            "raw_share"
+        ),
+    )
+    quota = raw.select(
+        "source",
+        F.floor(
+            _V2_BUDGET
+            * F.pow("raw_share", 0.3)
+            / F.sum(F.pow("raw_share", 0.3)).over(wall)
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )
+    wc = (
+        Window.partitionBy("source")
+        .orderBy(F.md5("text"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = clean.withColumn("ctoks", F.sum(toks).over(wc))
+    sampled = (
+        cum.join(F.broadcast(quota), "source")
+        .filter(F.col("ctoks") <= F.col("quota"))
+        .select("doc_id", "source", "text")
+    )
+    w = F.split("text", " ")
+    n = F.size(w)
+    chunks = sampled.select(
+        "doc_id",
+        "source",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(1), n, F.lit(_STRIDE))).alias("st"),
+    ).select(
+        "doc_id",
+        "source",
+        ((F.col("st") - 1) / _STRIDE).cast("int").alias("chunk_idx"),
+        F.least(F.lit(_CHUNK), F.col("n") - F.col("st") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = chunks.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        "chunk_idx",
+        "n_tokens",
+        F.floor(F.col("cum_before") / _PACK_BUDGET).alias("pack_id"),
+        (F.col("cum_before") % _PACK_BUDGET).alias("offset_in_pack"),
+    )
