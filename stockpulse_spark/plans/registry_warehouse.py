@@ -226,3 +226,77 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@_register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(floor(arg_max(value, ts) / 50.0) AS INTEGER) AS band
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ), grp AS (
+      SELECT user_id, day, band,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+           - ROW_NUMBER() OVER (PARTITION BY user_id, band ORDER BY day)
+               AS island
+      FROM daily
+    ), dim AS (
+      SELECT user_id, band,
+             MIN(day) AS valid_from, MAX(day) AS valid_to
+      FROM grp GROUP BY user_id, band, island
+    )
+    SELECT d.band,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM events e
+    JOIN dim d ON d.user_id = e.user_id
+     AND CAST(date_trunc('day', e.ts) AS TIMESTAMP)
+         BETWEEN d.valid_from AND d.valid_to
+    GROUP BY d.band ORDER BY d.band
+    """,
+    tags=("join", "scd"),
+    doc="Point-in-time (PIT) join against the SCD2 dimension built by "
+    "value_band_islands: every event matched to the band interval "
+    "effective on its day — the as-of-history lookup that makes "
+    "training features leak-free (joining today's attributes onto "
+    "yesterday's facts is the classic leakage bug). The interval "
+    "predicate rides the user_id equi-join; per-user interval counts "
+    "are bounded (bands change slowly), so fanout is checked, never "
+    "quadratic. Every event lands in EXACTLY one interval by "
+    "construction — asserted as an invariant test.",
+)
+def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.floor(F.max_by("value", "ts") / 50.0).cast("int").alias("band")
+    )
+    wa = Window.partitionBy("user_id").orderBy("day")
+    wb = Window.partitionBy("user_id", "band").orderBy("day")
+    grp = daily.withColumn(
+        "island", F.row_number().over(wa) - F.row_number().over(wb)
+    )
+    dim = grp.groupBy("user_id", "band", "island").agg(
+        F.min("day").alias("valid_from"), F.max("day").alias("valid_to")
+    )
+    e = ev.select(
+        "user_id", "value", F.date_trunc("day", "ts").alias("e_day")
+    )
+    joined = e.join(
+        dim.select("user_id", "band", "valid_from", "valid_to"),
+        on=["user_id"],
+    ).filter(
+        F.col("e_day").between(F.col("valid_from"), F.col("valid_to"))
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            _r4(F.sum("value")).alias("total_value"),
+        )
+        .orderBy("band")
+    )

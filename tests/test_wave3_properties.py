@@ -122,3 +122,16 @@ def test_decontamination_counts_are_consistent(spark):
             assert r["total_gram_hits"] == 0
         else:
             assert r["total_gram_hits"] >= r["n_contaminated"]
+
+
+def test_scd2_pit_join_is_lossless(spark):
+    """Every event must land in exactly one SCD2 interval: the PIT
+    join's total event count equals the raw event count."""
+    import duckdb
+
+    rows = _rows(spark, "scd2_point_in_time_join")
+    total = sum(r["n_events"] for r in rows)
+    raw = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'"
+    ).fetchone()[0]
+    assert total == raw

@@ -46,6 +46,8 @@ QUERIES = [
     "nation_market_share", "decontamination_overlap",
     "purchase_attribution_batch", "zipf_slope",
     "embedding_label_outliers",
+    # capstone composition + session-path shuffle shapes
+    "training_data_pipeline_v2", "session_paths_topk",
 ]
 
 
