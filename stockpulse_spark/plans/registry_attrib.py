@@ -131,6 +131,8 @@ def q_stream_purchase_attribution(
             s = s.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        elif dict(s.dtypes).get("ts") == "timestamp_ntz":
+            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
         return s.withWatermark("ts", "2 hours")
 
     pairs = _attrib_pairs(

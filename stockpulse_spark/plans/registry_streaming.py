@@ -46,6 +46,11 @@ def q_stream_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        # driver sessions with inferTimestampNTZ=true read the tz-less
+        # parquet ts as NTZ, which withWatermark rejects — UTC session
+        # makes this cast value-identical (see sources/tables.normalize_ntz)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     deduped = stream.withWatermark("ts", "2 hours").dropDuplicates(
         ["user_id", "ts"]
     )
@@ -109,6 +114,11 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        # driver sessions with inferTimestampNTZ=true read the tz-less
+        # parquet ts as NTZ, which withWatermark rejects — UTC session
+        # makes this cast value-identical (see sources/tables.normalize_ntz)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))

@@ -1,0 +1,292 @@
+"""TPC-H completion set: the join/agg shapes from the classic suite not
+yet covered by registry_tpch2-4 — Q3 (shipping priority), Q9 (profit by
+nation x year, supplycost adapted to the schema), Q10 (returned-item
+reporting), Q12 (late-shipment priority split), Q14 (promo revenue
+share), Q16 (supplier-count by part attributes).
+
+These are the canonical 100 TB shapes: multi-way fact-dim joins where
+the dims (nation, supplier, part) broadcast or AQE-resolve, the fact
+tables shuffle once on the group key, and every filter reaches the
+parquet scan. The reference's dashboard never runs these, but its
+warehouse (BigQuery) serves exactly this query class; parity here is
+what makes the engine a drop-in warehouse, not just a dashboard
+backend (reference app/dashboard.py:33-46 hand-writes its SQL against
+the same star schema)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stockpulse_spark.plans.registry import _r4, _r6, _register, _t
+
+
+@_register(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+      AND l.l_shipdate > TIMESTAMP '1999-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "tpch"),
+    doc="TPC-H Q3 shape: 3-way fact join with per-side pushed filters, "
+    "group on the order key, global top-10 by revenue (TakeOrderedAndProject "
+    "— no full sort). Deterministic tie-break on (o_orderdate, l_orderkey).",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "returned_item_report",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           ROUND(c.c_acctbal, 4) AS c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1999-01-01'
+      AND o.o_orderdate < TIMESTAMP '1999-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "tpch"),
+    doc="TPC-H Q10 shape: returned-revenue per customer over a half-year "
+    "window — lineitem filters on returnflag at the scan, nation "
+    "broadcasts, one shuffle on the customer group key, top-20.",
+)
+def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            _r4(F.col("c_acctbal")).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "profit_by_nation_year",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.6 * p.p_retailprice * l.l_quantity), 4) AS profit
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+    ORDER BY nation, o_year
+    """,
+    tags=("join", "tpch"),
+    doc="TPC-H Q9 shape (supplycost adapted: 0.6 x p_retailprice stands "
+    "in for ps_supplycost — the schema has no partsupp table): 5-way "
+    "star join, profit rollup by supplier nation x order year. part/"
+    "supplier/nation resolve to broadcasts under AQE at this SF; at "
+    "100 TB part becomes a shuffle join on l_partkey while nation "
+    "stays broadcast — the plan degrades gracefully per-dim.",
+)
+def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(_r4(F.sum(profit)).alias("profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+@_register(
+    "late_shipment_priority",
+    oracle="""
+    SELECT
+      CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+           THEN 'late' ELSE 'ontime' END AS ship_status,
+      SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS high_line_count,
+      SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("join", "tpch"),
+    doc="TPC-H Q12 shape (shipmode adapted: the schema has no "
+    "l_shipmode, so the split key is ship latency vs a 60-day SLA): "
+    "conditional-sum pivot over a fact-fact join; both CASE branches "
+    "evaluate in one pass, map-side partial agg makes the shuffle two "
+    "rows per partition regardless of input size.",
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                F.lit("late"),
+            )
+            .otherwise(F.lit("ontime"))
+            .alias("ship_status"),
+            F.when(high, 1).otherwise(0).alias("__hi"),
+            F.when(~high, 1).otherwise(0).alias("__lo"),
+        )
+        .groupBy("ship_status")
+        .agg(
+            F.sum("__hi").alias("high_line_count"),
+            F.sum("__lo").alias("low_line_count"),
+        )
+        .orderBy("ship_status")
+    )
+
+
+@_register(
+    "promo_revenue_monthly",
+    oracle="""
+    SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS month,
+           ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("join", "tpch"),
+    doc="TPC-H Q14 shape, widened from one month to a monthly series: "
+    "promo revenue share via conditional aggregation over a "
+    "fact-dim join. The part dim carries only (p_partkey, p_type) "
+    "through the join — column pruning keeps the build side minimal.",
+)
+def q_promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.trunc("l_shipdate", "month").alias("month"))
+        .agg(
+            _r6(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev)
+            ).alias("promo_pct"),
+            _r4(F.sum(rev)).alias("total_revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+@_register(
+    "supplier_count_by_part",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 10, 20, 30, 40, 49)
+      AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("join", "tpch", "subquery"),
+    doc="TPC-H Q16 shape (partsupp adapted to observed lineitem pairs; "
+    "negative s_acctbal stands in for the complaints filter): NOT IN "
+    "decorrelated to a broadcast left-anti join, then COUNT(DISTINCT) "
+    "per part attribute — Spark expands the distinct into a two-level "
+    "agg, so the first shuffle dedups (group, suppkey) pairs with "
+    "map-side combine before counting.",
+)
+def q_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 10, 20, 30, 40, 49)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p.select("p_partkey", "p_brand", "p_type", "p_size"),
+              li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )

@@ -37,6 +37,23 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     return tuple(f.name for f in schema if str(f.type) == "timestamp[ns]")
 
 
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-TZ TIMESTAMP.
+
+    The testdata parquet stores tz-less microsecond timestamps; with
+    `spark.sql.parquet.inferTimestampNTZ.enabled=true` (a default the
+    driver's session may carry) Spark reads them as TIMESTAMP_NTZ,
+    which `unix_micros`, `withWatermark`, and window() reject or treat
+    differently. Under a UTC-pinned session the cast is value-identical,
+    so normalizing at the load boundary keeps every downstream operator
+    (and the DuckDB oracle comparison) agnostic to the reader config.
+    """
+    ntz = [name for name, dt in df.dtypes if dt == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata parquet table.
 
@@ -51,13 +68,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # date-derivation (to_date/hour/date_trunc) must agree with the
     # DuckDB oracle's naive-timestamp semantics regardless of host TZ.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Tz-less parquet timestamps must land as TIMESTAMP (not NTZ) —
+    # see normalize_ntz. Belt (reader conf) and suspenders (post-cast).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     nanos = _nanos_ts_columns(path)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return normalize_ntz(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -65,7 +85,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = load_table(spark, sf_dir, name)
     return out
 
 
