@@ -1,0 +1,192 @@
+"""kNN classification over the embedding corpus and Heikin-Ashi
+smoothed candles — two operators the reference's stack (pandas
+indicator stage + a vector-less warehouse) cannot express at scale.
+
+`embedding_knn_classify` composes the exact cosine top-k primitive
+(llmdata/similarity.cosine_topk — broadcast queries, JVM fold, no
+Python) with a majority vote; it is the standard label-propagation /
+weak-supervision step in a training-data pipeline (label the unlabeled
+split from its nearest labeled neighbors).
+
+`heikin_ashi_daily` is a genuinely recursive series transform
+(ha_open[t] depends on ha_open[t-1]) — the same class as EMA, so the
+Spark side uses the linear per-series pandas kernel (one pass, Arrow
+batched; the pattern functions/ema.py:93 established) while the
+DuckDB oracle folds the closed form with list_reduce at oracle scale."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from stockpulse_spark.llmdata.similarity import cosine_topk
+from stockpulse_spark.plans.registry import _r6, _register, _t
+from stockpulse_spark.plans.registry_llmdata import _DOT_DUCK, _NORM_DUCK
+from stockpulse_spark.plans.registry_risk import _DAILY_CTE, _daily_bars
+
+
+@_register(
+    "embedding_knn_classify",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, label AS true_label, e AS qv
+      FROM v WHERE vec_id % 25 = 0
+    ), c AS (
+      SELECT vec_id AS neighbor_id, label, e AS cv FROM v
+    ), scored AS (
+      SELECT query_id, true_label, neighbor_id, label,
+             {_DOT_DUCK} / ({_NORM_DUCK.format(v='qv')}
+                            * {_NORM_DUCK.format(v='cv')}) AS cosine
+      FROM q, c WHERE query_id != neighbor_id
+    ), ranked AS (
+      SELECT query_id, true_label, label, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ), votes AS (
+      SELECT query_id, true_label, label, COUNT(*) AS n_votes
+      FROM ranked WHERE rank <= 10
+      GROUP BY query_id, true_label, label
+    ), best AS (
+      SELECT query_id, true_label, label AS predicted_label, n_votes,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY n_votes DESC, label) AS vr
+      FROM votes
+    )
+    SELECT query_id, true_label, predicted_label, n_votes
+    FROM best WHERE vr = 1 ORDER BY query_id
+    """,
+    tags=("llmdata", "similarity", "ml"),
+    doc="10-NN majority-vote label assignment per query vector (ties "
+    "break to the smallest label): exact cosine top-k (broadcast "
+    "query side, JVM fold) -> per-query vote count -> argmax. The "
+    "weak-labeling step of a curation pipeline; at 100 TB swap the "
+    "exact top-k for the SRP/IVF ANN variants registered alongside.",
+)
+def q_embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    nn = cosine_topk(queries, emb, k=10)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label")
+    )
+    true = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+    )
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    from pyspark.sql import Window
+
+    vr = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.desc("n_votes"), F.col("label")
+        )
+    )
+    return (
+        votes.withColumn("vr", vr)
+        .filter(F.col("vr") == 1)
+        .join(F.broadcast(true), "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("predicted_label"),
+            "n_votes",
+        )
+        .orderBy("query_id")
+    )
+
+
+_HA_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("date", T.DateType()),
+        T.StructField("ha_open", T.DoubleType()),
+        T.StructField("ha_high", T.DoubleType()),
+        T.StructField("ha_low", T.DoubleType()),
+        T.StructField("ha_close", T.DoubleType()),
+    ]
+)
+
+
+def _ha_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("date").reset_index(drop=True)
+    ha_close = (pdf["open"] + pdf["high"] + pdf["low"] + pdf["close"]) / 4.0
+    ha_open = ha_close.copy()
+    prev_open = (pdf["open"].iloc[0] + pdf["close"].iloc[0]) / 2.0
+    for i in range(len(pdf)):
+        ha_open.iloc[i] = prev_open
+        prev_open = (prev_open + ha_close.iloc[i]) / 2.0
+    out = pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "date": pdf["date"],
+            "ha_open": ha_open,
+            "ha_high": pd.concat(
+                [pdf["high"], ha_open, ha_close], axis=1
+            ).max(axis=1),
+            "ha_low": pd.concat(
+                [pdf["low"], ha_open, ha_close], axis=1
+            ).min(axis=1),
+            "ha_close": ha_close,
+        }
+    )
+    return out
+
+
+@_register(
+    "heikin_ashi_daily",
+    oracle=_DAILY_CTE
+    + """
+    , hc AS (
+      SELECT user_id, date, open, high, low,
+             (open + high + low + close) / 4.0 AS ha_close,
+             first_value((open + close) / 2.0) OVER w0 AS seed,
+             list(((open + high + low + close) / 4.0)) OVER (
+               PARTITION BY user_id ORDER BY date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prior_hc
+      FROM daily
+      WINDOW w0 AS (PARTITION BY user_id ORDER BY date)
+    ), ha AS (
+      SELECT user_id, date, high, low, ha_close,
+             CASE WHEN prior_hc IS NULL OR len(prior_hc) = 0 THEN seed
+                  ELSE list_reduce(list_prepend(seed, prior_hc),
+                                   (acc, e) -> (acc + e) / 2.0)
+             END AS ha_open
+      FROM hc
+    )
+    SELECT user_id, date,
+           ROUND(ha_open, 6) AS ha_open,
+           ROUND(GREATEST(high, ha_open, ha_close), 6) AS ha_high,
+           ROUND(LEAST(low, ha_open, ha_close), 6) AS ha_low,
+           ROUND(ha_close, 6) AS ha_close
+    FROM ha
+    """,
+    tags=("window", "indicator", "kernel"),
+    doc="Heikin-Ashi smoothed candles on daily bars: ha_close is the "
+    "OHLC mean, ha_open the recursion (prev_ha_open+prev_ha_close)/2 "
+    "seeded at (open+close)/2. Recursive like EMA, so the Spark side "
+    "is the linear one-pass per-series pandas kernel (Arrow batched, "
+    "O(n) — the add_ema pattern); the oracle folds the same recursion "
+    "with list_reduce, O(n^2) but only ever run at oracle scale.",
+)
+def q_heikin_ashi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _daily_bars(spark, sf_dir)
+    ha = bars.groupBy("user_id").applyInPandas(_ha_kernel, schema=_HA_SCHEMA)
+    return ha.select(
+        "user_id",
+        "date",
+        _r6(F.col("ha_open")).alias("ha_open"),
+        _r6(F.col("ha_high")).alias("ha_high"),
+        _r6(F.col("ha_low")).alias("ha_low"),
+        _r6(F.col("ha_close")).alias("ha_close"),
+    )
