@@ -73,9 +73,18 @@ def test_no_python_udfs_in_relational_queries(spark):
     Arrow applyInPandas EMA kernel); every other relational/indicator/
     llmdata query stays JVM-side. Note macd_12_26_9 itself is NOT
     exempted: its auto-dispatch must pick the JVM fold on this
-    bounded-series data."""
+    bounded-series data. heikin_ashi_daily and cusum_returns are
+    genuinely recursive (y[t] = f(y[t-1], x[t])) — the same class as
+    the unbounded EMA — so their linear Arrow kernels are exempt
+    too."""
     for name in REGISTRY:
-        if name in ("media_metadata", "media_features", "macd_unbounded_kernel"):
+        if name in (
+            "media_metadata",
+            "media_features",
+            "macd_unbounded_kernel",
+            "heikin_ashi_daily",
+            "cusum_returns",
+        ):
             continue
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, name
@@ -235,3 +244,58 @@ def test_zorder_stats_stays_in_codegen(spark):
     plan = _plan(spark, "zorder_clustering_stats")
     assert "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_tpch5_joins_broadcast_no_cartesian(spark):
+    """The TPC-H completion set: every dim side resolves to a
+    broadcast at this SF (AQE or hint) and no join degenerates to a
+    cartesian/loop product."""
+    for name in (
+        "shipping_priority",
+        "returned_item_report",
+        "profit_by_nation_year",
+        "promo_revenue_monthly",
+        "supplier_count_by_part",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_shipping_priority_topk_and_pushdown(spark):
+    plan = _plan(spark, "shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    # per-side date filters reach both parquet scans
+    assert plan.count("PushedFilters: [IsNotNull(") >= 2
+
+
+def test_risk_windows_share_user_partitioning(spark):
+    """rolling_skew_kurt20: the four raw-moment windows share ONE
+    exchange + sort on top of the daily-bars agg (2 exchanges total:
+    bars groupBy + window)."""
+    plan = _plan(spark, "rolling_skew_kurt20")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Sort ") == 1
+
+
+def test_pii_operators_stay_jvm_side(spark):
+    """Regex detection/redaction must be Column expressions, not
+    Python UDFs — the 100 TB scrub runs at scan throughput."""
+    for name in ("pii_source_report", "pii_redaction_audit"):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_knn_broadcasts_query_side(spark):
+    plan = _plan(spark, "embedding_knn_classify")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the corpus side must NOT shuffle before scoring
+    assert "CartesianProduct" not in plan
+
+
+def test_table_profile_is_single_scan(spark):
+    """One wide aggregate + stack unpivot — the orders parquet appears
+    exactly once in the plan."""
+    plan = _plan(spark, "table_profile_orders")
+    assert plan.count("orders.parquet") == 1
