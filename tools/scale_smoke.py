@@ -48,6 +48,11 @@ QUERIES = [
     "embedding_label_outliers",
     # capstone composition + session-path shuffle shapes
     "training_data_pipeline_v2", "session_paths_topk",
+    # round 3: star-join breadth, pair screens, LM join, regex scan,
+    # recursive kernel
+    "profit_by_nation_year", "supplier_count_by_part",
+    "pairwise_return_corr", "doc_bigram_logprob",
+    "pii_source_report", "heikin_ashi_daily",
 ]
 
 
