@@ -1,0 +1,161 @@
+"""Customer-base analytics: monthly cohort LTV curves and RFM
+segmentation — the two rollups every revenue warehouse schedules,
+expressed so the heavy tables shuffle once and every derived stage
+runs on customer- or cohort-sized data.
+
+(The reference's warehouse serves this query class; its dashboard
+only ever plots per-symbol series — reference app/dashboard.py — so
+these extend the engine along the axis BASELINE.md identifies as the
+reference's blind spot.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stockpulse_spark.plans.registry import _r4, _register, _t
+
+
+@_register(
+    "cohort_ltv_monthly",
+    oracle="""
+    WITH om AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             o_totalprice
+      FROM orders
+    ), cohorts AS (
+      SELECT o_custkey, MIN(m) AS cohort_month FROM om GROUP BY o_custkey
+    ), sizes AS (
+      SELECT cohort_month, COUNT(*) AS n_customers
+      FROM cohorts GROUP BY cohort_month
+    ), rev AS (
+      SELECT c.cohort_month,
+             datediff('month', c.cohort_month, o.m) AS month_index,
+             SUM(o.o_totalprice) AS revenue
+      FROM om o JOIN cohorts c ON o.o_custkey = c.o_custkey
+      GROUP BY c.cohort_month, datediff('month', c.cohort_month, o.m)
+    )
+    SELECT r.cohort_month, r.month_index, s.n_customers,
+           ROUND(SUM(r.revenue) OVER (
+                   PARTITION BY r.cohort_month ORDER BY r.month_index
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / s.n_customers, 4) AS cum_ltv_per_customer
+    FROM rev r JOIN sizes s ON r.cohort_month = s.cohort_month
+    ORDER BY r.cohort_month, r.month_index
+    """,
+    tags=("agg", "growth", "window"),
+    doc="cohort LTV curves: customers grouped by first-order month, "
+    "cumulative revenue per customer by months-since-acquisition. "
+    "Orders shuffle once on custkey (cohort assignment re-uses that "
+    "partitioning); everything after the second agg is "
+    "cohorts x months sized — window cumsum on metadata, not facts.",
+)
+def q_cohort_ltv_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    om = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.trunc("o_orderdate", "month").alias("m"),
+        "o_totalprice",
+    )
+    cohorts = om.groupBy("o_custkey").agg(
+        F.min("m").alias("cohort_month")
+    )
+    sizes = cohorts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    rev = (
+        om.join(cohorts, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            F.months_between("m", F.col("cohort_month"))
+            .cast("bigint")
+            .alias("month_index"),
+        )
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_index")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cohort_month")
+        .select(
+            "cohort_month",
+            "month_index",
+            "n_customers",
+            _r4(F.sum("revenue").over(w) / F.col("n_customers")).alias(
+                "cum_ltv_per_customer"
+            ),
+        )
+        .orderBy("cohort_month", "month_index")
+    )
+
+
+@_register(
+    "rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             datediff('day', MAX(o_orderdate),
+                      (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey, monetary,
+             ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, o_custkey)  AS f_score,
+             ntile(5) OVER (ORDER BY monetary DESC, o_custkey)   AS m_score
+      FROM per_cust
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           ROUND(AVG(monetary), 4) AS avg_monetary
+    FROM scored GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    tags=("agg", "growth", "window"),
+    doc="RFM segmentation: recency/frequency/monetary quintiles per "
+    "customer (ntile with full custkey tie-break so the buckets are "
+    "deterministic on both engines), rolled up to segment counts and "
+    "average spend. One fact shuffle to customer grain; the ntile "
+    "windows run on the customer-sized table. At 10^9 customers the "
+    "global ntile would become a percentile-cut join (same pattern "
+    "as value_ntile_features' documented scale path).",
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    per_cust = (
+        o.join(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.any_value("anchor"), F.max("o_orderdate")
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _r4(F.avg("monetary")).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

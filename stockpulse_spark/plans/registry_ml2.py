@@ -118,28 +118,34 @@ _HA_SCHEMA = T.StructType(
 
 
 def _ha_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
     pdf = pdf.sort_values("date").reset_index(drop=True)
-    ha_close = (pdf["open"] + pdf["high"] + pdf["low"] + pdf["close"]) / 4.0
-    ha_open = ha_close.copy()
+    hc = (
+        (pdf["open"] + pdf["high"] + pdf["low"] + pdf["close"]) / 4.0
+    ).to_numpy()
+    n = len(pdf)
+    ho = np.empty(n)
     prev_open = (pdf["open"].iloc[0] + pdf["close"].iloc[0]) / 2.0
-    for i in range(len(pdf)):
-        ha_open.iloc[i] = prev_open
-        prev_open = (prev_open + ha_close.iloc[i]) / 2.0
-    out = pd.DataFrame(
+    # plain-ndarray loop: the recurrence is inherently sequential, but
+    # dropping pandas .iloc indexing makes it ~50x faster per element
+    for i in range(n):
+        ho[i] = prev_open
+        prev_open = (prev_open + hc[i]) / 2.0
+    return pd.DataFrame(
         {
             "user_id": pdf["user_id"],
             "date": pdf["date"],
-            "ha_open": ha_open,
-            "ha_high": pd.concat(
-                [pdf["high"], ha_open, ha_close], axis=1
-            ).max(axis=1),
-            "ha_low": pd.concat(
-                [pdf["low"], ha_open, ha_close], axis=1
-            ).min(axis=1),
-            "ha_close": ha_close,
+            "ha_open": ho,
+            "ha_high": np.maximum(
+                pdf["high"].to_numpy(), np.maximum(ho, hc)
+            ),
+            "ha_low": np.minimum(
+                pdf["low"].to_numpy(), np.minimum(ho, hc)
+            ),
+            "ha_close": hc,
         }
     )
-    return out
 
 
 @_register(
@@ -190,3 +196,81 @@ def q_heikin_ashi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("ha_low")).alias("ha_low"),
         _r6(F.col("ha_close")).alias("ha_close"),
     )
+
+
+@_register(
+    "embedding_power_iteration",
+    oracle="""
+    WITH v AS (
+      SELECT embedding::DOUBLE[] AS e FROM embeddings
+    ), g AS (
+      SELECT i.i AS i, j.j AS j, ROUND(SUM(v.e[i.i] * v.e[j.j]), 6) AS gv
+      FROM v, range(1, 65) i(i), range(1, 65) j(j)
+      GROUP BY i.i, j.j
+    ), v1_raw AS (
+      SELECT i, SUM(gv) AS x FROM g GROUP BY i
+    ), v1 AS (
+      SELECT i, ROUND(x / sqrt(SUM(x * x) OVER ()), 6) AS x FROM v1_raw
+    ), v2_raw AS (
+      SELECT g.i, SUM(g.gv * v1.x) AS x
+      FROM g JOIN v1 ON g.j = v1.i GROUP BY g.i
+    )
+    SELECT i AS dim_idx,
+           ROUND(x / sqrt(SUM(x * x) OVER ()), 6) AS eigvec
+    FROM v2_raw ORDER BY dim_idx
+    """,
+    tags=("llmdata", "ml", "iterative"),
+    doc="top principal direction of the embedding corpus by two power "
+    "iterations on the Gram matrix: G accumulates distributedly "
+    "(per-row outer products -> one shuffle into a 64x64 cell table, "
+    "map-side combined), then each iteration is a 64-row join+agg — "
+    "NO collect, the whole loop stays in the plan. G cells and the "
+    "normalized vectors are 6dp-snapped on both sides so the "
+    "fold-order of float sums cannot leak into the hash (the "
+    "rolling_beta20 boundary-amplification fix). At 100 TB G stays "
+    "DIMS^2-sized while the corpus grows; more iterations are more "
+    "metadata-joins, exactly how kmeans_lloyd_2iter scales.",
+)
+def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("e")
+    )
+    cells = emb.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(e, (x, i) -> "
+                "transform(e, (y, j) -> "
+                "struct(i + 1 AS i, j + 1 AS j, x * y AS p))))"
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.p")
+    g = cells.groupBy("i", "j").agg(_r6(F.sum("p")).alias("gv"))
+
+    def normalize(df: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy()
+        return df.select(
+            "i",
+            _r6(
+                F.col(col) / F.sqrt(F.sum(F.col(col) * F.col(col)).over(w))
+            ).alias("x"),
+        )
+
+    from pyspark.sql import Window
+
+    v1 = normalize(
+        g.groupBy("i").agg(F.sum("gv").alias("x")), "x"
+    )
+    v2_raw = (
+        g.join(
+            F.broadcast(v1.select(F.col("i").alias("j"), "x")), "j"
+        )
+        .groupBy("i")
+        .agg(F.sum(F.col("gv") * F.col("x")).alias("x"))
+    )
+    w = Window.partitionBy()
+    return v2_raw.select(
+        F.col("i").alias("dim_idx"),
+        _r6(
+            F.col("x") / F.sqrt(F.sum(F.col("x") * F.col("x")).over(w))
+        ).alias("eigvec"),
+    ).orderBy("dim_idx")

@@ -23,8 +23,10 @@ from pyspark.sql import types as T
 
 from stockpulse_spark.plans.registry import _r6, _register, _t
 from stockpulse_spark.plans.registry_risk import (
+    _LIQUID_CTE,
     _RETURNS_CTE,
     _daily_returns,
+    _liquid_returns,
 )
 
 
@@ -105,14 +107,20 @@ _CUSUM_SCHEMA = T.StructType(
 
 
 def _cusum_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
     pdf = pdf.sort_values("date").reset_index(drop=True)
+    rs = pdf["r"].to_numpy()
+    n = len(rs)
+    ups = np.empty(n)
+    dns = np.empty(n)
     up, dn = 0.0, 0.0
-    ups, dns = [], []
-    for r in pdf["r"]:
-        up = max(0.0, up + r)
-        dn = max(0.0, dn - r)
-        ups.append(up)
-        dns.append(dn)
+    # sequential recurrence over a plain ndarray (no pandas indexing)
+    for i in range(n):
+        up = max(0.0, up + rs[i])
+        dn = max(0.0, dn - rs[i])
+        ups[i] = up
+        dns[i] = dn
     return pd.DataFrame(
         {
             "user_id": pdf["user_id"],
@@ -233,12 +241,13 @@ def q_table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "leadlag_return_corr",
     oracle=_RETURNS_CTE
+    + _LIQUID_CTE
     + """
     SELECT a.user_id AS leader, b.user_id AS follower,
            COUNT(*) AS n_days,
            ROUND(corr(a.r, b.r), 6) AS leadlag_corr
-    FROM rets a
-    JOIN rets b ON b.date = a.date + INTERVAL 1 DAY
+    FROM lrets a
+    JOIN lrets b ON b.date = a.date + INTERVAL 1 DAY
                AND a.user_id != b.user_id
     GROUP BY a.user_id, b.user_id
     HAVING COUNT(*) >= 20
@@ -248,12 +257,13 @@ def q_table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "risk", "agg"),
     doc="lead-lag screen: correlation of user A's return on day t with "
     "user B's return on day t+1 (does A lead B?). Directional pairs "
-    "(A,B) != (B,A); >= 20 overlapping days; top-15 by |corr|. Same "
-    "date-bucketed join scaling as pairwise_return_corr — prune to "
-    "the liquid top-N series before the pair expansion at 100 TB.",
+    "(A,B) != (B,A); >= 20 overlapping days; top-15 by |corr|. Runs "
+    "over the same top-100 liquidity prune as pairwise_return_corr — "
+    "the stage that keeps the per-date pair expansion bounded at any "
+    "series cardinality.",
 )
 def q_leadlag_return_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rets = _daily_returns(spark, sf_dir)
+    rets = _liquid_returns(_daily_returns(spark, sf_dir))
     a = rets.alias("a")
     b = rets.alias("b")
     corr = F.round(F.corr("a.r", "b.r"), 6)

@@ -402,29 +402,65 @@ def q_drawdown_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LIQUID_CTE = """
+, liquid AS (
+  SELECT user_id FROM (
+    SELECT user_id, COUNT(*) AS n_days,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS lr
+    FROM rets GROUP BY user_id
+  ) WHERE lr <= 100
+), lrets AS (
+  SELECT r.* FROM rets r JOIN liquid l ON r.user_id = l.user_id
+)
+"""
+
+
+def _liquid_returns(rets: DataFrame, top_n: int = 100) -> DataFrame:
+    """Prune to the top-N most active series before any pair
+    expansion — the stage that keeps pair screens bounded at ANY
+    series cardinality. Integer sort key (n_days) with a full user_id
+    tie-break so both engines elect the identical set."""
+    liquid = (
+        rets.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_days"))
+        .select(
+            "user_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_days"), F.asc("user_id")))
+            .alias("lr"),
+        )
+        .filter(F.col("lr") <= top_n)
+        .select("user_id")
+    )
+    return rets.join(F.broadcast(liquid), "user_id")
+
+
 @_register(
     "pairwise_return_corr",
     oracle=_RETURNS_CTE
+    + _LIQUID_CTE
     + """
     SELECT a.user_id AS u1, b.user_id AS u2,
            COUNT(*) AS n_days,
            ROUND(corr(a.r, b.r), 6) AS corr
-    FROM rets a JOIN rets b ON a.date = b.date AND a.user_id < b.user_id
+    FROM lrets a JOIN lrets b ON a.date = b.date AND a.user_id < b.user_id
     GROUP BY a.user_id, b.user_id
     HAVING COUNT(*) >= 20
     ORDER BY ABS(ROUND(corr(a.r, b.r), 6)) DESC, u1, u2
     LIMIT 15
     """,
     tags=("join", "risk", "agg"),
-    doc="pairwise Pearson correlation of daily returns across users "
-    "(u1 < u2, >= 20 common days), top-15 by |corr|. The equi-join on "
-    "date keeps it sub-quadratic in rows (per-date cross within "
-    "groups); at 100 TB you'd first prune to the top-N liquid series "
-    "(mmr/topk pattern) so the per-date group stays bounded — "
-    "documented rather than silently assumed.",
+    doc="pairwise Pearson correlation of daily returns (u1 < u2, >= 20 "
+    "common days), top-15 by |corr| — computed over the top-100 most "
+    "active series. The liquidity prune is PART OF THE OPERATOR, not "
+    "an optimization note: without it the per-date pair expansion is "
+    "quadratic in series count (the 10x scale smoke measured 71x "
+    "before the prune); with it the pair stage is a bounded K^2/2 "
+    "regardless of how many series exist. Deterministic integer-keyed "
+    "top-K so both engines elect the same set.",
 )
 def q_pairwise_return_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rets = _daily_returns(spark, sf_dir)
+    rets = _liquid_returns(_daily_returns(spark, sf_dir))
     a = rets.alias("a")
     b = rets.alias("b")
     corr = F.round(F.corr("a.r", "b.r"), 6)

@@ -251,3 +251,69 @@ def q_up_streak_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@_register(
+    "stream_dedup_within_watermark",
+    oracle=None,  # state-eviction semantics — rows-only; key set equals
+    # dedup_keys_batch (tests/test_streaming2.py)
+    tags=("streaming", "dedup"),
+    doc="dropDuplicatesWithinWatermark: unlike dropDuplicates (which "
+    "keeps ALL keys' state forever), state for a key is evicted once "
+    "the watermark passes it — the right primitive when duplicates "
+    "arrive close together (retries, at-least-once brokers) and key "
+    "cardinality is unbounded. Emits the key projection only, so the "
+    "emitted set is deterministic (first-arrival payloads are not).",
+)
+def q_stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "ts"])
+        .select("user_id", "ts")
+    )
+    name = f"stream_ddww_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sp_ckpt_"))
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_dedup_within_watermark: exceeded 300s")
+    return spark.table(name)
+
+
+@_register(
+    "dedup_keys_batch",
+    oracle="SELECT DISTINCT user_id, ts FROM events",
+    tags=("dedup",),
+    doc="batch twin of stream_dedup_within_watermark: the distinct "
+    "(user_id, ts) key set. For a bounded replay every duplicate "
+    "arrives within the watermark, so the stream's emitted key set "
+    "equals this exactly (tests/test_streaming2.py).",
+)
+def q_dedup_keys_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events").select("user_id", "ts").distinct()
+    )
