@@ -159,3 +159,93 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@_register(
+    "basket_affinity_lift",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets
+    ), item AS (
+      SELECT l_partkey, COUNT(*) AS item_cnt FROM baskets GROUP BY l_partkey
+    ), pair AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS pair_cnt
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= 3
+    )
+    SELECT p.p1, p.p2, p.pair_cnt,
+           ROUND(CAST(p.pair_cnt AS DOUBLE) / i1.item_cnt, 6) AS confidence,
+           ROUND(CAST(p.pair_cnt AS DOUBLE) * n.n
+                 / (i1.item_cnt * CAST(i2.item_cnt AS DOUBLE)), 6) AS lift
+    FROM pair p
+    JOIN item i1 ON p.p1 = i1.l_partkey
+    JOIN item i2 ON p.p2 = i2.l_partkey
+    CROSS JOIN n_orders n
+    ORDER BY lift DESC, p.p1, p.p2
+    LIMIT 20
+    """,
+    tags=("join", "growth", "agg"),
+    doc="association rules over order baskets: support (pair count), "
+    "confidence P(p2|p1) and lift P(p1,p2)/(P(p1)P(p2)) for co-ordered "
+    "part pairs with support >= 3, top-20 by lift. The pair expansion "
+    "is WITHIN-order (triangular self-join on the order key — bounded "
+    "by basket size squared, never corpus-quadratic; the same shape "
+    "copurchase_pairs pinned); item counts broadcast back onto the "
+    "pair table.",
+)
+def q_basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.agg(
+        F.count_distinct("l_orderkey").alias("n")
+    )
+    item = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("item_cnt")
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 3)
+    )
+    i1 = item.select(
+        F.col("l_partkey").alias("p1"), F.col("item_cnt").alias("cnt1")
+    )
+    i2 = item.select(
+        F.col("l_partkey").alias("p2"), F.col("item_cnt").alias("cnt2")
+    )
+    from stockpulse_spark.plans.registry import _r6
+
+    return (
+        pair.join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .join(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "pair_cnt",
+            _r6(F.col("pair_cnt").cast("double") / F.col("cnt1")).alias(
+                "confidence"
+            ),
+            _r6(
+                F.col("pair_cnt").cast("double")
+                * F.col("n")
+                / (F.col("cnt1") * F.col("cnt2").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "p1", "p2")
+        .limit(20)
+    )

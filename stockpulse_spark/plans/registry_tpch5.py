@@ -290,3 +290,64 @@ def q_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
+
+
+@_register(
+    "excess_quantity_suppliers",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey, SUM(l_quantity) AS part_qty FROM lineitem
+      GROUP BY l_partkey
+    ), per_pair AS (
+      SELECT l_suppkey, l_partkey, SUM(l_quantity) AS pair_qty
+      FROM lineitem GROUP BY l_suppkey, l_partkey
+    ), dominant AS (
+      SELECT pp.l_suppkey, pp.l_partkey
+      FROM per_pair pp JOIN per_part p ON pp.l_partkey = p.l_partkey
+      WHERE pp.pair_qty > 0.15 * p.part_qty
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           COUNT(*) AS n_dominated_parts
+    FROM dominant d
+    JOIN supplier s ON d.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY s.s_suppkey, s.s_name, n.n_name
+    ORDER BY n_dominated_parts DESC, s.s_suppkey
+    LIMIT 25
+    """,
+    tags=("join", "tpch", "subquery"),
+    doc="TPC-H Q20 shape (partsupp availqty adapted to observed "
+    "shipments): suppliers who ship an outsized share (>15%, vs a "
+    "~3.7% median pair share in this data) of a part's total "
+    "quantity, counted per supplier. Two aggregations share the "
+    "l_partkey shuffle (the per-part total joins back onto the "
+    "per-pair rollup), then supplier/nation broadcast onto the "
+    "supplier-sized result.",
+)
+def q_excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("part_qty")
+    )
+    per_pair = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("pair_qty")
+    )
+    dominant = per_pair.join(per_part, "l_partkey").filter(
+        F.col("pair_qty") > 0.15 * F.col("part_qty")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        dominant.join(
+            F.broadcast(s.select("s_suppkey", "s_name", "s_nationkey")),
+            dominant.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+        .orderBy(F.desc("n_dominated_parts"), "s_suppkey")
+        .limit(25)
+    )
