@@ -32,15 +32,15 @@ from stockpulse_spark.plans.registry import _r4, _register, _t
     ), rev AS (
       SELECT c.cohort_month,
              datediff('month', c.cohort_month, o.m) AS month_index,
-             SUM(o.o_totalprice) AS revenue
+             CAST(ROUND(SUM(o.o_totalprice * 100)) AS BIGINT) AS rev_cents
       FROM om o JOIN cohorts c ON o.o_custkey = c.o_custkey
       GROUP BY c.cohort_month, datediff('month', c.cohort_month, o.m)
     )
     SELECT r.cohort_month, r.month_index, s.n_customers,
-           ROUND(SUM(r.revenue) OVER (
+           ROUND(SUM(r.rev_cents) OVER (
                    PARTITION BY r.cohort_month ORDER BY r.month_index
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 / s.n_customers, 4) AS cum_ltv_per_customer
+                 / (100.0 * s.n_customers), 4) AS cum_ltv_per_customer
     FROM rev r JOIN sizes s ON r.cohort_month = s.cohort_month
     ORDER BY r.cohort_month, r.month_index
     """,
@@ -49,7 +49,11 @@ from stockpulse_spark.plans.registry import _r4, _register, _t
     "cumulative revenue per customer by months-since-acquisition. "
     "Orders shuffle once on custkey (cohort assignment re-uses that "
     "partitioning); everything after the second agg is "
-    "cohorts x months sized — window cumsum on metadata, not facts.",
+    "cohorts x months sized — window cumsum on metadata, not facts. "
+    "Revenue snaps to integer CENTS before the cumsum (prices are "
+    "2-decimal), so the running total is exact integer arithmetic on "
+    "both engines — float fold-order cannot reach the 4dp output "
+    "(the weighted_median_price integer-cumsum discipline).",
 )
 def q_cohort_ltv_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     om = _t(spark, sf_dir, "orders").select(
@@ -71,7 +75,11 @@ def q_cohort_ltv_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("month_index"),
         )
-        .agg(F.sum("o_totalprice").alias("revenue"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice") * 100))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
     )
     w = (
         Window.partitionBy("cohort_month")
@@ -84,9 +92,10 @@ def q_cohort_ltv_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_month",
             "month_index",
             "n_customers",
-            _r4(F.sum("revenue").over(w) / F.col("n_customers")).alias(
-                "cum_ltv_per_customer"
-            ),
+            _r4(
+                F.sum("rev_cents").over(w)
+                / (100.0 * F.col("n_customers"))
+            ).alias("cum_ltv_per_customer"),
         )
         .orderBy("cohort_month", "month_index")
     )
