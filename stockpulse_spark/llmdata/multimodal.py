@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import hashlib
+
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -214,3 +216,56 @@ def extract_media_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select(id_col, "payload").mapInPandas(kernel, schema=MEDIA_META_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id LONG, frame_idx INT, frame_len INT, frame_md5 STRING"
+)
+
+FRAME_BYTES = 512
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    every: int = 2,
+    frame_bytes: int = FRAME_BYTES,
+) -> DataFrame:
+    """Video-style frame sampling over opaque binary payloads: slice
+    the byte stream into fixed frames, keep every k-th one, fingerprint
+    each with md5 over its hex encoding (hex-domain so an
+    engine-independent oracle can recompute the digest without blob
+    slicing support).
+
+    This is the frame-sample stage of a video curation pipeline — the
+    Spark-side plumbing (Arrow batch shape, typed output schema,
+    one-to-many row expansion inside mapInPandas) is exactly what a
+    real codec kernel needs; the decode itself stays a byte-level
+    slice because the container here is synthetic (the
+    attach_image_payload shim). One output row per sampled frame."""
+    import binascii
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(payload)
+                for i in range(0, -(-len(data) // frame_bytes), every):
+                    frame = data[i * frame_bytes : (i + 1) * frame_bytes]
+                    if not frame:
+                        break
+                    rows.append(
+                        dict(
+                            doc_id=int(doc_id),
+                            frame_idx=i,
+                            frame_len=len(frame),
+                            frame_md5=hashlib.md5(
+                                binascii.hexlify(frame).upper()
+                            ).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "payload").mapInPandas(
+        kernel, schema=FRAME_SAMPLE_SCHEMA
+    )
