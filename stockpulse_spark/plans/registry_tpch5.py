@@ -351,3 +351,74 @@ def q_excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_dominated_parts"), "s_suppkey")
         .limit(25)
     )
+
+
+@_register(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue_delta,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+      AND l_shipdate < TIMESTAMP '2000-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "agg"),
+    doc="TPC-H Q6 shape: pure scan-side conjunctive filter + single "
+    "aggregate — every predicate (date range, discount band, quantity "
+    "cap) reaches the parquet scan as a pushed filter, the agg is one "
+    "map-side-combined row. The canonical 'is pushdown working' probe.",
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _r4(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue_delta"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+    tags=("tpch", "join", "agg"),
+    doc="TPC-H Q13 shape: the order-count histogram over ALL customers "
+    "including zero-order ones — the LEFT OUTER join is the point "
+    "(an inner join would silently drop the empty bucket). Two "
+    "aggregations; the second runs on the order-count-sized "
+    "distribution.",
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )

@@ -81,6 +81,7 @@ def test_no_python_udfs_in_relational_queries(spark):
         if name in (
             "media_metadata",
             "media_features",
+            "media_frame_sample",
             "macd_unbounded_kernel",
             "heikin_ashi_daily",
             "cusum_returns",
