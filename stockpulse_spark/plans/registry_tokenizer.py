@@ -1,0 +1,142 @@
+"""Tokenizer-induction statistics: the first BPE merge step (corpus
+character-pair frequencies) and word-level PMI collocations — the two
+corpus statistics a tokenizer/vocabulary pipeline computes before
+anything trains.
+
+Both are one-shuffle aggregations whose result tables are
+vocabulary-sized: the corpus scan dominates at 100 TB, the stats stay
+metadata."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stockpulse_spark.plans.registry import _r6, _register, _t
+
+
+@_register(
+    "bpe_first_merge_stats",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS wd FROM documents
+    ), pairs AS (
+      SELECT unnest(list_transform(range(1, length(wd)),
+                    i -> wd[i:i+1])) AS pair
+      FROM words WHERE length(wd) >= 2
+    )
+    SELECT pair, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair) AS rank
+    FROM pairs GROUP BY pair
+    ORDER BY rank LIMIT 20
+    """,
+    tags=("llmdata", "text", "tokenizer"),
+    doc="the statistic behind BPE's first merge: corpus frequencies of "
+    "adjacent character pairs within words (occurrence-weighted, the "
+    "BPE convention), top-20 with full tie-break. In-row pair "
+    "expansion (no join), one shuffle on the pair key with map-side "
+    "combine — each further merge round in a real trainer is this "
+    "same aggregation over a rewritten symbol sequence.",
+)
+def q_bpe_first_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("wd")
+    ).filter(F.length("wd") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(wd) - 1), "
+                "i -> substring(wd, i, 2))"
+            )
+        ).alias("pair")
+    )
+    from pyspark.sql import Window
+
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counted.select(
+            "pair",
+            "cnt",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("pair")))
+            .alias("rank"),
+        )
+        .orderBy("rank")
+        .limit(20)
+    )
+
+
+@_register(
+    "word_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), n_docs AS (
+      SELECT COUNT(DISTINCT doc_id) AS n FROM toks
+    ), df AS (
+      SELECT w, COUNT(*) AS dfreq FROM toks GROUP BY w
+    ), pair_df AS (
+      SELECT a.w AS w1, b.w AS w2, COUNT(*) AS co
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY a.w, b.w
+      HAVING COUNT(*) >= 5
+    )
+    SELECT p.w1, p.w2, p.co,
+           ROUND(ln((CAST(p.co AS DOUBLE) * n.n)
+                    / (CAST(d1.dfreq AS DOUBLE) * d2.dfreq)), 6) AS pmi
+    FROM pair_df p
+    JOIN df d1 ON p.w1 = d1.w
+    JOIN df d2 ON p.w2 = d2.w
+    CROSS JOIN n_docs n
+    ORDER BY pmi DESC, p.w1, p.w2
+    LIMIT 20
+    """,
+    tags=("llmdata", "text", "agg"),
+    doc="document-level PMI collocations: ln(P(w1,w2)/(P(w1)P(w2))) "
+    "over distinct doc-term pairs, support >= 5, top-20. The pair "
+    "expansion is within-document over the DISTINCT vocabulary of "
+    "each doc (bounded by per-doc vocabulary squared — the "
+    "copurchase shape); doc frequencies broadcast back. The "
+    "collocation screen a phrase-vocabulary builder runs.",
+)
+def q_word_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    n_docs = toks.agg(F.count_distinct("doc_id").alias("n"))
+    df = toks.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    pair_df = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 5)
+    )
+    d1 = df.select(F.col("w").alias("w1"), F.col("dfreq").alias("df1"))
+    d2 = df.select(F.col("w").alias("w2"), F.col("dfreq").alias("df2"))
+    return (
+        pair_df.join(F.broadcast(d1), "w1")
+        .join(F.broadcast(d2), "w2")
+        .join(F.broadcast(n_docs))
+        .select(
+            "w1",
+            "w2",
+            "co",
+            _r6(
+                F.log(
+                    (F.col("co").cast("double") * F.col("n"))
+                    / (F.col("df1").cast("double") * F.col("df2"))
+                )
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
