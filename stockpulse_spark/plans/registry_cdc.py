@@ -142,7 +142,6 @@ def q_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (epoch_us(nts) - epoch_us(pts))), 6) AS v_interp
     FROM bounded
     WHERE v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL
-    ORDER BY user_id, ts
     """,
     tags=("window", "quality"),
     doc="time-weighted linear interpolation of missing points (every "
@@ -193,5 +192,4 @@ def q_interpolate_linear_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "v_interp"
             ),
         )
-        .orderBy("user_id", "ts")
     )

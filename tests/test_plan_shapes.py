@@ -300,3 +300,35 @@ def test_table_profile_is_single_scan(spark):
     exactly once in the plan."""
     plan = _plan(spark, "table_profile_orders")
     assert plan.count("orders.parquet") == 1
+
+
+def test_interpolation_shares_one_series_sort(spark):
+    """All four IGNORE-NULLS bound lookups (prev/next value and ts)
+    ride ONE exchange + sort on user_id."""
+    plan = _plan(spark, "interpolate_linear_gaps")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") == 1
+
+
+def test_cdc_diff_is_single_pass_per_snapshot(spark):
+    """The FULL OUTER join reads orders twice (once per snapshot
+    derivation) and never degenerates to a loop join."""
+    plan = _plan(spark, "snapshot_diff_cdc")
+    assert plan.count("Scan parquet") == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_novelty_first_seen_single_gram_shuffle(spark):
+    """first-seen is min(doc_id) per gram: the gram table shuffles on
+    the gram key; no all-pairs comparison anywhere."""
+    plan = _plan(spark, "doc_ngram_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_pairs_one_shuffle_topk(spark):
+    plan = _plan(spark, "bpe_first_merge_stats")
+    # pair counting: one hash shuffle; the rank window is global on
+    # the pair-vocabulary-sized table
+    assert plan.count("Exchange hashpartitioning") == 1
