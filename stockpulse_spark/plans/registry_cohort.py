@@ -201,32 +201,39 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="association rules over order baskets: support (pair count), "
     "confidence P(p2|p1) and lift P(p1,p2)/(P(p1)P(p2)) for co-ordered "
     "part pairs with support >= 3, top-20 by lift. The pair expansion "
-    "is WITHIN-order (triangular self-join on the order key — bounded "
-    "by basket size squared, never corpus-quadratic; the same shape "
-    "copurchase_pairs pinned); item counts broadcast back onto the "
-    "pair table.",
+    "is WITHIN-order, in-row over each order's collected part set "
+    "(bounded by basket size squared, never corpus-quadratic) so the "
+    "basket table never self-joins — one collect_set shuffle replaces "
+    "the join; item counts broadcast back onto the pair table.",
 )
 def q_basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = baskets.agg(
-        F.count_distinct("l_orderkey").alias("n")
+    # one shuffle builds each order's distinct part set (map-side
+    # partial collect_set); pairs expand in-row over the sorted array
+    # (bounded by basket size squared), so the basket table never
+    # self-joins
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
-    item = baskets.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("item_cnt")
+    n_orders = li.agg(F.count_distinct("l_orderkey").alias("n"))
+    item = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("item_cnt"))
     )
-    a = baskets.alias("a")
-    b = baskets.alias("b")
     pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("q")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"),
-            F.col("b.l_partkey").alias("p2"),
-        )
+        .groupBy(F.col("q.p1").alias("p1"), F.col("q.p2").alias("p2"))
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
         .filter(F.col("pair_cnt") >= 3)
     )

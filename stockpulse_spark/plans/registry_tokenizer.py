@@ -96,27 +96,43 @@ def q_bpe_first_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llmdata", "text", "agg"),
     doc="document-level PMI collocations: ln(P(w1,w2)/(P(w1)P(w2))) "
     "over distinct doc-term pairs, support >= 5, top-20. The pair "
-    "expansion is within-document over the DISTINCT vocabulary of "
-    "each doc (bounded by per-doc vocabulary squared — the "
-    "copurchase shape); doc frequencies broadcast back. The "
-    "collocation screen a phrase-vocabulary builder runs.",
+    "expansion is within-document, in-row over each doc's collected "
+    "DISTINCT vocabulary (bounded by per-doc vocabulary squared — "
+    "the copurchase shape) so the token table never self-joins; doc "
+    "frequencies broadcast back. The collocation screen a "
+    "phrase-vocabulary builder runs.",
 )
 def q_word_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).distinct()
-    n_docs = toks.agg(F.count_distinct("doc_id").alias("n"))
-    df = toks.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
-    a = toks.alias("a")
-    b = toks.alias("b")
+    # one shuffle builds the per-doc distinct vocabulary (map-side
+    # partial collect_set); pairs expand in-row over the sorted array
+    # (bounded by per-doc vocabulary squared — the copurchase shape),
+    # so no token-table self-join ever shuffles
+    vocab = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("w")).alias("ws"))
+    )
+    # docs with NULL text produce no tokens (split -> NULL -> explode
+    # drops), so the token-bearing doc count is just the distinct
+    # non-null-text doc count — no need to re-derive the vocab for it
+    n_docs = docs.filter(F.col("text").isNotNull()).agg(
+        F.count_distinct("doc_id").alias("n")
+    )
+    df = vocab.select(F.explode("ws").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("dfreq")
+    )
     pair_df = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.w") < F.col("b.w")),
+        vocab.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ws, (x, i) -> "
+                    "transform(slice(ws, i + 2, size(ws)), "
+                    "y -> struct(x AS w1, y AS w2))))"
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= 5)
     )
