@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.llmdata.hashing import word32_sql
 from stockpulse_spark.llmdata.similarity import _as_double, dot, norm
 from stockpulse_spark.plans.registry import _r4, _r6, _register, _t
 from stockpulse_spark.plans.registry_ml import _DIMS, _d_cos
@@ -258,3 +259,42 @@ def q_revenue_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("wow_growth"),
     ).orderBy("wk")
+
+
+@_register(
+    "doc_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, source, n_chars,
+           ROUND(LN(({word32_sql('text')} + 0.5) / 4294967296.0)
+                 / n_chars, 12) AS samp_key
+    FROM documents
+    WHERE text IS NOT NULL AND n_chars > 0
+    ORDER BY samp_key DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("llmdata", "sampling"),
+    doc="Efraimidis-Spirakis (A-ES) weighted sample without "
+    "replacement: per-doc uniform u derived from the md5 of the "
+    "content (cross-engine deterministic, re-ingestion stable), "
+    "log-domain key ln(u)/w with w = n_chars, top-k largest keys = a "
+    "sample drawn with probability proportional to document length. "
+    "The length-weighted draw a token-budgeted mixture builder uses "
+    "when it wants docs, not sources, as the sampling unit. Zero "
+    "shuffles at any scale: one scan, per-partition top-k, driver "
+    "merge of k-row candidates (TakeOrderedAndProject).",
+)
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    h = F.expr(word32_sql("text")).cast("double")
+    key = F.log((h + F.lit(0.5)) / F.lit(4294967296.0)) / F.col("n_chars")
+    return (
+        docs.filter(F.col("text").isNotNull() & (F.col("n_chars") > 0))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(key, 12).alias("samp_key"),
+        )
+        .orderBy(F.desc("samp_key"), "doc_id")
+        .limit(20)
+    )
