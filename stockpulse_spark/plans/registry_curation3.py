@@ -298,3 +298,69 @@ def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("samp_key"), "doc_id")
         .limit(20)
     )
+
+
+@_register(
+    "doc_weighted_sample_by_source",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ROUND(LN(({word32_sql('text')} + 0.5) / 4294967296.0)
+                   / n_chars, 12) AS samp_key
+      FROM documents
+      WHERE text IS NOT NULL AND n_chars > 0
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY samp_key DESC, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT doc_id, source, n_chars, samp_key, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY source, rk
+    """,
+    tags=("llmdata", "sampling", "window"),
+    doc="per-source A-ES weighted sample (top-5 per source by the "
+    "same ln(u)/w key as doc_weighted_sample). `source` has tiny "
+    "cardinality, so a naive PARTITION BY source window would funnel "
+    "the full corpus through a handful of reducers; instead a salted "
+    "two-stage top-k runs: stage 1 ranks within (source, md5-salt) "
+    "buckets — 16x the reducers, each seeing 1/16th of a hot group — "
+    "and keeps k rows per bucket; stage 2 ranks the surviving "
+    "16*k-per-source candidates exactly. Identical result to the "
+    "single-window form at any scale, without the hot-reducer funnel.",
+)
+def q_doc_weighted_sample_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    h = F.expr(word32_sql("text")).cast("double")
+    key = F.round(
+        F.log((h + F.lit(0.5)) / F.lit(4294967296.0)) / F.col("n_chars"),
+        12,
+    )
+    keyed = docs.filter(
+        F.col("text").isNotNull() & (F.col("n_chars") > 0)
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        key.alias("samp_key"),
+        (F.expr(word32_sql("CAST(doc_id AS STRING)")) % 16).alias("salt"),
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy(
+        F.desc("samp_key"), F.asc("doc_id")
+    )
+    survivors = (
+        keyed.withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= 5)
+        .drop("salt", "rk1")
+    )
+    w2 = Window.partitionBy("source").orderBy(
+        F.desc("samp_key"), F.asc("doc_id")
+    )
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= 5)
+        .orderBy("source", "rk")
+    )
