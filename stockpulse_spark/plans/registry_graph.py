@@ -1,0 +1,157 @@
+"""Graph analytics over the copurchase graph: damped PageRank with
+two in-plan iterations.
+
+The iterative-join pattern at scale: the edge table shuffles on dst
+once per iteration (partial-agg map-side), the rank vector stays
+nodes-sized, nothing is collected to the driver — the same unrolled-
+iteration recipe kmeans_lloyd_2iter and embedding_power_iteration
+pinned. All rank mass is integer units of 1e-12 (the cohort_ltv
+integer-cents recipe), so both engines run bit-identical fixed-point
+arithmetic: no float-summation order sensitivity can flip the top-k.
+
+Reference analog: the reference has no graph operators; this extends
+the analytics surface along SURVEY §2's extension axis (dashboard
+affinity tiles -> link analysis over the same basket pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stockpulse_spark.plans.registry import _register, _t
+
+_UNIT = 1_000_000_000_000  # rank mass scale: 1.0 == 1e12 units
+_TELEPORT = 150_000_000_000  # 0.15 * _UNIT
+
+
+@_register(
+    "copurchase_pagerank",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), edges AS (
+      SELECT p1 AS src, p2 AS dst FROM pairs
+      UNION ALL
+      SELECT p2, p1 FROM pairs
+    ), deg AS (
+      SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src
+    ), n AS (
+      SELECT COUNT(*) AS nn FROM deg
+    ), pr0 AS (
+      SELECT node, outdeg, {_UNIT} // nn AS pr_units FROM deg, n
+    ), it1 AS (
+      SELECT d.node, d.outdeg,
+             CAST({_TELEPORT} // n.nn
+                  + (85 * SUM(p.pr_units // p.outdeg)) // 100
+                  AS BIGINT) AS pr_units
+      FROM edges e
+      JOIN pr0 p ON e.src = p.node
+      JOIN deg d ON e.dst = d.node, n
+      GROUP BY d.node, d.outdeg, n.nn
+    ), it2 AS (
+      SELECT d.node, d.outdeg,
+             CAST({_TELEPORT} // n.nn
+                  + (85 * SUM(p.pr_units // p.outdeg)) // 100
+                  AS BIGINT) AS pr_units
+      FROM edges e
+      JOIN it1 p ON e.src = p.node
+      JOIN deg d ON e.dst = d.node, n
+      GROUP BY d.node, d.outdeg, n.nn
+    )
+    SELECT node,
+           ROUND(CAST(pr_units AS DOUBLE) / {_UNIT}, 12) AS pagerank
+    FROM it2
+    ORDER BY pr_units DESC, node
+    LIMIT 20
+    """,
+    tags=("graph", "iterative", "join"),
+    doc="damped PageRank (d=0.85, 2 unrolled iterations) over the "
+    "undirected copurchase graph: nodes = parts co-ordered at least "
+    "once, edges = distinct within-order pairs (in-row expansion over "
+    "collected baskets, never a self-join). Rank mass is integer "
+    "units of 1e-12 with floor division throughout, so Spark and the "
+    "oracle agree bit-exactly regardless of summation order; the "
+    "top-20 selection orders by the integer units. Per iteration: "
+    "one shuffle on dst with map-side partial sum; the rank vector "
+    "is nodes-sized and never collected.",
+)
+def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("q")
+        )
+        .select(F.col("q.p1").alias("p1"), F.col("q.p2").alias("p2"))
+        .distinct()
+    )
+    # materialize the edge list once (non-eager local checkpoint — the
+    # production shape writes edges to a table before iterating);
+    # without it every iteration re-derives the basket->pairs pipeline
+    edges = (
+        pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n = deg.agg(F.count(F.lit(1)).alias("nn"))
+    pr = (
+        deg.join(F.broadcast(n))
+        .select(
+            F.col("src").alias("node"),
+            "outdeg",
+            F.expr(f"CAST({_UNIT} AS BIGINT) DIV nn").alias("pr_units"),
+        )
+    )
+
+    def step(p: DataFrame) -> DataFrame:
+        inflow = (
+            edges.join(p, edges["src"] == p["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("pr_units DIV outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        return (
+            inflow.join(F.broadcast(n))
+            .join(deg, inflow["node"] == deg["src"])
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.expr(f"CAST({_TELEPORT} AS BIGINT) DIV nn")
+                    + F.expr("(85 * inflow) DIV 100")
+                ).alias("pr_units"),
+            )
+        )
+
+    it2 = step(step(pr))
+    return (
+        it2.orderBy(F.desc("pr_units"), "node")
+        .limit(20)
+        .select(
+            "node",
+            F.round(F.col("pr_units").cast("double") / F.lit(_UNIT), 12).alias(
+                "pagerank"
+            ),
+        )
+    )
