@@ -364,3 +364,103 @@ def q_doc_weighted_sample_by_source(
         .filter(F.col("rk") <= 5)
         .orderBy("source", "rk")
     )
+
+
+@_register(
+    "doc_substring_dup_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+      SELECT DISTINCT doc_id, h FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 8),
+                      i -> md5(array_to_string(w[i:i+9], ' ')))) AS h
+        FROM words WHERE len(w) >= 10
+      )
+    ), grp AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS d FROM sh GROUP BY h
+    ), keep AS (
+      SELECT h FROM grp WHERE d BETWEEN 2 AND 8
+    ), pair AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM sh a JOIN sh b USING (h) JOIN keep USING (h)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), tot AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    )
+    SELECT p.d1, p.d2, p.shared,
+           ROUND(CAST(p.shared AS DOUBLE) / LEAST(t1.n_sh, t2.n_sh), 6)
+             AS overlap
+    FROM pair p
+    JOIN tot t1 ON p.d1 = t1.doc_id
+    JOIN tot t2 ON p.d2 = t2.doc_id
+    ORDER BY p.shared DESC, p.d1, p.d2
+    LIMIT 20
+    """,
+    tags=("llmdata", "dedup"),
+    doc="duplicated-substring pair discovery (the shingle-join proxy "
+    "for exact substring dedup a la 'Deduplicating Training Data "
+    "Makes Language Models Better'): every word-10-gram is md5 "
+    "fingerprinted (stride 1), shingles shared by 2-8 docs nominate "
+    "candidate pairs — the df cap drops boilerplate hot shingles, "
+    "bounding any bucket's pair fan-out at C(8,2)=28, so the pair "
+    "generator is never corpus-quadratic. Pairs expand in-row over "
+    "each shingle's collected doc set (no shingle-table self-join); "
+    "overlap normalizes by the smaller doc's shingle count. Top-20 "
+    "by the integer shared-count, so selection is float-free.",
+)
+def q_doc_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 10)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 9), "
+                    "i -> md5(concat_ws(' ', slice(w, i, 10))))"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    grp = (
+        sh.groupBy("h")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= 8))
+    )
+    pair = (
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "y -> struct(x AS d1, y AS d2))))"
+                )
+            ).alias("q")
+        )
+        .groupBy(F.col("q.d1").alias("d1"), F.col("q.d2").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    t1 = tot.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    t2 = tot.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    return (
+        pair.join(t1, "d1")
+        .join(t2, "d2")
+        .orderBy(F.desc("shared"), "d1", "d2")
+        .limit(20)
+        .select(
+            "d1",
+            "d2",
+            "shared",
+            _r6(
+                F.col("shared").cast("double") / F.least("n1", "n2")
+            ).alias("overlap"),
+        )
+    )
