@@ -102,6 +102,42 @@ def q_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "distinct_users_sketch_rollup",
+    # DataSketches HLL binary sketches are implementation-defined;
+    # rows/schema-only driver check + relative-error assertion vs the
+    # exact week->month distinct in tests/test_approx.py.
+    oracle=None,
+    tags=("agg", "approx", "rollup"),
+    doc="sketch RE-AGGREGATION — the property approx_count_distinct "
+    "alone never shows: per-week HLL sketches (hll_sketch_agg) are "
+    "merged upward into per-month distinct estimates (hll_union_agg "
+    "-> hll_sketch_estimate) without touching the raw rows again. "
+    "This is the warehouse rollup contract at 100 TB: the weekly "
+    "layer is a few KB per group, and any coarser period (month, "
+    "quarter, all-time) derives from sketch unions in metadata-sized "
+    "aggregations instead of a re-scan of the key universe. Weeks "
+    "attribute to the month containing their start (deterministic).",
+)
+def q_distinct_users_sketch_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    weekly = ev.groupBy(F.date_trunc("week", "ts").alias("wk")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        weekly.groupBy(F.date_trunc("month", "wk").alias("mo"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_users"
+            ),
+            F.count(F.lit(1)).alias("n_weeks"),
+        )
+        .orderBy("mo")
+    )
+
+
 _N_CENTROIDS = 16
 _DOTC = "list_reduce(list_transform(range(1, 65), i -> e[i] * c[i]), (x, y) -> x + y)"
 _NORM = "sqrt(list_reduce(list_transform(range(1, 65), i -> {v}[i] * {v}[i]), (x, y) -> x + y))"

@@ -8,6 +8,8 @@ from __future__ import annotations
 from bisect import bisect_left, bisect_right
 from collections import defaultdict
 
+from pyspark.sql import functions as F
+
 from stockpulse_spark.plans import REGISTRY
 from stockpulse_spark.sources.tables import load_table
 from tests.conftest import SF_DIR
@@ -66,3 +68,33 @@ def test_cms_never_underestimates(spark):
     for r in rows:
         assert r["cms_estimate"] >= r["true_tf"], r
         assert r["overestimate"] == r["cms_estimate"] - r["true_tf"]
+
+
+def test_sketch_rollup_matches_exact_monthly_distinct(spark):
+    """Merged weekly HLL sketches estimate the month's exact distinct
+    user count within HLL error (default lgConfigK=12 → rsd ≈ 1.6%;
+    asserted within 5× that)."""
+    approx = {
+        r["mo"]: r["approx_users"]
+        for r in REGISTRY["distinct_users_sketch_rollup"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["mo"]: r["n"]
+        for r in ev.select(
+            F.date_trunc("month", F.date_trunc("week", "ts")).alias("mo"),
+            "user_id",
+        )
+        .groupBy("mo")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for mo, est in approx.items():
+        assert abs(est - exact[mo]) <= max(1, 0.08 * exact[mo]), (
+            mo,
+            est,
+            exact[mo],
+        )
