@@ -41,6 +41,7 @@ from stockpulse_spark.plans import registry_tpch5  # noqa: F401, E402
 from stockpulse_spark.plans import registry_risk  # noqa: F401, E402
 from stockpulse_spark.plans import registry_pii  # noqa: F401, E402
 from stockpulse_spark.plans import registry_graph  # noqa: F401, E402
+from stockpulse_spark.plans import registry_streaming3  # noqa: F401, E402
 from stockpulse_spark.plans import registry_streaming2  # noqa: F401, E402
 from stockpulse_spark.plans import registry_ml2  # noqa: F401, E402
 from stockpulse_spark.plans import registry_profile  # noqa: F401, E402
