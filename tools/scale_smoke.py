@@ -53,6 +53,11 @@ QUERIES = [
     "profit_by_nation_year", "supplier_count_by_part",
     "pairwise_return_corr", "doc_bigram_logprob",
     "pii_source_report", "heikin_ashi_daily",
+    # round 3 second wave: self-join-free pair expansion, iterative
+    # graph rank, shingle dedup, weighted sampling
+    "word_pmi_collocations", "basket_affinity_lift",
+    "copurchase_pagerank", "doc_substring_dup_pairs",
+    "doc_weighted_sample", "doc_weighted_sample_by_source",
 ]
 
 
