@@ -109,6 +109,167 @@ def decode_image(payload: bytes) -> dict:
 
 FEATURE_SCHEMA = "doc_id long, byte_len long, feature_vec array<double>"
 
+# ---------------------------------------------------------------------------
+# Real PNG codec (stdlib only: zlib + struct).  Encoder writes 8-bit
+# truecolor non-interlaced PNGs with a DIFFERENT filter type per
+# scanline (y % 5), so any decoder that round-trips them must implement
+# the full PNG filter set (None/Sub/Up/Average/Paeth, spec §9).  The
+# decoder walks chunks, verifies every CRC32, inflates the IDAT stream
+# and unfilters scanline-by-scanline — corruption anywhere (CRC, zlib
+# stream, filter byte, stream length) raises ValueError.
+
+import struct
+import zlib
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(width: int, height: int, pixels: bytes) -> bytes:
+    """Encode raw RGB bytes (height*width*3) as a real PNG.
+
+    Scanline y uses filter type y % 5 — deliberately cycling the whole
+    filter set so `decode_png_pixels` is a genuine full decoder, not a
+    filter-0 special case."""
+    bpp = 3
+    if len(pixels) != width * height * bpp:
+        raise ValueError("pixel buffer size mismatch")
+    out = bytearray()
+    prev = bytes(width * bpp)
+    for y in range(height):
+        line = pixels[y * width * bpp : (y + 1) * width * bpp]
+        t = y % 5
+        out.append(t)
+        for i in range(len(line)):
+            left = line[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if t == 0:
+                pred = 0
+            elif t == 1:
+                pred = left
+            elif t == 2:
+                pred = up
+            elif t == 3:
+                pred = (left + up) >> 1
+            else:
+                pred = _paeth(left, up, ul)
+            out.append((line[i] - pred) & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Full pixel-level PNG decode with no imaging library: chunk walk
+    with CRC32 verification, IDAT concatenation + zlib inflate, then
+    per-scanline unfilter (all five PNG filter types, Paeth included).
+    Returns (width, height, channels, raw_pixels).  Supports 8-bit
+    truecolor non-interlaced (the encoder's output and the common
+    web-scrape case); anything else — or any corruption — raises
+    ValueError so callers can dead-letter the row."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    saw_end = False
+    while pos + 12 <= len(payload):
+        clen = int.from_bytes(payload[pos : pos + 4], "big")
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if len(data) != clen:
+            raise ValueError("PNG: truncated chunk")
+        crc = int.from_bytes(payload[pos + 8 + clen : pos + 12 + clen], "big")
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG: CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            width, height = struct.unpack(">II", data[:8])
+            bit_depth, color_type, _comp, _filt, interlace = data[8:13]
+            if bit_depth != 8 or color_type != 2 or interlace != 0:
+                raise ValueError("PNG: only 8-bit truecolor non-interlaced")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            saw_end = True
+            break
+        pos += 12 + clen
+    if width is None or not idat or not saw_end:
+        raise ValueError("PNG: missing IHDR/IDAT/IEND")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG: corrupt IDAT stream ({e})") from e
+    bpp = 3
+    stride = width * bpp
+    if len(raw) != height * (1 + stride):
+        raise ValueError("PNG: inflated stream length mismatch")
+    pixels = bytearray(height * stride)
+    prev = bytes(stride)
+    for y in range(height):
+        t = raw[y * (1 + stride)]
+        if t > 4:
+            raise ValueError(f"PNG: invalid filter type {t}")
+        f = raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]
+        line = bytearray(stride)
+        for i in range(stride):
+            left = line[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if t == 0:
+                pred = 0
+            elif t == 1:
+                pred = left
+            elif t == 2:
+                pred = up
+            elif t == 3:
+                pred = (left + up) >> 1
+            else:
+                pred = _paeth(left, up, ul)
+            line[i] = (f[i] + pred) & 0xFF
+        pixels[y * stride : (y + 1) * stride] = line
+        prev = bytes(line)
+    return width, height, bpp, bytes(pixels)
+
+
+def png_channel_features(payload: bytes) -> dict:
+    """Decoded-pixel features: per-channel mean and population stddev,
+    normalized to [0,1].  This is the real replacement for the md5
+    stand-in — wrong inflate, wrong unfilter, or wrong channel order
+    changes the numbers and fails the oracle."""
+    import numpy as np
+
+    w, h, ch, pix = decode_png_pixels(payload)
+    a = np.frombuffer(pix, dtype=np.uint8).reshape(-1, ch).astype(np.float64)
+    mu = a.mean(axis=0) / 255.0
+    sd = a.std(axis=0) / 255.0
+    return {
+        "width": w,
+        "height": h,
+        "feature_vec": [*mu.tolist(), *sd.tolist()],
+    }
+
 
 def fake_features(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic md5-derived feature vector (stands in for a real

@@ -59,13 +59,83 @@ def _register(
     return deco
 
 
+# Driver-window rotation.  The driver's correctness gate samples the
+# FIRST 50 entries of queries() (dict insertion order).  Rounds 1-3 kept
+# registration order stable, so the §2 surface earned driver-grade rows
+# while every round-2/3 addition only ever had builder-side parity
+# evidence.  Round 4 leads with the LLM-data / ML / curation queries
+# that have never had a CORRECTNESS_r*.json row.  Names, builders and
+# oracles are byte-identical — only dict iteration order moves.  Rotate
+# this tuple each round until all 208 have driver rows.
+WINDOW_PRIORITY: tuple[str, ...] = (
+    "doc_dedup_funnel",
+    "dedup_keeper_assignment",
+    "dedup_keeper_transitive",
+    "doc_substring_dup_pairs",
+    "doc_simhash_hamming_pairs",
+    "embedding_near_dup_pairs",
+    "doc_edit_distance_pairs",
+    "embedding_ivf_topk",
+    "embedding_quantize_int8",
+    "media_features",
+    "media_frame_sample",
+    "doc_chunking",
+    "doc_pack_sequences",
+    "doc_stratified_sample",
+    "doc_quality_filter",
+    "doc_train_test_split",
+    "doc_token_budget_sample",
+    "doc_weighted_sample",
+    "doc_weighted_sample_by_source",
+    "source_sampling_weights",
+    "decontamination_overlap",
+    "corpus_drift_jsd",
+    "mmr_diversified_topk",
+    "training_data_pipeline",
+    "training_data_pipeline_v2",
+    "corpus_top_terms",
+    "tfidf_top_terms",
+    "term_counts_cms",
+    "doc_unigram_logprob",
+    "doc_bigram_logprob",
+    "doc_oov_ratio",
+    "doc_word_entropy",
+    "doc_repetition_score",
+    "doc_ngram_novelty",
+    "corpus_heaps_stats",
+    "zipf_slope",
+    "bpe_first_merge_stats",
+    "word_pmi_collocations",
+    "lang_id_confusion",
+    "pii_source_report",
+    "pii_redaction_audit",
+    "url_domain_stats",
+    "embedding_knn_classify",
+    "embedding_label_outliers",
+    "embedding_dim_correlation",
+    "embedding_power_iteration",
+    "kmeans_lloyd_2iter",
+    "dup_cluster_size_stats",
+    "value_percentiles",
+    "copurchase_pagerank",
+)
+
+
+def _ordered_names() -> list[str]:
+    prio = [n for n in WINDOW_PRIORITY if n in REGISTRY]
+    seen = set(prio)
+    return prio + [n for n in REGISTRY if n not in seen]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.builder for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].builder for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
     }
 
 
