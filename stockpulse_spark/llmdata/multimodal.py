@@ -2,12 +2,17 @@
 columns with typed metadata, processed by Arrow-batched mapInPandas
 kernels.
 
-The metadata decode is REAL: `decode_image` is a dependency-free
-binary parser reading the PNG IHDR chunk, the JPEG SOF0/1/2 frame
-header, or the GIF logical screen descriptor straight from the header
-bytes — width, height, channels with no imaging library. Only the
-pixel-level decode (Pillow/ffmpeg feature extraction) remains a
-documented hook, because no imaging libs exist in this container.
+Decode is REAL at two levels, with no imaging library:
+
+- metadata: `decode_image` parses the PNG IHDR chunk, the JPEG
+  SOF0/1/2 frame header, or the GIF logical screen descriptor straight
+  from the header bytes — width, height, channels;
+- pixels: `decode_png_pixels` fully decodes 8-bit truecolor PNGs with
+  stdlib zlib — chunk walk + CRC32 verification, IDAT inflate, and
+  per-scanline unfilter across all five PNG filter types — and
+  `png_channel_features` turns the raw pixels into channel mean/stddev
+  feature vectors.  JPEG/video decode (a DCT/codec dependency) remains
+  the one documented external-encoder hook.
 
 Spark-side design, sized for 100 TB:
 
@@ -106,8 +111,6 @@ def decode_image(payload: bytes) -> dict:
         }
     raise ValueError("unsupported or malformed media payload")
 
-
-FEATURE_SCHEMA = "doc_id long, byte_len long, feature_vec array<double>"
 
 # ---------------------------------------------------------------------------
 # Real PNG codec (stdlib only: zlib + struct).  Encoder writes 8-bit
@@ -271,42 +274,69 @@ def png_channel_features(payload: bytes) -> dict:
     }
 
 
-def fake_features(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic md5-derived feature vector (stands in for a real
-    image/audio encoder): byte i,i+1 of the hex digest → [0,1]."""
-    import hashlib
-
-    h = hashlib.md5(payload).hexdigest()
-    hexmap = "0123456789abcdef"
-    return [
-        (hexmap.index(h[4 * i]) * 16 + hexmap.index(h[1 + 4 * i])) / 255.0
-        for i in range(dim)
-    ]
+PNG_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, decode_ok boolean, "
+    "feature_vec array<double>"
+)
 
 
-def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """mapInPandas kernel: payload → fixed-size feature vector.
-
-    The embedding model hook is the one remaining stub: wire a real
-    encoder (Pillow preprocessing + any vision model) here; this
-    container uses the deterministic md5 fake so the Spark plumbing
-    (binary in, array<double> out, Arrow batches) is fully exercised
-    and oracle-checkable.
-    """
+def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Testdata shim generating REAL PNGs: pixel (x, y, channel c) has
+    value (doc_id + 31*y + 7*x + 83*c) % 256, width = doc_id % 32 + 4,
+    height = (doc_id*7) % 32 + 4.  The closed form lets an
+    engine-independent oracle recompute per-channel statistics
+    analytically, while the Spark side must genuinely zlib-inflate and
+    unfilter the encoded bytes to recover them (the encoder cycles all
+    five PNG filter types)."""
+    import numpy as np
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [
-                dict(
-                    doc_id=int(doc_id),
-                    byte_len=len(bytes(payload)),
-                    feature_vec=fake_features(bytes(payload)),
+            payloads = []
+            ids = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w = d % 32 + 4
+                h = (d * 7) % 32 + 4
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
                 )
-                for doc_id, payload in zip(pdf[id_col], pdf["payload"])
-            ]
+                pix = ((d + 31 * y + 7 * x + 83 * c) % 256).astype(np.uint8)
+                payloads.append(encode_png(w, h, pix.tobytes()))
+                ids.append(d)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        kernel, schema="doc_id long, payload binary"
+    )
+
+
+def extract_png_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas kernel: real PNG payload → decoded-pixel features
+    (per-channel mean + population stddev, normalized).  Rows that fail
+    decode (corrupt CRC/IDAT/filter) become decode_ok=false with NULL
+    features — the dead-letter convention — instead of failing the job."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                base = dict(doc_id=int(doc_id))
+                try:
+                    feats = png_channel_features(bytes(payload))
+                    rows.append(dict(**base, decode_ok=True, **feats))
+                except ValueError:
+                    rows.append(
+                        dict(
+                            **base, width=None, height=None,
+                            decode_ok=False, feature_vec=None,
+                        )
+                    )
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, "payload").mapInPandas(kernel, schema=FEATURE_SCHEMA)
+    return df.select(id_col, "payload").mapInPandas(
+        kernel, schema=PNG_FEATURE_SCHEMA
+    )
 
 
 def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -208,3 +208,91 @@ def test_doc_chunking_reconstructs_corpus(spark, docs):
     assert set(by_doc) == set(orig)
     for did, words in by_doc.items():
         assert " ".join(words) == orig[did], f"doc {did} mangled"
+
+
+# ---------------------------------------------------------------------------
+# real PNG pixel codec (llmdata/multimodal.py: encode_png / decode_png_pixels)
+
+
+def _checker_pixels(w: int, h: int) -> bytes:
+    return bytes(
+        ((x + y + 37 * c) * 11) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+
+
+def test_png_pixel_roundtrip_all_filters():
+    """encode_png cycles filter types 0-4 across scanlines, so a green
+    round-trip proves the decoder implements the whole PNG filter set
+    (Sub/Up/Average/Paeth), not just filter 0."""
+    from stockpulse_spark.llmdata.multimodal import decode_png_pixels, encode_png
+
+    for w, h in [(1, 1), (4, 7), (33, 6), (16, 16)]:
+        pix = _checker_pixels(w, h)
+        rw, rh, ch, out = decode_png_pixels(encode_png(w, h, pix))
+        assert (rw, rh, ch) == (w, h, 3)
+        assert out == pix
+
+
+def test_png_decode_rejects_corruption():
+    """Every corruption class raises ValueError: flipped pixel bytes
+    (CRC catches it), a corrupted zlib stream, a bad filter type, and a
+    truncated file."""
+    from stockpulse_spark.llmdata.multimodal import decode_png_pixels, encode_png
+
+    good = encode_png(8, 5, _checker_pixels(8, 5))
+    # flip one byte inside the IDAT payload -> CRC mismatch
+    idat_off = good.index(b"IDAT") + 6
+    bad_crc = good[:idat_off] + bytes([good[idat_off] ^ 0xFF]) + good[idat_off + 1 :]
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_pixels(bad_crc)
+    # truncation
+    with pytest.raises(ValueError):
+        decode_png_pixels(good[: len(good) // 2])
+    # valid CRC but bogus zlib bytes: rebuild the IDAT chunk wholesale
+    import struct
+    import zlib
+
+    start = good.index(b"IDAT") - 4
+    end_len = int.from_bytes(good[start : start + 4], "big")
+    bogus = b"\x00" * end_len
+    chunk = (
+        struct.pack(">I", end_len) + b"IDAT" + bogus
+        + struct.pack(">I", zlib.crc32(b"IDAT" + bogus) & 0xFFFFFFFF)
+    )
+    bad_stream = good[:start] + chunk + good[start + 12 + end_len :]
+    with pytest.raises(ValueError):
+        decode_png_pixels(bad_stream)
+
+
+def test_png_features_match_pixel_stats():
+    """Channel mean/std from the decoder equal stats computed directly
+    on the raw pixels we fed the encoder."""
+    import numpy as np
+
+    from stockpulse_spark.llmdata.multimodal import encode_png, png_channel_features
+
+    w, h = 12, 9
+    pix = _checker_pixels(w, h)
+    feats = png_channel_features(encode_png(w, h, pix))
+    a = np.frombuffer(pix, dtype=np.uint8).reshape(-1, 3).astype(np.float64)
+    want = [*(a.mean(axis=0) / 255.0), *(a.std(axis=0) / 255.0)]
+    assert feats["width"] == w and feats["height"] == h
+    assert np.allclose(feats["feature_vec"], want, atol=1e-12)
+
+
+def test_png_feature_kernel_dead_letters(spark):
+    """The mapInPandas kernel routes corrupt payloads to decode_ok=false
+    rows instead of failing the job."""
+    from stockpulse_spark.llmdata.multimodal import encode_png, extract_png_features
+
+    good = encode_png(6, 4, _checker_pixels(6, 4))
+    rows = [(1, bytearray(good)), (2, bytearray(good[:20])), (3, bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in extract_png_features(df).collect()}
+    assert out[1]["decode_ok"] and out[1]["width"] == 6
+    assert len(out[1]["feature_vec"]) == 6
+    assert not out[2]["decode_ok"] and out[2]["feature_vec"] is None
+    assert not out[3]["decode_ok"]
