@@ -4,11 +4,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is fully executed (collected to the driver like the
-dashboard would) — not just planned. Each query runs twice and the
-best time is reported (standard warm-run convention): the first
-execution pays one-time whole-stage-codegen/janino compilation of the
-plan, a fixed cost independent of data volume that would misrepresent
-steady-state throughput at any real scale.
+dashboard would) — not just planned. Each query runs THREE times
+post-warmup and the minimum is reported (standard warm-run
+convention: the first execution pays one-time whole-stage-codegen/
+janino compilation, a fixed cost independent of data volume), with
+the per-query spread (max−min) reported alongside so a regression
+between rounds is attributable — a delta inside the spread is
+JVM/GC noise, outside it is real.
 """
 
 from __future__ import annotations
@@ -70,22 +72,20 @@ def main() -> None:
     REGISTRY[names[0]].builder(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
         runs, n = [], 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = REGISTRY[name].builder(spark, sf_dir)
             n = len(df.collect())
             runs.append(time.time() - t0)
-        # if the two runs disagree badly (GC pause, codegen spill,
-        # machine contention), a third run arbitrates so one flaky
-        # measurement can't distort the recorded steady-state number
-        if max(runs) > 2 * min(runs):
-            t0 = time.time()
-            n = len(REGISTRY[name].builder(spark, sf_dir).collect())
-            runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        spreads[name] = round(max(runs) - min(runs), 3)
+        print(
+            f"# {name}: {timings[name]:.3f}s ±{spreads[name]:.3f} ({n} rows)",
+            file=sys.stderr,
+        )
 
     # skew resilience: re-time the window-heavy queries on a copy of
     # events where one user owns ~50% of rows (not added to the
@@ -114,6 +114,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "skew_queries": skew_timings,
                 "skew_ratio": {
                     n: round(skew_timings[n] / timings[n], 3) for n in skew_timings

@@ -33,11 +33,21 @@ _REDACTIONS = (
 
 
 def pii_counts(text: Column) -> dict[str, Column]:
-    """Per-row match counts for each PII class."""
+    """Per-row match counts for each PII class.
+
+    Counts are coalesced to 0 for NULL text: under non-ANSI sessions
+    size(NULL) is -1, which would silently corrupt SUM() totals
+    relative to a SQL oracle (whose SUM skips NULLs)."""
+
+    def _n(pattern: str) -> Column:
+        return F.coalesce(
+            F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))), F.lit(0)
+        )
+
     return {
-        "n_emails": F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0))),
-        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), F.lit(0))),
-        "n_ssns": F.size(F.regexp_extract_all(text, F.lit(SSN_RE), F.lit(0))),
+        "n_emails": _n(EMAIL_RE),
+        "n_phones": _n(PHONE_RE),
+        "n_ssns": _n(SSN_RE),
     }
 
 

@@ -385,19 +385,37 @@ def _macd_query(spark: SparkSession, sf_dir: str, series_bound) -> DataFrame:
     headline=True,
     tags=("window", "indicator", "udf"),
     doc="reference W8 (app/dashboard.py:114-118): MACD via recursive "
-    "EMA through the scale-safe AUTOMATIC dispatch "
-    "(functions/ema.py:add_macd_auto): one cheap count-agg probes the "
-    "true max per-series length over the localCheckpointed bars, then "
-    "bounded series (≤10k points — true for intraday bars, and for "
-    "this dataset) run the JVM `aggregate` fold while longer series "
-    "run the linear Arrow applyInPandas kernel. The quadratic fold "
-    "can never see an unbounded series; the probe's work is reused by "
-    "the main plan. Oracle folds the identical adjust=False recursion "
-    "with DuckDB list_reduce; the kernel path is oracle-pinned by "
-    "macd_unbounded_kernel and the dispatch itself by "
+    "EMA through the scale-safe dispatch (functions/ema.py:"
+    "add_macd_auto) with a STATIC series bound read from parquet "
+    "footer statistics (sources/tables.py:hour_span_bound): series "
+    "are keyed (user, hour), so max length ≤ hour buckets in the "
+    "dataset's ts span — one metadata fetch, zero Spark jobs, no "
+    "probe aggregation in the benched path. Bounded series (≤10k "
+    "points) run the JVM `aggregate` fold; past the bound the linear "
+    "Arrow kernel runs. Falls back to the probe when footers carry no "
+    "stats. Oracle folds the identical adjust=False recursion with "
+    "DuckDB list_reduce; the probe path keeps its own oracle row "
+    "(macd_probed_dispatch) and the dispatch is plan-pinned by "
     "tests/test_plan_shapes.py.",
 )
 def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.sources.tables import hour_span_bound
+
+    return _macd_query(spark, sf_dir, series_bound=hour_span_bound(sf_dir))
+
+
+@_register(
+    "macd_probed_dispatch",
+    oracle=_MACD_ORACLE,
+    tags=("window", "indicator", "udf"),
+    doc="the library-default MACD path (series_bound=None): one cheap "
+    "count-agg probes the true max per-series length over the "
+    "localCheckpointed bars, then dispatches fold vs kernel. "
+    "Registered separately so the probed path keeps a green oracle "
+    "row while the benched macd_12_26_9 uses the footer-derived "
+    "static bound.",
+)
+def q_macd_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _macd_query(spark, sf_dir, series_bound=None)
 
 

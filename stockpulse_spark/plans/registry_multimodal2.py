@@ -43,8 +43,17 @@ _PAYLOAD_HEX_SQL = """
                 / 2 AS INT) AS frame_len,
            md5(substr(p.ph, CAST(t.i * 1024 + 1 AS BIGINT), 1024))
              AS frame_md5
-    FROM p, range(0, 16) t(i)
-    WHERE t.i % 2 = 0 AND t.i * 1024 < length(p.ph)
+    FROM p
+    JOIN (
+      -- enumerate frame indices up to the longest payload: DuckDB's
+      -- range() only takes constants, so derive the bound via
+      -- generate_series over the max hex length instead of a
+      -- hardcoded cap that a longer regenerated testdoc would outgrow
+      SELECT unnest(generate_series(
+        0, (SELECT CAST(ceil(max(length(ph)) / 1024.0) AS BIGINT) FROM p)
+      )) AS i
+    ) t ON t.i * 1024 < length(p.ph)
+    WHERE t.i % 2 = 0
     """,
     tags=("llmdata", "multimodal"),
     doc="video-style frame sampling: slice each binary payload into "

@@ -96,3 +96,53 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+@lru_cache(maxsize=64)
+def footer_column_span(sf_dir: str, name: str, col: str):
+    """(min, max) of `col` from parquet FOOTER statistics — zero data
+    read, no Spark job. At cluster scale this is one metadata fetch per
+    file (what any lakehouse table format keeps in its manifest), which
+    is how a planner should derive static bounds — e.g. the hour-span
+    cap on per-series bar counts that lets MACD assert its series bound
+    without a probe aggregation. Returns None when any row group lacks
+    stats (caller falls back to a probe)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = [path] if os.path.isfile(path) else sorted(
+        glob.glob(os.path.join(path, "*.parquet"))
+    )
+    mn = mx = None
+    for f in files:
+        md = pq.read_metadata(f)
+        sch = md.schema.to_arrow_schema()
+        try:
+            idx = sch.names.index(col)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+    if mn is None:
+        return None
+    return mn, mx
+
+
+def hour_span_bound(sf_dir: str, name: str = "events", col: str = "ts") -> int | None:
+    """Upper bound on per-series HOURLY bar counts: the number of hour
+    buckets between the dataset's min and max timestamp (footer stats
+    only). A series keyed by (user, hour) can never exceed this,
+    whatever the key distribution."""
+    span = footer_column_span(sf_dir, name, col)
+    if span is None:
+        return None
+    mn, mx = span
+    if not hasattr(mn, "timestamp"):
+        return None
+    return int((mx.timestamp() - mn.timestamp()) // 3600) + 2

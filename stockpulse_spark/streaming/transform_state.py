@@ -84,7 +84,7 @@ class RunningSeriesProcessor(StatefulProcessor):
             if self._state.exists()
             else (0, None, None, 0, 0)
         )
-        batch = pd.concat(list(rows)).sort_values("ts")
+        batch = pd.concat(list(rows)).sort_values("ts", kind="stable")
         vals = batch["value"].astype(float).reset_index(drop=True)
         cur_streak, best_streak = _fold_batch(
             vals, last_value, cur_streak, best_streak
@@ -124,7 +124,7 @@ def _fold_group_pandas(key, pdf_iter, state):
     n, mx, last_value, cur_streak, best_streak = (
         state.get if state.exists else (0, None, None, 0, 0)
     )
-    batch = pd.concat(list(pdf_iter)).sort_values("ts")
+    batch = pd.concat(list(pdf_iter)).sort_values("ts", kind="stable")
     vals = batch["value"].astype(float).reset_index(drop=True)
     cur_streak, best_streak = _fold_batch(
         vals, last_value, cur_streak, best_streak

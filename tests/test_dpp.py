@@ -7,6 +7,8 @@ fact table and scanning one partition per qualifying dim row."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from stockpulse_spark.sources.tables import load_table
@@ -60,6 +62,10 @@ def test_static_partition_pruning_on_filter(spark, tmp_path):
     y = fact.select(F.min("o_year")).first()[0]
     q = fact.filter(F.col("o_year") == y)
     plan = q._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan
-    assert f"(o_year#" in plan or str(y) in plan
+    # the o_year equality must appear inside the scan's PartitionFilters
+    # clause specifically — matching the literal anywhere in the plan
+    # would be vacuous (the Filter node always carries it)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert re.search(rf"o_year#\d+L?\)? = {y}", m.group(1)), m.group(1)
     assert q.count() == orders.filter(F.col("o_year") == y).count()
