@@ -107,9 +107,153 @@ def min_label_components(
         )
         cur = labels.agg(F.sum("label")).first()[0]
         if cur == prev:
+            return labels
+        prev = cur
+    # A graph that hasn't converged in max_iter rounds has a component
+    # whose diameter exceeds the cap — silent wrong labels would merge
+    # or split dedup groups undetectably, so fail loudly and point the
+    # caller at the logarithmic-round algorithm.
+    raise ValueError(
+        f"min_label_components: not converged after {max_iter} rounds "
+        "(component diameter exceeds the iteration cap); use "
+        "star_components, which converges in O(log^2 n) rounds on any "
+        "graph shape"
+    )
+
+
+def star_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the 100 TB-safe transitive closure: O(log² n) rounds on
+    ANY graph shape, including the pathological million-node chain
+    that plain min-label propagation (O(diameter) rounds) can never
+    finish under a bounded iteration cap.
+
+    Each round is two edge rewrites, each one join + one partial-agg
+    shuffle over (node, node) pairs only:
+
+    - large-star(u): hook every neighbor v > u onto
+      m = min(N(u) ∪ {u});
+    - small-star(u): hook every neighbor v ≤ u, and u itself, onto m.
+
+    Edges stay symmetric + deduped between phases; lineage is cut with
+    localCheckpoint per round and convergence is detected by an
+    order-insensitive xxhash64 fingerprint of the canonical
+    (min, max) edge set, computed by the same action that materializes
+    the round. On convergence the edge set is a star forest and
+    label(u) = min(u, min neighbor). Raises after max_iter (30 rounds
+    covers any n that fits in 64-bit ids) rather than return wrong
+    labels.
+
+    Returns (id_col, label), label = min vertex id of the component;
+    vertices absent from any edge label themselves.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        mins = (
+            e.union(e.select(F.col("a"), F.col("a").alias("b")))
+            .groupBy("a")
+            .agg(F.min("b").alias("m"))
+        )
+        # large-star(u) emits (v, m) for neighbors v > u; small-star(u)
+        # emits (v, m) for neighbors v <= u plus the center edge (u, m).
+        # Every undirected edge is processed from exactly one center
+        # (the smaller endpoint for large, the larger for small), which
+        # is what makes each phase one join + one agg, no blow-up.
+        side = F.col("b") > F.col("a") if large else F.col("b") <= F.col("a")
+        hooked = (
+            e.join(mins, "a")
+            .filter(side)
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        out = hooked if large else hooked.union(
+            mins.select(F.col("a"), F.col("m").alias("b"))
+        )
+        return (
+            out.union(out.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def _fingerprint(e: DataFrame):
+        canon = e.select(
+            F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+        ).distinct()
+        # decimal sum: a long sum of xxhash64 values overflows under
+        # ANSI mode on all but tiny edge sets
+        return canon.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("x", "y").cast("decimal(38,0)")),
+        ).first()
+
+    prev = _fingerprint(sym)
+    converged = False
+    for _ in range(max_iter):
+        sym = _star(_star(sym, large=True), large=False).localCheckpoint()
+        cur = _fingerprint(sym)
+        if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise ValueError(
+            f"star_components: not converged after {max_iter} rounds"
+        )
+    labels = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select(
+            F.col("a").alias(id_col), F.least("a", "mb").alias("label")
+        )
+    )
+    if vertices is not None:
+        verts = vertices.select(id_col).distinct()
+        labels = (
+            verts.join(labels, id_col, "left")
+            .select(id_col, F.coalesce("label", F.col(id_col)).alias("label"))
+        )
     return labels
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    propagation_rounds: int = 8,
+) -> DataFrame:
+    """Adaptive connected components — the entry point dedup keeper
+    assignment should use.
+
+    Near-dup components are dense near-cliques (every member shares a
+    blocking key with most others), so min-label propagation converges
+    in 2-3 cheap rounds — run it first under a tight cap. If the graph
+    hides a high-diameter component (the 100 TB pathological chain),
+    the capped run raises instead of returning wrong labels, and the
+    alternating large-star/small-star algorithm — O(log² n) rounds on
+    any shape — finishes the job. Fast case pays nothing; adversarial
+    case stays correct and bounded."""
+    try:
+        return min_label_components(
+            edges, vertices, src, dst, id_col, max_iter=propagation_rounds
+        )
+    except ValueError:
+        return star_components(edges, vertices, src, dst, id_col)
 
 
 def new_keys_only(batch: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:

@@ -188,15 +188,17 @@ WITH RECURSIVE corpus3 AS (
     "the suffix-10 key, C (back-5-words dropped) matches B only on the "
     "prefix-10 key, and A carries the smallest id — so C can only "
     "learn its keeper through B, which 1-hop min-id gets WRONG and "
-    "label propagation (operators/dedup.py:min_label_components, "
-    "bounded iterations, localCheckpointed, convergence-detected) gets "
-    "right. Oracle = DuckDB recursive-CTE transitive closure — exact "
-    "for any component shape. Each Spark iteration is one join + one "
-    "partial-agg shuffle over (id,label) pairs only; rounds = "
-    "component diameter, small for near-dup clusters at any scale.",
+    "connected components (operators/dedup.py:connected_components) "
+    "gets right: min-label propagation under a tight cap — near-dup "
+    "components are dense, diameter 2-3 — with automatic fallback to "
+    "alternating large-star/small-star (Kiveris et al. SoCC'14, "
+    "O(log² n) rounds on ANY shape) when the cap trips, so a 100 TB "
+    "pathological chain can neither unroll unboundedly nor yield "
+    "silently wrong labels. Oracle = DuckDB recursive-CTE transitive "
+    "closure — exact for any component shape.",
 )
 def q_dedup_keeper_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stockpulse_spark.operators.dedup import min_label_components
+    from stockpulse_spark.operators.dedup import connected_components
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     w = F.split("text", " ")
@@ -231,7 +233,7 @@ def q_dedup_keeper_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         edges = e if edges is None else edges.union(e)
     edges = edges.distinct()
-    labels = min_label_components(
+    labels = connected_components(
         edges, vertices=keyed.select(F.col("doc_id")), id_col="doc_id"
     )
     return keyed.select("doc_id").join(labels, "doc_id", "left").select(

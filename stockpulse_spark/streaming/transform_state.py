@@ -145,6 +145,17 @@ def _fold_group_pandas(key, pdf_iter, state):
     )
 
 
+def active_state_binding() -> str:
+    """Name of the state API `running_series_stats` will bind to in
+    THIS runtime — surfaced so tests and operators can record which
+    path their evidence covers."""
+    return (
+        "transformWithStateInPandas"
+        if has_transform_with_state_runtime()
+        else "applyInPandasWithState"
+    )
+
+
 def running_series_stats(stream_df):
     """Attach the processor: one output row per user per micro-batch
     carrying the updated running aggregate.

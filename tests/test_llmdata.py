@@ -175,6 +175,67 @@ def test_min_label_components_planted_chains(spark):
     assert all(labels[v] == 100 for v in (100, 101, 102))
 
 
+def test_min_label_refuses_unconverged_long_chain(spark):
+    """Plain propagation needs O(diameter) rounds; under a cap that a
+    pathological chain exceeds, it must FAIL LOUDLY (wrong dedup labels
+    silently merging/splitting groups is the worst outcome)."""
+    from stockpulse_spark.operators.dedup import min_label_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="not converged"):
+        min_label_components(chain, max_iter=5)
+
+
+def test_star_components_long_chain_logarithmic_rounds(spark):
+    """The 100 TB contract: a planted 1200-node chain — the worst case
+    for label propagation (diameter 1200) — must fully converge under a
+    12-round cap, which only holds if the alternating large-star/
+    small-star contraction is genuinely logarithmic."""
+    from stockpulse_spark.operators.dedup import star_components
+
+    n = 1200
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    labels = {
+        r["id"]: r["label"]
+        for r in star_components(chain, max_iter=12).collect()
+    }
+    assert len(labels) == n + 1
+    assert all(v == 0 for v in labels.values())
+
+
+def test_star_components_matches_min_label_on_random_graphs(spark):
+    """Differential check on shapes where both algorithms converge:
+    identical labels on random multi-component graphs, plus isolated
+    vertices labeling themselves."""
+    import random
+
+    from stockpulse_spark.operators.dedup import (
+        min_label_components,
+        star_components,
+    )
+
+    rng = random.Random(7)
+    for _ in range(3):
+        m = rng.randint(5, 60)
+        es = [(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(m)]
+        es = [e for e in es if e[0] != e[1]] or [(0, 1)]
+        edf = spark.createDataFrame(es, "src long, dst long")
+        a = {r["id"]: r["label"] for r in star_components(edf).collect()}
+        b = {r["id"]: r["label"] for r in min_label_components(edf).collect()}
+        assert a == b
+    verts = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    edf = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    lab = {
+        r["id"]: r["label"]
+        for r in star_components(edf, vertices=verts).collect()
+    }
+    assert lab == {0: 0, 1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 6, 7: 7}
+
+
 def test_transitive_keeper_chains_elect_one_keeper(spark):
     """Every planted A-B-C chain must land in ONE component: C (largest
     id) only touches B, so 1-hop min-id would elect B as its keeper —

@@ -137,3 +137,37 @@ def test_cross_batch_state_matches_single_batch(spark, tmp_path):
         or final_two[uid]["n_events"] != b["n_events"]
     ]
     assert not mismatches, mismatches[:5]
+
+
+def test_active_binding_is_named_and_in_plan(spark, capsys):
+    """Pin WHICH state API this runtime's evidence covers: the probe's
+    answer must match the node that actually appears in the streaming
+    plan, and the name is printed so the test log names the active
+    path. Both bindings share the fold kernel; when the protobuf
+    runtime is present the typed transformWithState path binds (and
+    the cross-batch tests above run against it), otherwise
+    applyInPandasWithState does."""
+    from stockpulse_spark.streaming.transform_state import (
+        active_state_binding,
+        has_transform_with_state_runtime,
+    )
+
+    binding = active_state_binding()
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .select(
+            (F.col("value") % 3).alias("user_id"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    out = running_series_stats(src)
+    plan = out._jdf.queryExecution().logical().toString()
+    if has_transform_with_state_runtime():
+        assert binding == "transformWithStateInPandas"
+        assert "TransformWithStateInPySpark" in plan or "TransformWithState" in plan
+    else:
+        assert binding == "applyInPandasWithState"
+        assert "FlatMapGroupsInPandasWithState" in plan, plan
+    with capsys.disabled():
+        print(f"\n[transform_state] active state binding: {binding}")
