@@ -127,7 +127,13 @@ def rsi(ctx: IndicatorContext, n: int = 14, col: str | None = None) -> Column:
     full = F.count(gain).over(frame) >= n
     avg_gain = F.when(full, F.avg(gain).over(frame))
     avg_loss = F.when(full, F.avg(loss).over(frame))
-    return 100.0 - 100.0 / (1.0 + avg_gain / avg_loss)
+    # pandas float semantics on an all-gain window: g/0 = inf → RSI
+    # 100; 0/0 = NaN → NaN. Spark ANSI division would instead raise,
+    # so the zero-loss cases are made explicit.
+    return (
+        F.when(avg_loss == 0.0, F.when(avg_gain > 0.0, F.lit(100.0)))
+        .otherwise(100.0 - 100.0 / (1.0 + avg_gain / avg_loss))
+    )
 
 
 def atr(

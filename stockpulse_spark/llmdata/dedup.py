@@ -114,6 +114,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    bucket_cap: int | None = 64,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -121,6 +122,16 @@ def minhash_lsh_pairs(
     (band_idx, band_hash) → distinct (id1 < id2) pairs → estimated
     Jaccard = fraction of matching signature positions ≥ threshold.
     Sub-quadratic: only docs sharing a band bucket are compared.
+
+    `bucket_cap` is the boilerplate guard: a band bucket holding B
+    docs contributes B²/2 pairs, so one shared header/footer across a
+    web crawl (cookie banners, license preambles) turns the self-join
+    quadratic on exactly the hottest key. Buckets larger than the cap
+    are DROPPED before the join — a bucket that big is boilerplate
+    evidence, not duplication evidence (its members still pair through
+    their other, content-derived bands). The skew is removed at the
+    source rather than absorbed, which is what survives a 100 TB crawl
+    with a million-document banner bucket.
     """
     r = k // bands
     sig = df.select(
@@ -158,6 +169,14 @@ def minhash_lsh_pairs(
     # distinct — shuffling the 16-hash signature arrays through
     # dropDuplicates would dominate the cost; rejoin them afterwards
     lite = banded.select("doc_id", "band_idx", "band_hash")
+    if bucket_cap is not None:
+        ok_buckets = (
+            lite.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+            .filter(F.col("bucket_n") <= bucket_cap)
+            .select("band_idx", "band_hash")
+        )
+        lite = lite.join(ok_buckets, ["band_idx", "band_hash"])
     left = lite.alias("l")
     right = lite.alias("r")
     pairs = (

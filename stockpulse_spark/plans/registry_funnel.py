@@ -29,11 +29,17 @@ from stockpulse_spark.plans.registry_llmdata import (
              md5(array_to_string(sig[b.band_idx * 2 + 1 : b.band_idx * 2 + 2], '|')) AS band_hash,
              b.band_idx
       FROM sig, (SELECT unnest(range(0, 8)) AS band_idx) b
+    ), ok_buckets AS (
+      -- boilerplate bucket cap, mirrored from minhash_lsh_pairs
+      SELECT band_idx, band_hash FROM banded
+      GROUP BY band_idx, band_hash HAVING COUNT(*) <= 64
     ), cand AS (
       SELECT DISTINCT l.doc_id AS doc_id_1, r.doc_id AS doc_id_2
       FROM banded l JOIN banded r
         ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
        AND l.doc_id < r.doc_id
+      JOIN ok_buckets ob
+        ON ob.band_idx = l.band_idx AND ob.band_hash = l.band_hash
     )
     SELECT c.doc_id_1, c.doc_id_2,
            ROUND(CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)

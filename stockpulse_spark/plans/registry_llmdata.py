@@ -196,12 +196,19 @@ def _sig_sql(k: int) -> str:
       SELECT doc_id, sig, b.band_idx,
              md5(array_to_string(sig[b.band_idx * 2 + 1 : b.band_idx * 2 + 2], '|')) AS band_hash
       FROM sig, (SELECT unnest(range(0, 8)) AS band_idx) b
+    ), ok_buckets AS (
+      -- boilerplate guard, mirrored from the Spark side: buckets with
+      -- more than 64 members are dropped before the self-join
+      SELECT band_idx, band_hash FROM banded
+      GROUP BY band_idx, band_hash HAVING COUNT(*) <= 64
     ), pairs AS (
       SELECT DISTINCT l.doc_id AS doc_id_1, r.doc_id AS doc_id_2,
              l.sig AS sig1, r.sig AS sig2
       FROM banded l JOIN banded r
         ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
        AND l.doc_id < r.doc_id
+      JOIN ok_buckets ob
+        ON ob.band_idx = l.band_idx AND ob.band_hash = l.band_hash
     )
     SELECT doc_id_1, doc_id_2,
            ROUND(list_sum(list_transform(range(1, 17),
@@ -215,7 +222,12 @@ def _sig_sql(k: int) -> str:
     doc="MinHash-LSH near-dup pairs: 16-permutation signature (min "
     "md5 over 3-gram shingles), 8 bands x 2 rows, self-join on band "
     "buckets (sub-quadratic), estimated Jaccard >= 0.5. Finds the "
-    "planted near-duplicates (id vs id+1000000).",
+    "planted near-duplicates (id vs id+1000000). Band buckets larger "
+    "than 64 members are dropped on BOTH sides (boilerplate guard, "
+    "llmdata/dedup.py:minhash_lsh_pairs) so a shared crawl header "
+    "can't turn the self-join quadratic on the hottest key; the cap "
+    "is exercised by a planted hot bucket in tests/test_llmdata.py "
+    "and tools/scale_smoke.py.",
 )
 def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _mutated_corpus(spark, sf_dir)

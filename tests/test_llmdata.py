@@ -357,3 +357,33 @@ def test_png_feature_kernel_dead_letters(spark):
     assert len(out[1]["feature_vec"]) == 6
     assert not out[2]["decode_ok"] and out[2]["feature_vec"] is None
     assert not out[3]["decode_ok"]
+
+
+def test_minhash_bucket_cap_drops_boilerplate_bucket(spark):
+    """Planted hot bucket: 200 docs share one boilerplate text (a crawl
+    banner) and would alone contribute ~19,900 candidate pairs through
+    every band; the cap (64) must drop those buckets entirely while a
+    genuine near-dup pair with distinctive content still surfaces.
+    Disabling the cap on the same input must reintroduce the quadratic
+    pair blow-up — proving the cap, not the data, is what bounds it."""
+    from stockpulse_spark.llmdata.dedup import minhash_lsh_pairs
+
+    banner = " ".join(f"cookie policy terms w{i}" for i in range(10))
+    uniq = (
+        "quick brown fox jumps over the lazy dog number %d variant "
+        "alpha beta gamma delta epsilon zeta eta theta"
+    )
+    rows = [(i, banner) for i in range(200)]
+    rows += [(1001, uniq % 1), (1002, uniq % 1)]  # true near-dup pair
+    rows += [(2000 + i, uniq % (50 + i)) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    capped_pairs = {(r["doc_id_1"], r["doc_id_2"]) for r in capped}
+    assert (1001, 1002) in capped_pairs
+    assert not any(a < 1000 and b < 1000 for a, b in capped_pairs), (
+        "boilerplate bucket leaked through the cap"
+    )
+
+    uncapped = minhash_lsh_pairs(docs, threshold=0.5, bucket_cap=None).count()
+    assert uncapped >= 200 * 199 // 2, "expected the quadratic blow-up"

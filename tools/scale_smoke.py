@@ -58,6 +58,12 @@ QUERIES = [
     "word_pmi_collocations", "basket_affinity_lift",
     "copurchase_pagerank", "doc_substring_dup_pairs",
     "doc_weighted_sample", "doc_weighted_sample_by_source",
+    # round 4: LSH family under a planted hot boilerplate bucket (the
+    # big dir gives ~2% of docs one shared crawl banner, so the hot
+    # band bucket only exists at scale — the bucket cap in
+    # minhash_lsh_pairs is what keeps the ratio near-linear), SRP ANN,
+    # and the adaptive connected-components keeper
+    "embedding_srp_ann", "dedup_keeper_transitive",
 ]
 
 
@@ -98,11 +104,22 @@ def build_big_dir(spark, src: str, n: int) -> str:
     ).write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
 
     docs = load_table(spark, src, "documents")
+    # planted hot boilerplate bucket: ~2% of docs in every replica get
+    # one shared crawl-banner text, so at Nx the banner bucket holds
+    # ~0.02*N*|docs| members — far past the LSH bucket cap. The
+    # doc_minhash_lsh / doc_dedup_funnel ratios below stay near-linear
+    # only because minhash_lsh_pairs drops that bucket before the
+    # self-join; without the cap the banner alone contributes
+    # O((0.02*N*|docs|)^2) candidate pairs.
+    banner = " ".join(f"accept cookies privacy banner w{j}" for j in range(12))
+    boiler = F.col("doc_id") % 50 == 0
     _replicate(
         docs, n,
         lambda i: [
             (F.col("doc_id") + 100_000 * i).alias("doc_id"),
-            _rotate_text(F.col("text"), i).alias("text"),
+            F.when(boiler, F.lit(banner))
+            .otherwise(_rotate_text(F.col("text"), i))
+            .alias("text"),
             "lang", "source", "n_chars",
         ],
     ).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
