@@ -460,3 +460,167 @@ def sample_frames(
     return df.select(id_col, "payload").mapInPandas(
         kernel, schema=FRAME_SAMPLE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Real WAV/PCM audio codec (stdlib only: struct).  Same design as the
+# PNG path: the testdata shim writes genuine RIFF/WAVE containers whose
+# PCM samples are a closed-form function of doc_id, the Spark kernel
+# truly parses chunks and decodes 16-bit little-endian PCM, and the
+# DuckDB oracle recomputes the audio statistics analytically — a wrong
+# chunk walk, wrong endianness, or wrong sample width fails the hash.
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples int, decode_ok boolean, "
+    "rms double, zero_crossings int, peak int"
+)
+
+
+def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Minimal-but-valid WAV: RIFF header, PCM fmt chunk (mono,
+    16-bit), data chunk."""
+    import array
+
+    pcm = array.array("h", samples)
+    if sys_byteorder_big():
+        pcm.byteswap()
+    data = pcm.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def sys_byteorder_big() -> bool:
+    import sys
+
+    return sys.byteorder == "big"
+
+
+def decode_wav(payload: bytes) -> tuple[int, list[int]]:
+    """Parse RIFF/WAVE and decode mono 16-bit PCM samples.
+
+    Walks the chunk list (fmt must precede data, as written by every
+    real encoder), validates the RIFF size field, the PCM format tag,
+    channel count, bit depth, and that the data chunk length matches
+    a whole number of samples. Returns (sample_rate, samples);
+    raises ValueError on any corruption."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    if len(payload) < 12 or struct.unpack("<I", payload[4:8])[0] != len(payload) - 8:
+        raise ValueError("WAV: RIFF size field mismatch")
+    pos = 12
+    sample_rate = None
+    samples = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        clen = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if len(data) != clen:
+            raise ValueError("WAV: truncated chunk")
+        if tag == b"fmt ":
+            if clen < 16:
+                raise ValueError("WAV: short fmt chunk")
+            audio_fmt, channels, sample_rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", data[:16]
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("WAV: only mono 16-bit PCM supported")
+        elif tag == b"data":
+            if sample_rate is None:
+                raise ValueError("WAV: data chunk before fmt")
+            if clen % 2:
+                raise ValueError("WAV: data length not sample-aligned")
+            import array
+
+            pcm = array.array("h")
+            pcm.frombytes(data)
+            if sys_byteorder_big():
+                pcm.byteswap()
+            samples = pcm.tolist()
+        pos += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if sample_rate is None or samples is None:
+        raise ValueError("WAV: missing fmt or data chunk")
+    return sample_rate, samples
+
+
+def wav_audio_features(payload: bytes) -> dict:
+    """Decoded-PCM features: RMS amplitude, zero-crossing count
+    (consecutive samples with strictly opposite signs), peak absolute
+    amplitude."""
+    import math
+
+    rate, s = decode_wav(payload)
+    n = len(s)
+    rms = math.sqrt(sum(v * v for v in s) / n) if n else 0.0
+    zc = sum(
+        1 for i in range(1, n) if (s[i - 1] < 0 < s[i]) or (s[i] < 0 < s[i - 1])
+    )
+    return {
+        "sample_rate": rate,
+        "n_samples": n,
+        "rms": rms,
+        "zero_crossings": zc,
+        "peak": max((abs(v) for v in s), default=0),
+    }
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Testdata shim generating REAL WAV containers: doc d carries
+    n = d % 256 + 16 mono 16-bit samples with
+    sample[i] = ((d * 7919 + i * 31) % 2048) - 1024 at 8 kHz — a
+    closed form the oracle can integrate analytically while the Spark
+    side must genuinely parse RIFF chunks and decode PCM bytes."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                n = d % 256 + 16
+                samples = [((d * 7919 + i * 31) % 2048) - 1024 for i in range(n)]
+                ids.append(d)
+                payloads.append(encode_wav(8000, samples))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        kernel, schema="doc_id long, payload binary"
+    )
+
+
+def extract_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas kernel: WAV payload → decoded audio features, with
+    the dead-letter convention for corrupt containers."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                base = dict(doc_id=int(doc_id))
+                try:
+                    feats = wav_audio_features(bytes(payload))
+                    rows.append(dict(**base, decode_ok=True, **feats))
+                except ValueError:
+                    rows.append(
+                        dict(
+                            **base, sample_rate=None, n_samples=None,
+                            decode_ok=False, rms=None,
+                            zero_crossings=None, peak=None,
+                        )
+                    )
+            yield pd.DataFrame(rows)
+
+    out = df.select(id_col, "payload").mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, sample_rate int, n_samples int, rms double, "
+            "zero_crossings int, peak int, decode_ok boolean"
+        ),
+    )
+    return out.select(
+        "doc_id", "sample_rate", "n_samples", "decode_ok",
+        "rms", "zero_crossings", "peak",
+    )

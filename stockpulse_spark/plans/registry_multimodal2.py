@@ -70,3 +70,58 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sample_frames(d)
+
+
+@_register(
+    "audio_features",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 256 + 16 AS n FROM documents
+    ), s AS (
+      SELECT d.doc_id, d.n, t.i,
+             ((d.doc_id * 7919 + t.i * 31) % 2048) - 1024 AS v
+      FROM dims d JOIN range(0, 272) t(i) ON t.i < d.n
+    ), lagged AS (
+      SELECT doc_id, n, v,
+             LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM s
+    )
+    SELECT doc_id,
+           8000 AS sample_rate,
+           CAST(MAX(n) AS INT) AS n_samples,
+           TRUE AS decode_ok,
+           ROUND(sqrt(AVG(CAST(v AS DOUBLE) * v)), 6) AS rms,
+           CAST(SUM(CASE WHEN (pv < 0 AND v > 0) OR (pv > 0 AND v < 0)
+                         THEN 1 ELSE 0 END) AS INT) AS zero_crossings,
+           CAST(MAX(abs(v)) AS INT) AS peak
+    FROM lagged GROUP BY doc_id
+    """,
+    tags=("llmdata", "multimodal"),
+    doc="REAL audio feature extraction: each doc carries a genuine "
+    "RIFF/WAVE container (mono 16-bit PCM, samples a closed-form "
+    "function of doc_id) and the Spark kernel truly parses the chunk "
+    "list, validates fmt, and decodes little-endian PCM bytes before "
+    "computing RMS / zero-crossings / peak "
+    "(llmdata/multimodal.py:decode_wav). The oracle integrates the "
+    "sample formula analytically, so a wrong chunk walk, endianness, "
+    "or sample width fails the value hash. With the PNG pixel path "
+    "this makes two fully-decoded modalities; only DCT-class codecs "
+    "(JPEG/video) remain external-encoder hooks.",
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.llmdata.multimodal import (
+        attach_wav_payload,
+        extract_audio_features,
+    )
+    from stockpulse_spark.plans.registry import _r6
+
+    d = attach_wav_payload(
+        _t(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    out = extract_audio_features(d)
+    return out.select(
+        "doc_id", "sample_rate", "n_samples", "decode_ok",
+        _r6(F.col("rms")).alias("rms"), "zero_crossings", "peak",
+    )

@@ -387,3 +387,50 @@ def test_minhash_bucket_cap_drops_boilerplate_bucket(spark):
 
     uncapped = minhash_lsh_pairs(docs, threshold=0.5, bucket_cap=None).count()
     assert uncapped >= 200 * 199 // 2, "expected the quadratic blow-up"
+
+
+# ---------------------------------------------------------------------------
+# real WAV/PCM codec (llmdata/multimodal.py: encode_wav / decode_wav)
+
+
+def test_wav_roundtrip_and_features():
+    from stockpulse_spark.llmdata.multimodal import (
+        decode_wav,
+        encode_wav,
+        wav_audio_features,
+    )
+
+    samples = [0, 1000, -1000, 32767, -32768, 12, -12, 0]
+    rate, out = decode_wav(encode_wav(44100, samples))
+    assert rate == 44100 and out == samples
+    f = wav_audio_features(encode_wav(8000, samples))
+    assert f["n_samples"] == 8 and f["peak"] == 32768
+    # strict sign flips: (1000,-1000) (-1000,32767) (32767,-32768)
+    # (-32768,12) (12,-12) — the leading/trailing zeros break no pair
+    assert f["zero_crossings"] == 5
+
+
+def test_wav_decode_rejects_corruption():
+    import struct
+
+    from stockpulse_spark.llmdata.multimodal import decode_wav, encode_wav
+
+    good = encode_wav(8000, [1, -2, 3, -4])
+    with pytest.raises(ValueError):  # truncated
+        decode_wav(good[:20])
+    with pytest.raises(ValueError, match="RIFF size"):
+        decode_wav(good + b"\x00")  # size field no longer matches
+    bad_magic = b"RIFX" + good[4:]
+    with pytest.raises(ValueError):
+        decode_wav(bad_magic)
+    # stereo declared in fmt -> unsupported
+    stereo = bytearray(good)
+    stereo[22] = 2
+    with pytest.raises(ValueError, match="mono"):
+        decode_wav(bytes(stereo))
+    # odd data chunk length
+    pos = good.index(b"data")
+    odd = bytearray(good)
+    odd[pos + 4 : pos + 8] = struct.pack("<I", 5)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(odd))
