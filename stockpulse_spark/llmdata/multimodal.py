@@ -624,3 +624,73 @@ def extract_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         "doc_id", "sample_rate", "n_samples", "decode_ok",
         "rms", "zero_crossings", "peak",
     )
+
+
+# ---------------------------------------------------------------------------
+# Real image resize over decoded pixels (the remaining multimodal verb:
+# decode / feature-extract / RESIZE / frame-sample).
+
+RESIZE_SCHEMA = (
+    "doc_id long, out_w int, out_h int, decode_ok boolean, "
+    "resized_mean double, checksum double"
+)
+
+
+def box_downsample_2x(width: int, height: int, pixels: bytes) -> list[float]:
+    """2x2 box-filter downsample of raw RGB bytes: output pixel (x,y,c)
+    is the float mean of the four source samples of its block (odd
+    trailing rows/columns are cropped, the common convention).  Returns
+    the resized samples in row-major (y, x, channel) order — exact
+    quarter-fraction doubles, so an engine-independent oracle can
+    recompute them bit-for-bit."""
+    out_w, out_h = width // 2, height // 2
+    if out_w == 0 or out_h == 0:
+        raise ValueError("resize: image smaller than the box filter")
+    stride = width * 3
+    out = []
+    for y in range(out_h):
+        r0, r1 = 2 * y * stride, (2 * y + 1) * stride
+        for x in range(out_w):
+            i0, i1 = r0 + 2 * x * 3, r0 + (2 * x + 1) * 3
+            j0, j1 = r1 + 2 * x * 3, r1 + (2 * x + 1) * 3
+            for c in range(3):
+                out.append(
+                    (pixels[i0 + c] + pixels[i1 + c]
+                     + pixels[j0 + c] + pixels[j1 + c]) / 4.0
+                )
+    return out
+
+
+def resize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas kernel: PNG payload → decode → 2x box downsample →
+    (out dims, resized mean, position-weighted checksum).  The checksum
+    Σ v_k · (k+1) over row-major resized samples pins every value AND
+    its position, so a transposed, channel-swapped, or off-by-one
+    resize fails the oracle even when the mean survives."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                base = dict(doc_id=int(doc_id))
+                try:
+                    w, h, _ch, pix = decode_png_pixels(bytes(payload))
+                    rs = box_downsample_2x(w, h, pix)
+                    rows.append(
+                        dict(
+                            **base, out_w=w // 2, out_h=h // 2,
+                            decode_ok=True,
+                            resized_mean=sum(rs) / len(rs),
+                            checksum=sum(v * (k + 1) for k, v in enumerate(rs)),
+                        )
+                    )
+                except ValueError:
+                    rows.append(
+                        dict(
+                            **base, out_w=None, out_h=None, decode_ok=False,
+                            resized_mean=None, checksum=None,
+                        )
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "payload").mapInPandas(kernel, schema=RESIZE_SCHEMA)

@@ -125,3 +125,63 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "sample_rate", "n_samples", "decode_ok",
         _r6(F.col("rms")).alias("rms"), "zero_crossings", "peak",
     )
+
+
+@_register(
+    "media_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 32 + 4 AS w, (doc_id * 7) % 32 + 4 AS h
+      FROM documents
+    ), px AS (
+      -- resized sample (x, y, c) = mean of its 2x2 source block; the
+      -- source pixel formula is attach_png_payload's closed form
+      SELECT d.doc_id, d.w // 2 AS out_w, d.h // 2 AS out_h,
+             y.i AS y, x.i AS x, c.i AS c,
+             ( ((d.doc_id + 31 * (2*y.i)     + 7 * (2*x.i)     + 83 * c.i) % 256)
+             + ((d.doc_id + 31 * (2*y.i)     + 7 * (2*x.i + 1) + 83 * c.i) % 256)
+             + ((d.doc_id + 31 * (2*y.i + 1) + 7 * (2*x.i)     + 83 * c.i) % 256)
+             + ((d.doc_id + 31 * (2*y.i + 1) + 7 * (2*x.i + 1) + 83 * c.i) % 256)
+             ) / 4.0 AS v
+      FROM dims d
+      JOIN range(0, 18) y(i) ON y.i < d.h // 2
+      JOIN range(0, 18) x(i) ON x.i < d.w // 2
+      CROSS JOIN range(0, 3) c(i)
+    )
+    SELECT doc_id,
+           CAST(MAX(out_w) AS INT) AS out_w,
+           CAST(MAX(out_h) AS INT) AS out_h,
+           TRUE AS decode_ok,
+           ROUND(AVG(v), 6) AS resized_mean,
+           ROUND(SUM(v * ((y * out_w + x) * 3 + c + 1)), 6) AS checksum
+    FROM px GROUP BY doc_id
+    """,
+    tags=("llmdata", "multimodal"),
+    doc="REAL image resize: decode the PNG (zlib inflate + unfilter), "
+    "2x2 box-filter downsample the raw pixels, and emit the resized "
+    "dimensions, mean, and a position-weighted checksum "
+    "(llmdata/multimodal.py:box_downsample_2x). The oracle recomputes "
+    "each resized sample as the analytic mean of its source block, so "
+    "a transposed, channel-swapped, or off-by-one resize fails the "
+    "hash even when the plain mean would survive. Completes the "
+    "multimodal verb set: decode / feature-extract / resize / "
+    "frame-sample.",
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.llmdata.multimodal import (
+        attach_png_payload,
+        resize_media,
+    )
+    from stockpulse_spark.plans.registry import _r6
+
+    d = attach_png_payload(
+        _t(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    out = resize_media(d)
+    return out.select(
+        "doc_id", "out_w", "out_h", "decode_ok",
+        _r6(F.col("resized_mean")).alias("resized_mean"),
+        _r6(F.col("checksum")).alias("checksum"),
+    )

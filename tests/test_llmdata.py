@@ -434,3 +434,20 @@ def test_wav_decode_rejects_corruption():
     odd[pos + 4 : pos + 8] = struct.pack("<I", 5)
     with pytest.raises(ValueError):
         decode_wav(bytes(odd))
+
+
+def test_box_downsample_resize():
+    from stockpulse_spark.llmdata.multimodal import box_downsample_2x
+
+    # 4x2 image, value = x + 10*y per channel offset c*100
+    pix = bytes((x + 10 * y + 100 * c) % 256 for y in range(2) for x in range(4) for c in range(3))
+    rs = box_downsample_2x(4, 2, pix)
+    # out 2x1: block (x=0..1, y=0..1) mean = (0 + 1 + 10 + 11)/4 = 5.5
+    assert rs[0] == 5.5 and rs[1] == 105.5 and rs[2] == 205.5
+    assert rs[3] == 7.5  # block x=2..3: (2+3+12+13)/4
+    assert len(rs) == 2 * 1 * 3
+    # odd trailing column is cropped
+    rs2 = box_downsample_2x(5, 2, bytes(5 * 2 * 3))
+    assert len(rs2) == 2 * 1 * 3
+    with pytest.raises(ValueError):
+        box_downsample_2x(1, 1, bytes(3))
