@@ -422,3 +422,89 @@ def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy(F.desc("n_customers"), F.desc("n_orders"))
     )
+
+
+@_register(
+    "waiting_suppliers",
+    oracle="""
+    WITH flagged AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CAST(l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS BOOLEAN)
+               AS is_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT s.s_name,
+           COUNT(*) AS numwait
+    FROM flagged l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.is_late
+      AND EXISTS (
+        SELECT 1 FROM flagged l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM flagged l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.is_late
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    tags=("join", "tpch", "subquery"),
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting), adapted "
+    "to the schema: 'late' = shipped more than 90 days after the "
+    "order date (the testdata carries no commit/receipt dates; the "
+    "decorrelation structure is the point). EXISTS -> LEFT SEMI join "
+    "on (orderkey, other-supplier), NOT EXISTS -> LEFT ANTI join on "
+    "the late subset — the classic double-decorrelation over one "
+    "shared lateness-flagged scan, shuffled once on l_orderkey; the "
+    "supplier dim broadcasts. Top-20 via TakeOrderedAndProject with "
+    "a deterministic s_name tie-break.",
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    flagged = li.join(
+        o, li.l_orderkey == o.o_orderkey
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.make_interval(days=F.lit(90))
+        ).alias("is_late"),
+    )
+    l1 = flagged.filter(F.col("is_late")).alias("l1")
+    l2 = flagged.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = flagged.filter(F.col("is_late")).select(
+        "l_orderkey", "l_suppkey"
+    ).alias("l3")
+    with_other = l1.join(
+        l2,
+        on=[
+            F.col("l1.l_orderkey") == F.col("l2.l_orderkey"),
+            F.col("l1.l_suppkey") != F.col("l2.l_suppkey"),
+        ],
+        how="left_semi",
+    )
+    exclusive = with_other.join(
+        l3,
+        on=[
+            F.col("l1.l_orderkey") == F.col("l3.l_orderkey"),
+            F.col("l1.l_suppkey") != F.col("l3.l_suppkey"),
+        ],
+        how="left_anti",
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        exclusive.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

@@ -82,6 +82,8 @@ def test_no_python_udfs_in_relational_queries(spark):
             "media_metadata",
             "media_features",
             "media_frame_sample",
+            "media_resize",
+            "audio_features",
             "macd_unbounded_kernel",
             "heikin_ashi_daily",
             "cusum_returns",
