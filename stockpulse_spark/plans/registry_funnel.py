@@ -261,3 +261,83 @@ def q_doc_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("__sim") >= 0.5).select(
         "doc_id_1", "doc_id_2", "edit_dist", _r6(F.col("__sim")).alias("edit_sim")
     )
+
+
+_COS_AB = (
+    _DOT64.replace("v1", "a.e").replace("v2", "b.e")
+    + " / (" + _N64.format(v="a.e") + " * " + _N64.format(v="b.e") + ")"
+)
+
+
+@_register(
+    "semantic_dedup_keepers",
+    oracle=f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE {_COS_AB} >= 0.5
+    ), sym AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION SELECT id2, id1 FROM pairs
+    ), reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ), comp AS (
+      SELECT a AS vec_id, MIN(b) AS mn FROM reach GROUP BY a
+    ), labeled AS (
+      SELECT v.vec_id,
+             LEAST(v.vec_id, COALESCE(c.mn, v.vec_id)) AS keeper_id
+      FROM v LEFT JOIN comp c USING (vec_id)
+    )
+    SELECT vec_id, keeper_id,
+           vec_id != keeper_id AS is_duplicate,
+           COUNT(*) OVER (PARTITION BY keeper_id) AS cluster_size
+    FROM labeled
+    """,
+    tags=("llmdata", "dedup", "similarity", "iterative"),
+    doc="SemDeDup-style semantic dedup: embedding-cosine near-dup "
+    "edges (>= 0.5) -> connected components -> one keeper (min id) "
+    "per semantic cluster, with cluster sizes for pruning-rate "
+    "accounting. Components via operators/dedup.py:"
+    "connected_components (capped propagation + large-star/small-star "
+    "fallback); oracle = exact pair predicate + recursive-CTE "
+    "transitive closure. At 100 TB the pair stage swaps the exact "
+    "self-join for the SRP-LSH candidate generator "
+    "(embedding_srp_ann) with identical downstream semantics.",
+)
+def q_semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from stockpulse_spark.operators.dedup import connected_components
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col("vec_id"), _as_double(F.col("embedding")).alias("e"))
+        .withColumn("n", norm(F.col("e")))
+    )
+    a = emb.select(
+        F.col("vec_id").alias("id1"), F.col("e").alias("e1"), F.col("n").alias("n1")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id2"), F.col("e").alias("e2"), F.col("n").alias("n2")
+    )
+    edges = (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .filter(dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")) >= 0.5)
+        .select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    )
+    labels = connected_components(
+        edges, vertices=emb.select(F.col("vec_id")), id_col="vec_id"
+    )
+    return labels.select(
+        "vec_id",
+        F.col("label").alias("keeper_id"),
+        (F.col("vec_id") != F.col("label")).alias("is_duplicate"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .alias("cluster_size"),
+    )

@@ -451,3 +451,22 @@ def test_box_downsample_resize():
     assert len(rs2) == 2 * 1 * 3
     with pytest.raises(ValueError):
         box_downsample_2x(1, 1, bytes(3))
+
+
+def test_semantic_dedup_clusters_transitively(spark):
+    """Semantic dedup must be transitive: A~B and B~C (cosine >= 0.5)
+    puts all three under one keeper even when A~C directly misses the
+    threshold."""
+    from stockpulse_spark.plans import REGISTRY
+
+    out = REGISTRY["semantic_dedup_keepers"].builder(spark, SF_DIR).collect()
+    keeper = {r["vec_id"]: r["keeper_id"] for r in out}
+    size = {r["vec_id"]: r["cluster_size"] for r in out}
+    assert len(out) == 500
+    # every keeper is its own keeper, and cluster sizes are consistent
+    for vid, k in keeper.items():
+        assert keeper[k] == k, f"keeper {k} of {vid} is not a root"
+        assert size[vid] == size[k]
+    # at least some structure exists (testdata embeddings correlate)
+    dups = [r for r in out if r["is_duplicate"]]
+    assert all(keeper[r["vec_id"]] < r["vec_id"] for r in dups)
