@@ -694,3 +694,51 @@ def resize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select(id_col, "payload").mapInPandas(kernel, schema=RESIZE_SCHEMA)
+
+
+SILENCE_SCHEMA = (
+    "doc_id long, seg_idx int, start_idx int, end_idx int, seg_len int"
+)
+
+
+def silence_segments(
+    df: DataFrame, id_col: str = "doc_id", threshold: int = 256, min_len: int = 4
+) -> DataFrame:
+    """Silence detection over decoded PCM: maximal runs of consecutive
+    samples with |v| < threshold, at least min_len long — the segment
+    step of a speech-curation pipeline (VAD stands here).  One-to-many
+    mapInPandas expansion: decode the WAV, scan the run-length
+    structure, emit one row per silence segment (seg_idx orders them,
+    start/end are sample indices, end exclusive)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    _rate, s = decode_wav(bytes(payload))
+                except ValueError:
+                    continue  # corrupt audio carries no segments
+                seg_idx = 0
+                run_start = None
+                for i, v in enumerate(s + [threshold]):  # sentinel ends runs
+                    if abs(v) < threshold and i < len(s):
+                        if run_start is None:
+                            run_start = i
+                    elif run_start is not None:
+                        if i - run_start >= min_len:
+                            rows.append(
+                                dict(
+                                    doc_id=int(doc_id), seg_idx=seg_idx,
+                                    start_idx=run_start, end_idx=i,
+                                    seg_len=i - run_start,
+                                )
+                            )
+                            seg_idx += 1
+                        run_start = None
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "seg_idx", "start_idx", "end_idx", "seg_len"],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(kernel, schema=SILENCE_SCHEMA)

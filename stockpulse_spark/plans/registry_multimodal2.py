@@ -185,3 +185,54 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("resized_mean")).alias("resized_mean"),
         _r6(F.col("checksum")).alias("checksum"),
     )
+
+
+@_register(
+    "audio_silence_segments",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 256 + 16 AS n FROM documents
+    ), s AS (
+      SELECT d.doc_id, t.i,
+             ((d.doc_id * 7919 + t.i * 31) % 2048) - 1024 AS v
+      FROM dims d JOIN range(0, 272) t(i) ON t.i < d.n
+    ), grp AS (
+      SELECT doc_id, i, abs(v) < 256 AS silent,
+             i - ROW_NUMBER() OVER (
+               PARTITION BY doc_id, abs(v) < 256 ORDER BY i) AS g
+      FROM s
+    ), runs AS (
+      SELECT doc_id, MIN(i) AS start_idx, MAX(i) + 1 AS end_idx,
+             COUNT(*) AS seg_len
+      FROM grp WHERE silent GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_idx)
+                - 1 AS INT) AS seg_idx,
+           CAST(start_idx AS INT) AS start_idx,
+           CAST(end_idx AS INT) AS end_idx,
+           CAST(seg_len AS INT) AS seg_len
+    FROM runs WHERE seg_len >= 4
+    """,
+    tags=("llmdata", "multimodal"),
+    doc="silence segmentation over DECODED PCM: maximal runs of "
+    "|sample| < 256 at least 4 samples long, one output row per "
+    "segment (llmdata/multimodal.py:silence_segments) — the VAD/"
+    "segment step of a speech-curation pipeline as a one-to-many "
+    "mapInPandas expansion over genuinely decoded WAV bytes. Oracle "
+    "is the classic gaps-and-islands row_number difference over the "
+    "analytic sample formula, so run boundaries, ordering, and the "
+    "min-length filter are all value-checked.",
+)
+def q_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.llmdata.multimodal import (
+        attach_wav_payload,
+        silence_segments,
+    )
+
+    d = attach_wav_payload(
+        _t(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    return silence_segments(d)

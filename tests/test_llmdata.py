@@ -470,3 +470,27 @@ def test_semantic_dedup_clusters_transitively(spark):
     # at least some structure exists (testdata embeddings correlate)
     dups = [r for r in out if r["is_duplicate"]]
     assert all(keeper[r["vec_id"]] < r["vec_id"] for r in dups)
+
+
+def test_silence_segments_known_runs(spark):
+    """Hand-built PCM with known silent runs: segments respect the
+    threshold boundary, the min-length filter, and exclusive ends."""
+    from stockpulse_spark.llmdata.multimodal import encode_wav, silence_segments
+
+    samples = (
+        [1000] * 3          # loud
+        + [10, -20, 30, 0]  # silent run of 4 -> kept
+        + [500]             # loud
+        + [5, 5, 5]         # silent run of 3 -> dropped (min_len 4)
+        + [-300]            # loud
+        + [0] * 6           # silent run of 6 -> kept
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(8000, samples))), (2, bytearray(b"junk"))],
+        "doc_id long, payload binary",
+    )
+    rows = sorted(
+        silence_segments(df).collect(), key=lambda r: (r["doc_id"], r["seg_idx"])
+    )
+    assert [(r["doc_id"], r["seg_idx"], r["start_idx"], r["end_idx"], r["seg_len"])
+            for r in rows] == [(1, 0, 3, 7, 4), (1, 1, 12, 18, 6)]

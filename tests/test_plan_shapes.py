@@ -84,6 +84,7 @@ def test_no_python_udfs_in_relational_queries(spark):
             "media_frame_sample",
             "media_resize",
             "audio_features",
+            "audio_silence_segments",
             "macd_unbounded_kernel",
             "heikin_ashi_daily",
             "cusum_returns",
