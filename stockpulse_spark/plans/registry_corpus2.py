@@ -347,3 +347,98 @@ def q_corpus_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# the funnel variant shares the exact op's oracle verbatim: the bloom
+# stage has no false negatives and the residual equi-join removes the
+# false positives, so the outputs are identical by construction
+@_register(
+    "decontamination_bloom_funnel",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, source, text,
+             {hex_to_int_sql("md5(text)")} % 100 AS bucket
+      FROM documents
+    ), eval_grams AS (
+      SELECT DISTINCT md5(g) AS gh
+      FROM b, unnest({_D_SHINGLES}) AS t(g)
+      WHERE bucket >= 90
+    ), train_grams AS (
+      SELECT DISTINCT doc_id, source, md5(g) AS gh
+      FROM b, unnest({_D_SHINGLES}) AS t(g)
+      WHERE bucket < 90
+    ), hits AS (
+      SELECT t.doc_id, t.source, COUNT(*) AS n_hits
+      FROM train_grams t JOIN eval_grams e ON t.gh = e.gh
+      GROUP BY t.doc_id, t.source
+    )
+    SELECT b.source,
+           COUNT(*) AS n_train_docs,
+           COUNT(h.doc_id) AS n_contaminated,
+           ROUND(COUNT(h.doc_id) * 1.0 / COUNT(*), 6) AS contaminated_pct,
+           COALESCE(SUM(h.n_hits), 0) AS total_gram_hits
+    FROM b LEFT JOIN hits h ON h.doc_id = b.doc_id
+    WHERE b.bucket < 90
+    GROUP BY b.source ORDER BY b.source
+    """,
+    tags=("llmdata", "dedup", "join", "bloom"),
+    doc="Benchmark decontamination through the 100 TB funnel: the "
+    "eval-split 5-gram hashes build a Bloom bitset (operators/"
+    "bloom.py — one map-side-combinable bit_or shuffle, bitset "
+    "embedded as an array<long> literal in whole-stage codegen), the "
+    "corpus-sized train gram stream is pre-filtered to ~true hits + "
+    "FP rate BEFORE any join, and the residual broadcast equi-join "
+    "removes the false positives — output identical to "
+    "decontamination_overlap (same oracle, byte-for-byte), which IS "
+    "the point: the approximate stage only prunes, never decides. At "
+    "100 TB this is the difference between shuffling every train "
+    "gram and shuffling ~the contaminated ones.",
+)
+def q_decontamination_bloom_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.operators.bloom import bloom_semi_join
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    words = F.split("text", " ")
+    shingles = F.when(
+        F.size(words) >= _NGRAM_N,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - _NGRAM_N),
+            lambda i: F.array_join(F.slice(words, i + 1, _NGRAM_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    b = d.select(
+        "doc_id",
+        "source",
+        shingles.alias("grams"),
+        (F.expr(hex_to_int_sql("md5(text)")) % 100).alias("bucket"),
+    )
+    eval_grams = (
+        b.filter(F.col("bucket") >= 90)
+        .select(F.explode("grams").alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    train = b.filter(F.col("bucket") < 90)
+    train_grams = train.select(
+        "doc_id", "source", F.explode("grams").alias("g")
+    ).select("doc_id", "source", F.md5("g").alias("gh")).distinct()
+    # bloom prefilter + exact residual join (exact by construction)
+    survivors = bloom_semi_join(train_grams, eval_grams, "gh", "gh")
+    hits = survivors.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        train.join(F.broadcast(hits), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.count("n_hits").alias("n_contaminated"),
+            _r6(
+                F.count("n_hits") * 1.0 / F.count(F.lit(1))
+            ).alias("contaminated_pct"),
+            F.coalesce(F.sum("n_hits"), F.lit(0)).alias("total_gram_hits"),
+        )
+        .orderBy("source")
+    )

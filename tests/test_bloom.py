@@ -74,3 +74,15 @@ def test_bloom_query_plan_shape(spark):
     assert "CartesianProduct" not in plan
     # the exact residual semi-join is a hash join, not a loop join
     assert "LeftSemi" in plan
+
+
+def test_decontamination_funnel_equals_exact(spark):
+    """The bloom funnel must be output-identical to the exact op: the
+    approximate stage only prunes, never decides."""
+    from stockpulse_spark.plans import REGISTRY
+    from tests.conftest import SF_DIR
+
+    exact = REGISTRY["decontamination_overlap"].builder(spark, SF_DIR).collect()
+    funnel = REGISTRY["decontamination_bloom_funnel"].builder(spark, SF_DIR).collect()
+    key = lambda r: tuple(r[c] for c in sorted(r.asDict()))  # noqa: E731
+    assert sorted(map(key, exact)) == sorted(map(key, funnel))
