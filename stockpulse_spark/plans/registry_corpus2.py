@@ -442,3 +442,56 @@ def q_decontamination_bloom_funnel(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+@_register(
+    "source_mixture_temperature",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(n_docs) AS n FROM counts
+    ), scaled AS (
+      SELECT c.source, c.n_docs,
+             c.n_docs * 1.0 / t.n AS p_raw,
+             pow(c.n_docs * 1.0 / t.n, 0.7) AS p_temp
+      FROM counts c CROSS JOIN tot t
+    )
+    SELECT source, n_docs,
+           ROUND(p_raw, 6) AS p_raw,
+           ROUND(p_temp / SUM(p_temp) OVER (), 6) AS p_mixture,
+           ROUND((p_temp / SUM(p_temp) OVER ()) / p_raw, 6)
+             AS upsample_factor
+    FROM scaled ORDER BY source
+    """,
+    tags=("llmdata", "sampling", "agg"),
+    doc="temperature-scaled mixture weights (T = 0.7, the multilingual "
+    "up/down-sampling scheme of the XLM-R / mT5 corpus recipes): "
+    "per-source mass p^T renormalized, plus the resulting "
+    "upsample factor vs natural sampling. One partial-agg shuffle on "
+    "source; the mixture table is source-cardinality-sized — "
+    "broadcastable to whatever sampler consumes it "
+    "(doc_weighted_sample_by_source).",
+)
+def q_source_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = counts.agg(F.sum("n_docs").alias("n"))
+    scaled = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        (F.col("n_docs") * 1.0 / F.col("n")).alias("p_raw"),
+        F.pow(F.col("n_docs") * 1.0 / F.col("n"), F.lit(0.7)).alias("p_temp"),
+    )
+    w = Window.partitionBy()
+    p_mix = F.col("p_temp") / F.sum("p_temp").over(w)
+    return scaled.select(
+        "source",
+        "n_docs",
+        _r6(F.col("p_raw")).alias("p_raw"),
+        _r6(p_mix).alias("p_mixture"),
+        _r6(p_mix / F.col("p_raw")).alias("upsample_factor"),
+    ).orderBy("source")

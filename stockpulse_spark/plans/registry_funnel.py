@@ -341,3 +341,90 @@ def q_semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("label"))
         .alias("cluster_size"),
     )
+
+
+@_register(
+    "doc_dedup_pipeline_full",
+    oracle=_MUT_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f"""
+    , sig AS (
+      SELECT doc_id, {_sig_sql(16)} AS sig, {_SHINGLES_DUCK} AS sh FROM corpus
+    ), banded AS (
+      SELECT doc_id,
+             md5(array_to_string(sig[b.band_idx * 2 + 1 : b.band_idx * 2 + 2], '|')) AS band_hash,
+             b.band_idx
+      FROM sig, (SELECT unnest(range(0, 8)) AS band_idx) b
+    ), ok_buckets AS (
+      SELECT band_idx, band_hash FROM banded
+      GROUP BY band_idx, band_hash HAVING COUNT(*) <= 64
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS doc_id_1, r.doc_id AS doc_id_2
+      FROM banded l JOIN banded r
+        ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id
+      JOIN ok_buckets ob
+        ON ob.band_idx = l.band_idx AND ob.band_hash = l.band_hash
+    ), verified AS (
+      SELECT c.doc_id_1, c.doc_id_2
+      FROM cand c
+      JOIN sig s1 ON c.doc_id_1 = s1.doc_id
+      JOIN sig s2 ON c.doc_id_2 = s2.doc_id
+      WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(s1.sh, s2.sh))) >= 0.6
+    ), sym AS (
+      SELECT doc_id_1 AS a, doc_id_2 AS b FROM verified
+      UNION SELECT doc_id_2, doc_id_1 FROM verified
+    ), reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ), comp AS (
+      SELECT a AS doc_id, MIN(b) AS mn FROM reach GROUP BY a
+    )
+    SELECT c.doc_id,
+           LEAST(c.doc_id, COALESCE(m.mn, c.doc_id)) AS keeper_id,
+           LEAST(c.doc_id, COALESCE(m.mn, c.doc_id)) != c.doc_id
+             AS is_duplicate
+    FROM corpus c LEFT JOIN comp m USING (doc_id)
+    """,
+    tags=("llmdata", "dedup", "pipeline", "iterative"),
+    doc="the COMPLETE text dedup pipeline in one plan — what a corpus "
+    "build actually runs end to end: MinHash-LSH candidates (bucket "
+    "cap included) -> exact shingle-Jaccard verify (>= 0.6) -> "
+    "connected components over the verified pairs -> one keeper per "
+    "cluster. Composes minhash_lsh_pairs, the Jaccard verify stage, "
+    "and operators/dedup.py:connected_components; every stage's "
+    "oracle discipline carries through to the closed-form recursive-"
+    "CTE closure. Each stage is the same sub-quadratic/bounded shape "
+    "proven individually (PARITY + SCALE.md), so the composition "
+    "inherits the 100 TB posture.",
+)
+def q_doc_dedup_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.llmdata.dedup import shingles
+    from stockpulse_spark.operators.dedup import connected_components
+
+    corpus = _mutated_corpus(spark, sf_dir)
+    cand = minhash_lsh_pairs(corpus, k=16, bands=8, threshold=0.0).select(
+        "doc_id_1", "doc_id_2"
+    )
+    sh = corpus.select("doc_id", shingles(F.col("text")).alias("sh"))
+    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
+    jac = (
+        F.size(F.array_intersect("sh1", "sh2")).cast("double")
+        / F.size(F.array_union("sh1", "sh2"))
+    )
+    verified = (
+        cand.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .filter(jac >= 0.6)
+        .select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
+    )
+    labels = connected_components(
+        verified, vertices=corpus.select("doc_id"), id_col="doc_id"
+    )
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("keeper_id"),
+        (F.col("doc_id") != F.col("label")).alias("is_duplicate"),
+    )

@@ -494,3 +494,23 @@ def test_silence_segments_known_runs(spark):
     )
     assert [(r["doc_id"], r["seg_idx"], r["start_idx"], r["end_idx"], r["seg_len"])
             for r in rows] == [(1, 0, 3, 7, 4), (1, 1, 12, 18, 6)]
+
+
+def test_full_dedup_pipeline_elects_one_keeper_per_cluster(spark):
+    """End-to-end funnel -> components -> keepers: planted mutations
+    land under their original's keeper, keepers are roots, and
+    non-duplicates keep themselves."""
+    from stockpulse_spark.plans import REGISTRY
+
+    out = REGISTRY["doc_dedup_pipeline_full"].builder(spark, SF_DIR).collect()
+    keeper = {r["doc_id"]: r["keeper_id"] for r in out}
+    assert len(out) == 1000  # 500 originals + 500 mutations
+    for vid, k in keeper.items():
+        assert keeper[k] == k
+        assert k <= vid
+    # most planted mutations (id + 1000000) must cluster with the original
+    linked = sum(
+        1 for d in range(500)
+        if d + 1000000 in keeper and keeper[d + 1000000] == keeper.get(d, d)
+    )
+    assert linked > 300, f"only {linked}/500 planted pairs clustered"
