@@ -428,3 +428,166 @@ def q_doc_dedup_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("keeper_id"),
         (F.col("doc_id") != F.col("label")).alias("is_duplicate"),
     )
+
+
+# incremental batch construction for the gate below, shared by both
+# engines: exact copies (doc_id % 5 == 0), 5-word-dropped mutations
+# (% 5 == 1, the planted near-dups), word-REVERSED texts (% 5 == 2 —
+# reversal destroys every shingle, so genuinely new content)
+_BATCH_CTE = """
+WITH RECURSIVE batch AS (
+  SELECT doc_id + 1000000 AS batch_id, text FROM documents
+  WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(
+           (string_split(text, ' '))[1:len(string_split(text, ' ')) - 5], ' ')
+  FROM documents WHERE doc_id % 5 = 1
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(list_reverse(string_split(text, ' ')), ' ')
+  FROM documents WHERE doc_id % 5 = 2
+), corpus AS (
+  SELECT doc_id, text FROM documents
+)
+"""
+
+
+@_register(
+    "incremental_dedup_gate",
+    oracle=_BATCH_CTE
+    + f"""
+    , bsig AS (
+      SELECT batch_id, md5(text) AS th, {_sig_sql(16)} AS sig FROM batch
+    ), csig AS (
+      SELECT doc_id, md5(text) AS th, {_sig_sql(16)} AS sig FROM corpus
+    ), exact AS (
+      SELECT DISTINCT b.batch_id FROM bsig b JOIN csig c ON b.th = c.th
+    ), bband AS (
+      SELECT batch_id, sig, t.band_idx,
+             md5(array_to_string(sig[t.band_idx * 2 + 1 : t.band_idx * 2 + 2], '|')) AS band_hash
+      FROM bsig, (SELECT unnest(range(0, 8)) AS band_idx) t
+    ), cband AS (
+      SELECT doc_id, sig, t.band_idx,
+             md5(array_to_string(sig[t.band_idx * 2 + 1 : t.band_idx * 2 + 2], '|')) AS band_hash
+      FROM csig, (SELECT unnest(range(0, 8)) AS band_idx) t
+    ), near AS (
+      SELECT DISTINCT b.batch_id
+      FROM bband b JOIN cband c
+        ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash
+      WHERE list_sum(list_transform(range(1, 17),
+            i -> CASE WHEN b.sig[i] = c.sig[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.5
+    )
+    SELECT s.batch_id,
+           CASE WHEN e.batch_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.batch_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS verdict
+    FROM bsig s
+    LEFT JOIN exact e USING (batch_id)
+    LEFT JOIN near n USING (batch_id)
+    """,
+    tags=("llmdata", "dedup", "join", "pipeline"),
+    doc="INCREMENTAL dedup gate — the production shape: a new batch "
+    "arrives and must be admitted against the existing corpus without "
+    "recomputing it. Exact tier: content-hash LEFT SEMI join. Near "
+    "tier: TWO-SIDED MinHash-LSH — batch bands equi-join corpus bands "
+    "(not a self-join; the corpus side's signatures would be "
+    "precomputed+stored in production, so the incremental cost is "
+    "O(batch) map work + one band-keyed shuffle against the corpus "
+    "index). Verdict precedence exact > near > new. The batch plants "
+    "all three cases: exact copies, 5-word-dropped mutations, and "
+    "word-reversed texts (reversal destroys every shingle).",
+)
+def q_incremental_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.llmdata.dedup import minhash_signature
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    w = F.split("text", " ")
+    n = F.size(w)
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 1000000).alias("batch_id"), "text")
+        .unionAll(
+            docs.filter(F.col("doc_id") % 5 == 1).select(
+                (F.col("doc_id") + 1000000).alias("batch_id"),
+                F.concat_ws(" ", F.slice(w, 1, n - 5)).alias("text"),
+            )
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 5 == 2).select(
+                (F.col("doc_id") + 1000000).alias("batch_id"),
+                F.concat_ws(" ", F.reverse(w)).alias("text"),
+            )
+        )
+    )
+    bsig = batch.select(
+        "batch_id",
+        F.md5("text").alias("th"),
+        minhash_signature(F.col("text"), 16, 3).alias("sig"),
+    )
+    csig = docs.select(
+        "doc_id",
+        F.md5("text").alias("th"),
+        minhash_signature(F.col("text"), 16, 3).alias("sig"),
+    )
+    exact = (
+        bsig.join(csig.select("th").distinct(), "th", "left_semi")
+        .select("batch_id")
+        .distinct()
+        .withColumn("__exact", F.lit(True))
+    )
+
+    def bands(df, idc):
+        r = 2
+        return df.select(
+            idc,
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.md5(
+                                F.encode(
+                                    F.concat_ws("|", F.slice("sig", b * r + 1, r)),
+                                    "utf-8",
+                                )
+                            ).alias("band_hash"),
+                        )
+                        for b in range(8)
+                    ]
+                )
+            ).alias("bd"),
+        ).select(idc, "sig", "bd.band_idx", "bd.band_hash")
+
+    bband = bands(bsig, "batch_id")
+    cband = bands(csig, "doc_id").select(
+        "band_idx", "band_hash", F.col("sig").alias("csig")
+    )
+    est = (
+        F.size(
+            F.filter(F.zip_with("sig", "csig", lambda a, b: a == b), lambda x: x)
+        )
+        / 16.0
+    )
+    near = (
+        bband.join(cband, ["band_idx", "band_hash"])
+        .filter(est >= 0.5)
+        .select("batch_id")
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    return (
+        bsig.select("batch_id")
+        .join(exact, "batch_id", "left")
+        .join(near, "batch_id", "left")
+        .select(
+            "batch_id",
+            F.when(F.col("__exact"), F.lit("exact_dup"))
+            .when(F.col("__near"), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
+    )

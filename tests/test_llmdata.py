@@ -514,3 +514,19 @@ def test_full_dedup_pipeline_elects_one_keeper_per_cluster(spark):
         if d + 1000000 in keeper and keeper[d + 1000000] == keeper.get(d, d)
     )
     assert linked > 300, f"only {linked}/500 planted pairs clustered"
+
+
+def test_incremental_gate_verdicts(spark):
+    """Planted batch tiers get the right verdicts: exact copies ->
+    exact_dup, 5-word-dropped mutations -> mostly near_dup, reversed
+    texts -> overwhelmingly new."""
+    from stockpulse_spark.plans import REGISTRY
+
+    out = REGISTRY["incremental_dedup_gate"].builder(spark, SF_DIR).collect()
+    verdict = {r["batch_id"] - 1000000: r["verdict"] for r in out}
+    exact = [verdict[d] for d in verdict if d % 5 == 0]
+    near = [verdict[d] for d in verdict if d % 5 == 1]
+    new = [verdict[d] for d in verdict if d % 5 == 2]
+    assert all(v == "exact_dup" for v in exact)
+    assert sum(v == "near_dup" for v in near) > 0.6 * len(near)
+    assert sum(v == "new" for v in new) > 0.9 * len(new)
