@@ -211,3 +211,65 @@ def q_doc_oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@_register(
+    "doc_fluency_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), vocab AS (
+      SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+    ), lp AS (
+      SELECT term, ln(cnt / (SUM(cnt) OVER ())) AS logprob FROM vocab
+    ), scored AS (
+      SELECT t.doc_id, AVG(lp.logprob) AS avg_logprob
+      FROM toks t JOIN lp USING (term) GROUP BY t.doc_id
+    ), cut AS (
+      SELECT quantile_cont(avg_logprob, 0.10) AS p10 FROM scored
+    )
+    SELECT s.doc_id,
+           ROUND(s.avg_logprob, 6) AS avg_logprob,
+           ROUND(c.p10, 6) AS threshold,
+           s.avg_logprob >= c.p10 AS keep
+    FROM scored s CROSS JOIN cut c
+    """,
+    tags=("llmdata", "text", "quality", "pipeline"),
+    doc="CCNet/Gopher-style fluency filter: score each doc by mean "
+    "corpus-unigram ln-probability (the cheap perplexity proxy), drop "
+    "the bottom decile. The cutoff is a corpus exact percentile "
+    "(percentile == DuckDB quantile_cont, proven by "
+    "value_percentiles) computed over the doc-level score table — "
+    "corpus-cardinality-sized, one extra tiny aggregation — then "
+    "broadcast back as a 1-row literal join. Keeps the whole "
+    "filter-decision path in one lazy plan: no driver loop, no "
+    "second scan of the corpus.",
+)
+def q_doc_fluency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    lp = vocab.select(
+        "term",
+        F.log(F.col("cnt") / F.sum("cnt").over(Window.partitionBy())).alias(
+            "logprob"
+        ),
+    )
+    scored = (
+        toks.join(F.broadcast(lp), "term")
+        .groupBy("doc_id")
+        .agg(F.avg("logprob").alias("avg_logprob"))
+    )
+    cut = scored.agg(
+        F.expr("percentile(avg_logprob, 0.10)").alias("p10")
+    )
+    return scored.crossJoin(F.broadcast(cut)).select(
+        "doc_id",
+        _r6(F.col("avg_logprob")).alias("avg_logprob"),
+        _r6(F.col("p10")).alias("threshold"),
+        (F.col("avg_logprob") >= F.col("p10")).alias("keep"),
+    )

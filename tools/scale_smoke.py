@@ -64,6 +64,9 @@ QUERIES = [
     # minhash_lsh_pairs is what keeps the ratio near-linear), SRP ANN,
     # and the adaptive connected-components keeper
     "embedding_srp_ann", "dedup_keeper_transitive",
+    # round-4 second wave: the composed end-to-end pipelines
+    "doc_dedup_pipeline_full", "incremental_dedup_gate",
+    "decontamination_bloom_funnel", "semantic_dedup_keepers",
 ]
 
 
