@@ -216,3 +216,68 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_urls"), "domain")
     )
+
+
+_BLOCKED_DOMAINS = [f"site{i}.example.org" for i in range(5)]
+
+
+@_register(
+    "doc_blocklist_filter",
+    oracle=f"""
+    WITH {_INJECT_SQL},
+    urls AS (
+      SELECT doc_id,
+             regexp_extract(u.url, '^https?://([^/]+)', 1) AS domain
+      FROM injected,
+           unnest(regexp_extract_all(injected, 'https?://[^\\s]+')) u(url)
+    ), per_doc AS (
+      SELECT i.doc_id,
+             COUNT(u.domain) AS n_urls,
+             COALESCE(SUM(CASE WHEN u.domain IN
+               ({", ".join(f"'{d}'" for d in _BLOCKED_DOMAINS)})
+               THEN 1 ELSE 0 END), 0) AS n_blocked_urls
+      FROM injected i LEFT JOIN urls u USING (doc_id)
+      GROUP BY i.doc_id
+    )
+    SELECT doc_id, n_urls, n_blocked_urls,
+           n_blocked_urls > 0 AS blocked
+    FROM per_doc
+    """,
+    tags=("llmdata", "quality", "pii"),
+    doc="UT1-style domain blocklist filter: extract every URL, reduce "
+    "to domains, flag documents citing any blocklisted domain "
+    "(blocklist as a broadcast dim — real lists are ~MBs of domains, "
+    "forever broadcastable). LEFT JOIN keeps URL-free documents with "
+    "zero counts; the shuffle carries only (doc_id, domain) pairs. "
+    "The standard crawl-hygiene step before quality scoring.",
+)
+def q_doc_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _injected(_t(spark, sf_dir, "documents"))
+    urls = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("injected"), F.lit(_URL_RE), F.lit(0))
+        ).alias("url"),
+    ).select(
+        "doc_id",
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("domain"),
+    )
+    blocklist = F.array(*[F.lit(d) for d in _BLOCKED_DOMAINS])
+    flagged = urls.select(
+        "doc_id",
+        F.lit(1).alias("one"),
+        F.array_contains(blocklist, F.col("domain")).cast("int").alias("blk"),
+    )
+    per_doc = (
+        docs.select("doc_id")
+        .join(flagged, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("one").alias("n_urls"),
+            F.coalesce(F.sum("blk"), F.lit(0)).alias("n_blocked_urls"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_urls", "n_blocked_urls",
+        (F.col("n_blocked_urls") > 0).alias("blocked"),
+    )
