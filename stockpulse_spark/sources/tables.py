@@ -146,3 +146,21 @@ def hour_span_bound(sf_dir: str, name: str = "events", col: str = "ts") -> int |
     if not hasattr(mn, "timestamp"):
         return None
     return int((mx.timestamp() - mn.timestamp()) // 3600) + 2
+
+
+@lru_cache(maxsize=64)
+def footer_row_count(sf_dir: str, name: str) -> int | None:
+    """Total row count from parquet FOOTER metadata — zero data read,
+    no Spark job. The planner-side cardinality input for static
+    decisions (e.g. sizing LSH bucket granularity to the corpus)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = [path] if os.path.isfile(path) else sorted(
+        glob.glob(os.path.join(path, "*.parquet"))
+    )
+    if not files:
+        return None
+    return sum(pq.read_metadata(f).num_rows for f in files)
