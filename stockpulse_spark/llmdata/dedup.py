@@ -270,3 +270,99 @@ def ngram_jaccard_pairs(
         F.col("r.doc_id").alias("doc_id_2"),
         jac.alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def dedup_gate(
+    batch: DataFrame,
+    corpus: DataFrame,
+    batch_id_col: str = "batch_id",
+    corpus_id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Two-tier admission gate for NEW documents against an existing
+    corpus — the incremental-ingest shape (used by the
+    incremental_dedup_gate query and the streaming curation sink):
+
+    - exact tier: content-hash LEFT SEMI join;
+    - near tier: TWO-SIDED MinHash-LSH — batch band hashes equi-join
+      corpus band hashes (in production the corpus side is a
+      precomputed index, so incremental cost is O(batch) map work plus
+      one band-keyed shuffle), estimated Jaccard >= threshold.
+
+    Returns (batch_id_col, verdict) with verdict in
+    ('exact_dup', 'near_dup', 'new'); precedence exact > near > new.
+    """
+    r = k // bands
+    bsig = batch.select(
+        F.col(batch_id_col),
+        F.md5(text_col).alias("th"),
+        minhash_signature(F.col(text_col), k).alias("sig"),
+    )
+    csig = corpus.select(
+        F.col(corpus_id_col),
+        F.md5(text_col).alias("th"),
+        minhash_signature(F.col(text_col), k).alias("sig"),
+    )
+    exact = (
+        bsig.join(csig.select("th").distinct(), "th", "left_semi")
+        .select(batch_id_col)
+        .distinct()
+        .withColumn("__exact", F.lit(True))
+    )
+
+    def _bands(df, idc):
+        return df.select(
+            idc,
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.md5(
+                                F.encode(
+                                    F.concat_ws(
+                                        "|", F.slice("sig", b * r + 1, r)
+                                    ),
+                                    "utf-8",
+                                )
+                            ).alias("band_hash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bd"),
+        ).select(idc, "sig", "bd.band_idx", "bd.band_hash")
+
+    bband = _bands(bsig, batch_id_col)
+    cband = _bands(csig, corpus_id_col).select(
+        "band_idx", "band_hash", F.col("sig").alias("csig")
+    )
+    est = (
+        F.size(
+            F.filter(F.zip_with("sig", "csig", lambda a, b: a == b), lambda x: x)
+        )
+        / F.lit(float(k))
+    )
+    near = (
+        bband.join(cband, ["band_idx", "band_hash"])
+        .filter(est >= threshold)
+        .select(batch_id_col)
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    return (
+        bsig.select(batch_id_col)
+        .join(exact, batch_id_col, "left")
+        .join(near, batch_id_col, "left")
+        .select(
+            batch_id_col,
+            F.when(F.col("__exact"), F.lit("exact_dup"))
+            .when(F.col("__near"), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
+    )

@@ -553,7 +553,7 @@ WITH RECURSIVE batch AS (
     "word-reversed texts (reversal destroys every shingle).",
 )
 def q_incremental_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stockpulse_spark.llmdata.dedup import minhash_signature
+    from stockpulse_spark.llmdata.dedup import dedup_gate
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(
         spark.sparkContext.defaultParallelism
@@ -576,72 +576,4 @@ def q_incremental_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    bsig = batch.select(
-        "batch_id",
-        F.md5("text").alias("th"),
-        minhash_signature(F.col("text"), 16, 3).alias("sig"),
-    )
-    csig = docs.select(
-        "doc_id",
-        F.md5("text").alias("th"),
-        minhash_signature(F.col("text"), 16, 3).alias("sig"),
-    )
-    exact = (
-        bsig.join(csig.select("th").distinct(), "th", "left_semi")
-        .select("batch_id")
-        .distinct()
-        .withColumn("__exact", F.lit(True))
-    )
-
-    def bands(df, idc):
-        r = 2
-        return df.select(
-            idc,
-            "sig",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_idx"),
-                            F.md5(
-                                F.encode(
-                                    F.concat_ws("|", F.slice("sig", b * r + 1, r)),
-                                    "utf-8",
-                                )
-                            ).alias("band_hash"),
-                        )
-                        for b in range(8)
-                    ]
-                )
-            ).alias("bd"),
-        ).select(idc, "sig", "bd.band_idx", "bd.band_hash")
-
-    bband = bands(bsig, "batch_id")
-    cband = bands(csig, "doc_id").select(
-        "band_idx", "band_hash", F.col("sig").alias("csig")
-    )
-    est = (
-        F.size(
-            F.filter(F.zip_with("sig", "csig", lambda a, b: a == b), lambda x: x)
-        )
-        / 16.0
-    )
-    near = (
-        bband.join(cband, ["band_idx", "band_hash"])
-        .filter(est >= 0.5)
-        .select("batch_id")
-        .distinct()
-        .withColumn("__near", F.lit(True))
-    )
-    return (
-        bsig.select("batch_id")
-        .join(exact, "batch_id", "left")
-        .join(near, "batch_id", "left")
-        .select(
-            "batch_id",
-            F.when(F.col("__exact"), F.lit("exact_dup"))
-            .when(F.col("__near"), F.lit("near_dup"))
-            .otherwise(F.lit("new"))
-            .alias("verdict"),
-        )
-    )
+    return dedup_gate(batch, docs)
