@@ -159,3 +159,101 @@ def q_revenue_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+from stockpulse_spark.plans.registry import _BARS_CTE  # noqa: E402
+from stockpulse_spark.plans.registry_indicators import _hourly_bars  # noqa: E402
+
+_HW_ALPHA, _HW_BETA = 0.5, 0.3
+
+
+@_register(
+    "holt_linear_trend",
+    oracle=_BARS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f"""
+    , bt AS (
+      SELECT user_id, bucket_start, close,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY bucket_start) - 1 AS t,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM bars
+    ), state AS (
+      SELECT b0.user_id, 0 AS t, b0.close AS l,
+             b1.close - b0.close AS b
+      FROM bt b0 JOIN bt b1
+        ON b0.user_id = b1.user_id AND b0.t = 0 AND b1.t = 1
+      WHERE b0.n >= 2
+      UNION ALL
+      SELECT s.user_id, n.t,
+             {_HW_ALPHA} * n.close + {1 - _HW_ALPHA} * (s.l + s.b),
+             {_HW_BETA} * (({_HW_ALPHA} * n.close
+                            + {1 - _HW_ALPHA} * (s.l + s.b)) - s.l)
+               + {1 - _HW_BETA} * s.b
+      FROM state s JOIN bt n
+        ON n.user_id = s.user_id AND n.t = s.t + 1
+    )
+    SELECT bt.user_id, bt.bucket_start,
+           ROUND(s.l, 6) AS level,
+           ROUND(s.b, 6) AS trend,
+           ROUND(s.l + s.b, 6) AS forecast
+    FROM state s JOIN bt USING (user_id, t)
+    """,
+    tags=("window", "indicator", "forecast"),
+    doc="Holt's double exponential smoothing (level + linear trend, "
+    "alpha 0.5 / beta 0.3, classic init l0=y0, b0=y1-y0) per series "
+    "over hourly bars, with the one-step-ahead forecast. A TWO-state "
+    "recursion, so neither a window frame nor a scalar list_reduce "
+    "can express it: the Spark side folds a named_struct accumulator "
+    "with `aggregate` entirely in codegen (one shuffle, the same "
+    "bounded-series contract as the MACD fold), and the oracle runs a "
+    "LOCKSTEP RECURSIVE CTE — all series advance one step per "
+    "iteration, depth = max series length. Scalar recursion means "
+    "identical operation order in both engines, so values match "
+    "bit-for-bit before rounding.",
+)
+def q_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _hourly_bars(spark, sf_dir).select("user_id", "bucket_start", "close")
+    a, b_ = _HW_ALPHA, _HW_BETA
+    newl = f"{a!r} * x + {1 - a!r} * (acc.l + acc.b)"
+    newb = f"{b_!r} * (({newl}) - acc.l) + {1 - b_!r} * acc.b"
+    fold = (
+        "aggregate("
+        "  slice(s.close, 2, size(s.close) - 1), "
+        "  named_struct("
+        "    'l', CAST(s.close[0] AS DOUBLE), "
+        "    'b', CAST(s.close[1] - s.close[0] AS DOUBLE), "
+        "    'lev', array(CAST(s.close[0] AS DOUBLE)), "
+        "    'tr', array(CAST(s.close[1] - s.close[0] AS DOUBLE))), "
+        "  (acc, x) -> named_struct("
+        f"    'l', {newl}, "
+        f"    'b', {newb}, "
+        f"    'lev', array_append(acc.lev, {newl}), "
+        f"    'tr', array_append(acc.tr, {newb})))"
+    )
+    g = (
+        bars.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("bucket_start", "close"))
+            ).alias("s")
+        )
+        .filter(F.size("s") >= 2)
+        .withColumn("st", F.expr(fold))
+    )
+    z = g.select(
+        "user_id",
+        F.explode(
+            F.arrays_zip(
+                F.col("s"),
+                F.col("st.lev").alias("level"),
+                F.col("st.tr").alias("trend"),
+            )
+        ).alias("z"),
+    )
+    return z.select(
+        "user_id",
+        F.col("z.s.bucket_start").alias("bucket_start"),
+        _r6(F.col("z.level")).alias("level"),
+        _r6(F.col("z.trend")).alias("trend"),
+        _r6(F.col("z.level") + F.col("z.trend")).alias("forecast"),
+    )
