@@ -257,3 +257,148 @@ def q_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("z.trend")).alias("trend"),
         _r6(F.col("z.level") + F.col("z.trend")).alias("forecast"),
     )
+
+
+_HW_M = 24          # daily seasonality over hourly bars
+_HW_G = 0.2         # gamma (seasonal smoothing)
+
+
+def _hw_fold_sql(a: float, b_: float, g: float, m: int) -> str:
+    """The Spark-side Holt-Winters fold: a named_struct accumulator
+    carrying (l, b, seasonal array, step counter, output arrays),
+    advanced once per observation past the first season. Expressions
+    are inlined (SQL lambdas bind no intermediates), so newl appears
+    inside newb and news verbatim — identical scalar operation order
+    to the oracle's recursive CTE."""
+    sprev = f"element_at(acc.seas, pmod(acc.t, {m}) + 1)"
+    newl = f"({a!r} * (x - {sprev}) + {1 - a!r} * (acc.l + acc.b))"
+    newb = f"({b_!r} * ({newl} - acc.l) + {1 - b_!r} * acc.b)"
+    news = f"({g!r} * (x - {newl}) + {1 - g!r} * {sprev})"
+    fitted = f"((acc.l + acc.b) + {sprev})"
+    l0 = f"(aggregate(slice(s.close, 1, {m}), CAST(0.0 AS DOUBLE), (a0, x0) -> a0 + x0) / {m})"
+    seas0 = f"transform(slice(s.close, 1, {m}), x0 -> CAST(x0 AS DOUBLE) - {l0})"
+    return (
+        f"aggregate(slice(s.close, {m + 1}, size(s.close) - {m}), "
+        f"named_struct("
+        f"  'l', CAST({l0} AS DOUBLE), 'b', CAST(0.0 AS DOUBLE), "
+        f"  'seas', {seas0}, 't', {m}, "
+        f"  'lev', array()::array<double>, 'tr', array()::array<double>, "
+        f"  'sv', array()::array<double>, 'fit', array()::array<double>), "
+        f"(acc, x) -> named_struct("
+        f"  'l', {newl}, 'b', {newb}, "
+        f"  'seas', transform(acc.seas, (v2, i2) -> IF(i2 = pmod(acc.t, {m}), {news}, v2)), "
+        f"  't', acc.t + 1, "
+        f"  'lev', array_append(acc.lev, {newl}), "
+        f"  'tr', array_append(acc.tr, {newb}), "
+        f"  'sv', array_append(acc.sv, {news}), "
+        f"  'fit', array_append(acc.fit, {fitted})))"
+    )
+
+
+def _hw_oracle(a: float, b_: float, g: float, m: int) -> str:
+    # the observation being folded is n.t = s.t + 1; its seasonal slot
+    # is (s.t + 1) % m — matching the Spark fold's pmod(acc.t, m)
+    # (acc.t counts observations already processed, starting at m)
+    sprev = f"s.seas[((s.t + 1) % {m}) + 1]"
+    newl = f"({a!r} * (n.close - {sprev}) + {1 - a!r} * (s.l + s.b))"
+    newb = f"({b_!r} * ({newl} - s.l) + {1 - b_!r} * s.b)"
+    news = f"({g!r} * (n.close - {newl}) + {1 - g!r} * {sprev})"
+    fitted = f"((s.l + s.b) + {sprev})"
+    return (
+        "\n    , bt AS ("
+        "\n      SELECT user_id, bucket_start, close,"
+        "\n             ROW_NUMBER() OVER (PARTITION BY user_id"
+        "\n                                ORDER BY bucket_start) - 1 AS t,"
+        "\n             COUNT(*) OVER (PARTITION BY user_id) AS n"
+        "\n      FROM bars"
+        "\n    ), init AS ("
+        f"\n      SELECT user_id,"
+        f"\n             list_reduce(list(close ORDER BY t), (a0, x0) -> a0 + x0) / {m} AS l0,"
+        f"\n             list_transform(list(close ORDER BY t),"
+        f"\n               x0 -> x0 - list_reduce(list(close ORDER BY t), (a1, x1) -> a1 + x1) / {m}) AS seas"
+        f"\n      FROM bt WHERE t < {m}"
+        f"\n      GROUP BY user_id"
+        f"\n      HAVING COUNT(*) = {m}"
+        "\n    ), state AS ("
+        f"\n      SELECT user_id, {m} - 1 AS t, l0 AS l, 0.0::DOUBLE AS b,"
+        "\n             seas, NULL::DOUBLE AS fitted, NULL::DOUBLE AS snew"
+        "\n      FROM init"
+        "\n      UNION ALL"
+        f"\n      SELECT s.user_id, n.t, {newl}, {newb},"
+        f"\n             list_transform(s.seas,"
+        f"\n               (v2, i2) -> CASE WHEN i2 - 1 = (s.t + 1) % {m}"
+        f"\n                                THEN {news} ELSE v2 END),"
+        f"\n             {fitted}, {news}"
+        "\n      FROM state s JOIN bt n"
+        "\n        ON n.user_id = s.user_id AND n.t = s.t + 1"
+        "\n    )"
+    )
+
+
+@_register(
+    "holt_winters_additive",
+    oracle=_BARS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _hw_oracle(_HW_ALPHA, _HW_BETA, _HW_G, _HW_M)
+    + f"""
+    SELECT bt.user_id, bt.bucket_start,
+           ROUND(s.l, 6) AS level,
+           ROUND(s.b, 6) AS trend,
+           ROUND(s.snew, 6) AS seasonal,
+           ROUND(s.fitted, 6) AS fitted
+    FROM state s JOIN bt USING (user_id, t)
+    WHERE s.t >= {_HW_M}
+    """,
+    tags=("window", "indicator", "forecast", "iterative"),
+    doc="Holt-Winters ADDITIVE triple smoothing (alpha 0.5, beta 0.3, "
+    "gamma 0.2, period 24 = daily seasonality over hourly bars): "
+    "level, trend, a 24-slot seasonal state array updated cyclically, "
+    "and the in-sample one-step forecast (l+b+s_{t-m}). Init: l0 = "
+    "mean of the first season (left-fold, same summation order both "
+    "engines), b0 = 0, s_i = y_i - l0. THREE-variable recursion with "
+    "ARRAY state: the Spark fold carries the seasonal array inside a "
+    "named_struct accumulator and rewrites one slot per step with an "
+    "indexed transform — all codegen, one shuffle; the oracle carries "
+    "the same list through a lockstep recursive CTE. The hardest "
+    "state shape any per-series kernel here uses; if the slot "
+    "arithmetic, 0/1-based indexing, or operation order diverged "
+    "anywhere, the bit-for-bit hash would fail.",
+)
+def q_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _hourly_bars(spark, sf_dir).select("user_id", "bucket_start", "close")
+    m = _HW_M
+    g = (
+        bars.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("bucket_start", "close"))
+            ).alias("s")
+        )
+        .filter(F.size("s") > m)
+        .withColumn(
+            "st", F.expr(_hw_fold_sql(_HW_ALPHA, _HW_BETA, _HW_G, m))
+        )
+    )
+    z = g.select(
+        "user_id",
+        F.slice(F.col("s"), m + 1, F.size("s") - m).alias("tail"),
+        "st",
+    ).select(
+        "user_id",
+        F.explode(
+            F.arrays_zip(
+                F.col("tail"),
+                F.col("st.lev").alias("level"),
+                F.col("st.tr").alias("trend"),
+                F.col("st.sv").alias("seasonal"),
+                F.col("st.fit").alias("fitted"),
+            )
+        ).alias("z"),
+    )
+    return z.select(
+        "user_id",
+        F.col("z.tail.bucket_start").alias("bucket_start"),
+        _r6(F.col("z.level")).alias("level"),
+        _r6(F.col("z.trend")).alias("trend"),
+        _r6(F.col("z.seasonal")).alias("seasonal"),
+        _r6(F.col("z.fitted")).alias("fitted"),
+    )
