@@ -67,6 +67,7 @@ QUERIES = [
     # round-4 second wave: the composed end-to-end pipelines
     "doc_dedup_pipeline_full", "incremental_dedup_gate",
     "decontamination_bloom_funnel", "semantic_dedup_keepers",
+    "holt_linear_trend", "holt_winters_additive",
 ]
 
 
