@@ -50,5 +50,7 @@ from stockpulse_spark.plans import registry_multimodal2  # noqa: F401, E402
 from stockpulse_spark.plans import registry_decompose  # noqa: F401, E402
 from stockpulse_spark.plans import registry_tokenizer  # noqa: F401, E402
 from stockpulse_spark.plans import registry_cdc  # noqa: F401, E402
+from stockpulse_spark.plans import registry_statespace  # noqa: F401, E402
+from stockpulse_spark.plans import registry_robust  # noqa: F401, E402
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql"]

@@ -155,3 +155,116 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_register(
+    "copurchase_triangles",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), tri AS (
+      SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e1.p2 = e2.p1
+      JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    ), node_tri AS (
+      SELECT node, COUNT(*) AS triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    ), deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT p1 AS node FROM pairs
+        UNION ALL SELECT p2 FROM pairs
+      ) GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           COALESCE(t.triangles, 0) AS triangles,
+           ROUND(CASE WHEN d.degree >= 2
+                 THEN 2.0 * COALESCE(t.triangles, 0)
+                      / (d.degree * (d.degree - 1))
+                 ELSE 0.0 END, 6) AS clustering_coef
+    FROM deg d LEFT JOIN node_tri t USING (node)
+    ORDER BY triangles DESC, node
+    LIMIT 20
+    """,
+    tags=("graph", "join"),
+    doc="Triangle counting + local clustering coefficient over the "
+    "undirected copurchase graph (same node/edge derivation as "
+    "`copurchase_pagerank`: in-row basket pair expansion, never a "
+    "basket self-join). Enumeration uses the ordered orientation "
+    "a<b<c, so each triangle is emitted exactly ONCE by two equi-"
+    "joins on the canonical (low->high) edge list — the compact "
+    "form of the classic MapReduce triangle algorithm; hub-node "
+    "fanout in the e1.p2=e2.p1 join is the known skew point and is "
+    "AQE-skew-split at scale (a degree-threshold split of the edge "
+    "list is the documented 100 TB refinement). Clustering "
+    "coefficient = 2*tri/(deg*(deg-1)) flags tightly-bundled "
+    "product groups; integer counts make cross-engine ordering "
+    "exact.",
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("q")
+        )
+        .select(F.col("q.p1").alias("p1"), F.col("q.p2").alias("p2"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e1 = pairs.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
+    e2 = pairs.select(F.col("p1").alias("b"), F.col("p2").alias("c"))
+    e3 = pairs.select(F.col("p1").alias("a"), F.col("p2").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    node_tri = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    deg = (
+        pairs.select(F.col("p1").alias("node"))
+        .unionAll(pairs.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    out = deg.join(node_tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(0.0)
+            * 1e6
+        ).alias("cc_scaled"),
+    )
+    return (
+        out.select(
+            "node",
+            "degree",
+            "triangles",
+            (F.col("cc_scaled") / 1e6).alias("clustering_coef"),
+        )
+        .orderBy(F.desc("triangles"), "node")
+        .limit(20)
+    )

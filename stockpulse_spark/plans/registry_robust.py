@@ -1,0 +1,311 @@
+"""Robust / diagnostic statistics over the event series: Theil-Sen
+trend, single-changepoint detection, and a multi-lag autocorrelation
+profile.
+
+Reference parity: the reference fits visual trendlines and eyeballs
+regime changes on its dashboard charts (app/main.py); these are the
+estimator-grade versions — a median-of-slopes trend immune to the
+outlier spikes the quality filters (operators/quality.py) otherwise
+have to catch, an exact least-squares changepoint, and the ACF
+profile that generalizes `hourly_count_autocorr` from lag 1 to a
+1..12 correlogram.
+
+All three are pure Column algebra (no Python), shaped for scale:
+pair expansion happens in-row over per-entity collected arrays
+(bounded by series length, never a corpus self-join), the
+changepoint scan is two integer prefix-sum windows, and the ACF runs
+on the HOURS x TYPES rollup, never the raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stockpulse_spark.plans.registry import _r6, _register, _t
+
+
+@_register(
+    "theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ), dn AS (
+      SELECT user_id, close,
+             date_diff('day', DATE '1970-01-01', d) AS t
+      FROM daily
+    ), slopes AS (
+      SELECT a.user_id,
+             (b.close - a.close) / CAST(b.t - a.t AS DOUBLE) AS slope
+      FROM dn a JOIN dn b
+        ON a.user_id = b.user_id AND a.t < b.t
+    ), fit AS (
+      SELECT user_id, COUNT(*) AS n_pairs,
+             quantile_cont(slope, 0.5) AS ts_slope
+      FROM slopes GROUP BY user_id
+    )
+    SELECT d.user_id,
+           COUNT(*) AS n_days,
+           MAX(f.n_pairs) AS n_pairs,
+           ROUND(MAX(f.ts_slope), 6) AS ts_slope,
+           ROUND(quantile_cont(d.close - f.ts_slope * d.t, 0.5), 6)
+             AS ts_intercept
+    FROM dn d JOIN fit f USING (user_id)
+    GROUP BY d.user_id
+    ORDER BY d.user_id
+    """,
+    tags=("robust", "trend", "agg"),
+    doc="Theil-Sen robust trend per series over daily closes: slope = "
+    "median of all pairwise slopes, intercept = median of (y - "
+    "slope*t) — breakdown point 29%, unmoved by the price spikes "
+    "that wreck OLS. The O(days^2) pair set expands IN-ROW from each "
+    "series' sorted (day, close) array (flatten/transform, the "
+    "basket-pair pattern) — bounded by per-series history, never a "
+    "corpus self-join; the oracle states the same multiset as a "
+    "within-user self-join. Exact interpolated medians on both sides "
+    "(Spark percentile == DuckDB quantile_cont definition), so the "
+    "identical slope multiset gives identical medians.",
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.max_by("value", "ts").alias("close"))
+    dn = daily.select(
+        "user_id",
+        F.datediff("d", F.lit("1970-01-01")).alias("t"),
+        "close",
+    )
+    g = dn.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("t", "close"))).alias("s")
+    )
+    slopes = g.select(
+        "user_id",
+        F.size("s").alias("n_days"),
+        F.explode(
+            F.expr(
+                "flatten(transform(s, (x, i) -> "
+                "transform(slice(s, i + 2, size(s)), "
+                "y -> (y.close - x.close) / CAST(y.t - x.t AS DOUBLE))))"
+            )
+        ).alias("slope"),
+    )
+    fit = slopes.groupBy("user_id", "n_days").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile("slope", F.lit(0.5)).alias("slope"),
+    )
+    # users-sized fit table broadcasts back onto the daily points for
+    # the residual-median intercept
+    resid = dn.join(F.broadcast(fit), "user_id").select(
+        "user_id",
+        "n_days",
+        "n_pairs",
+        F.col("slope"),
+        (F.col("close") - F.col("slope") * F.col("t")).alias("res"),
+    )
+    return (
+        resid.groupBy("user_id", "n_days", "n_pairs")
+        .agg(
+            _r6(F.max("slope")).alias("ts_slope"),
+            _r6(F.percentile("res", F.lit(0.5))).alias("ts_intercept"),
+        )
+        .select(
+            "user_id", "n_days", "n_pairs", "ts_slope", "ts_intercept"
+        )
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "changepoint_binseg",
+    oracle="""
+    WITH bars AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+             CAST(round(arg_max(value, ts) * 100) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), pre AS (
+      SELECT user_id, bucket_start,
+             ROW_NUMBER() OVER w AS t,
+             SUM(cents) OVER w AS s,
+             SUM(cents * cents) OVER w AS s2,
+             COUNT(*) OVER (PARTITION BY user_id) AS n,
+             SUM(cents) OVER (PARTITION BY user_id) AS sn,
+             SUM(cents * cents) OVER (PARTITION BY user_id) AS s2n
+      FROM bars
+      WINDOW w AS (PARTITION BY user_id ORDER BY bucket_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), cost AS (
+      SELECT user_id, bucket_start, t, n,
+             (CAST(s2 AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / t)
+             + (CAST(s2n - s2 AS DOUBLE)
+                - CAST(sn - s AS DOUBLE) * CAST(sn - s AS DOUBLE)
+                  / (n - t)) AS split_cost,
+             CAST(s2n AS DOUBLE)
+               - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / n
+               AS base_cost
+      FROM pre WHERE t < n
+    ), best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY split_cost, t) AS rk
+      FROM cost
+    )
+    SELECT user_id, n AS n_obs, t AS split_t,
+           bucket_start AS split_end,
+           ROUND(base_cost / 10000.0, 6) AS sse_before,
+           ROUND(split_cost / 10000.0, 6) AS sse_after,
+           ROUND((base_cost - split_cost) / 10000.0, 6) AS sse_reduction
+    FROM best WHERE rk = 1
+    ORDER BY user_id
+    """,
+    tags=("robust", "changepoint", "window"),
+    doc="Exact single-changepoint detection (binary segmentation, "
+    "first split) per series: the split minimizing left+right SSE of "
+    "the hourly close series, found from two integer prefix-sum "
+    "windows — O(n) per series, NOT the O(n^2) per-candidate rescan. "
+    "Closes are integer cents so every cumulative sum is exact in "
+    "both engines; costs then use the identical double expression "
+    "(sum-of-squares minus mean correction), so the argmin order "
+    "matches bit-for-bit and the (cost, t) tiebreak is deterministic. "
+    "At 100 TB this is one window shuffle on the series key; repeated "
+    "splits (full binary segmentation) recurse on the two halves "
+    "with the same windows filtered to each segment.",
+)
+def q_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket_start")
+    ).agg(
+        F.round(F.max_by("value", "ts") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wa = Window.partitionBy("user_id")
+    pre = bars.select(
+        "user_id",
+        "bucket_start",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("bucket_start"))
+        .alias("t"),
+        F.sum("cents").over(wc).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(wc).alias("s2"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+        F.sum("cents").over(wa).alias("sn"),
+        F.sum(F.col("cents") * F.col("cents")).over(wa).alias("s2n"),
+    ).filter(F.col("t") < F.col("n"))
+    sd = F.col("s").cast("double")
+    s2d = F.col("s2").cast("double")
+    cost = pre.select(
+        "user_id",
+        "bucket_start",
+        "t",
+        "n",
+        (
+            (s2d - sd * sd / F.col("t"))
+            + (
+                (F.col("s2n") - F.col("s2")).cast("double")
+                - (F.col("sn") - F.col("s")).cast("double")
+                * (F.col("sn") - F.col("s")).cast("double")
+                / (F.col("n") - F.col("t"))
+            )
+        ).alias("split_cost"),
+        (
+            F.col("s2n").cast("double")
+            - F.col("sn").cast("double")
+            * F.col("sn").cast("double")
+            / F.col("n")
+        ).alias("base_cost"),
+    )
+    best = cost.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("split_cost", "t")
+        ),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        "user_id",
+        F.col("n").alias("n_obs"),
+        F.col("t").alias("split_t"),
+        F.col("bucket_start").alias("split_end"),
+        _r6(F.col("base_cost") / 10000.0).alias("sse_before"),
+        _r6(F.col("split_cost") / 10000.0).alias("sse_after"),
+        _r6((F.col("base_cost") - F.col("split_cost")) / 10000.0).alias(
+            "sse_reduction"
+        ),
+    ).orderBy("user_id")
+
+
+@_register(
+    "acf_multilag",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, CAST(n AS DOUBLE) AS n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY hr) AS rn
+      FROM hc
+    ), probe AS (
+      SELECT i.event_type, i.rn + k.k AS rn, k.k,
+             i.n AS n_prev
+      FROM idx i CROSS JOIN (SELECT unnest(range(1, 13)) AS k) k
+    )
+    SELECT a.event_type, p.k AS lag,
+           COUNT(*) AS n_pairs,
+           ROUND(corr(a.n, p.n_prev), 6) AS acf
+    FROM idx a JOIN probe p
+      ON a.event_type = p.event_type AND a.rn = p.rn
+    GROUP BY a.event_type, p.k
+    ORDER BY a.event_type, p.k
+    """,
+    tags=("robust", "timeseries", "agg"),
+    doc="Autocorrelation profile (lags 1..12) of hourly event counts "
+    "per type — the full correlogram behind `hourly_count_autocorr`'s "
+    "single lag; a spike at lag 24 would betray daily seasonality, "
+    "geometric decay an AR(1) load process. Counts collapse to the "
+    "HOURS x TYPES rollup first (one partial-agg shuffle); every lag "
+    "then comes from ONE equi-join — each row re-emits itself at "
+    "rn+k for k in 1..12 (bounded 12x fanout on the metadata-sized "
+    "rollup) instead of 12 window passes or a range join. Positional "
+    "lag over observed hours, matching the lag-1 query's convention.",
+)
+def q_acf_multilag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    idx = hc.select(
+        "event_type",
+        F.col("n").cast("double").alias("n"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("hr"))
+        .alias("rn"),
+    )
+    probe = idx.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(1), F.lit(12))).alias("lag"),
+        F.col("rn"),
+        F.col("n").alias("n_prev"),
+    ).select(
+        "event_type",
+        (F.col("rn") + F.col("lag")).alias("rn"),
+        "lag",
+        "n_prev",
+    )
+    return (
+        idx.join(probe, ["event_type", "rn"])
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            _r6(F.corr("n", "n_prev")).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
