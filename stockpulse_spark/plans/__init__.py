@@ -53,5 +53,6 @@ from stockpulse_spark.plans import registry_cdc  # noqa: F401, E402
 from stockpulse_spark.plans import registry_statespace  # noqa: F401, E402
 from stockpulse_spark.plans import registry_robust  # noqa: F401, E402
 from stockpulse_spark.plans import registry_survival  # noqa: F401, E402
+from stockpulse_spark.plans import registry_mlstats  # noqa: F401, E402
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql"]

@@ -60,13 +60,16 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
     doc="Theil-Sen robust trend per series over daily closes: slope = "
     "median of all pairwise slopes, intercept = median of (y - "
     "slope*t) — breakdown point 29%, unmoved by the price spikes "
-    "that wreck OLS. The O(days^2) pair set expands IN-ROW from each "
-    "series' sorted (day, close) array (flatten/transform, the "
-    "basket-pair pattern) — bounded by per-series history, never a "
-    "corpus self-join; the oracle states the same multiset as a "
-    "within-user self-join. Exact interpolated medians on both sides "
-    "(Spark percentile == DuckDB quantile_cont definition), so the "
-    "identical slope multiset gives identical medians.",
+    "that wreck OLS. ONE shuffle total: the O(days^2) pair set, its "
+    "median, and the residual median all evaluate IN-ROW over each "
+    "series' sorted (day, close) array (flatten/transform + "
+    "array_sort medians) — the first cut exploded the slope multiset "
+    "back through a second shuffle and went 16x at 10x data; this "
+    "form measured 10x -> ~1x because per-series work never touches "
+    "another exchange. The oracle states the same multiset as a "
+    "within-user self-join with quantile_cont; the in-row median "
+    "applies the identical (n-1)*0.5 interpolation to the identical "
+    "multiset, so values agree bit-for-bit.",
 )
 def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -81,41 +84,40 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = dn.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("t", "close"))).alias("s")
     )
-    slopes = g.select(
+
+    # exact interpolated median of a DOUBLE array, entirely in-row:
+    # identical definition to percentile(x, 0.5)/quantile_cont
+    def med(arr: str) -> str:
+        srt = f"array_sort({arr})"
+        n = f"size({arr})"
+        return (
+            f"IF({n} % 2 = 1, "
+            f"element_at({srt}, CAST(({n} + 1) DIV 2 AS INT)), "
+            f"(element_at({srt}, CAST({n} DIV 2 AS INT)) "
+            f" + element_at({srt}, CAST({n} DIV 2 + 1 AS INT))) / 2.0)"
+        )
+
+    slopes = (
+        "flatten(transform(s, (x, i) -> "
+        "transform(slice(s, i + 2, size(s)), "
+        "y -> (y.close - x.close) / CAST(y.t - x.t AS DOUBLE))))"
+    )
+    fit = (
+        g.filter(F.size("s") >= 2)
+        .withColumn("sl", F.expr(slopes))
+        .withColumn("slope", F.expr(med("sl")))
+        .withColumn(
+            "res",
+            F.expr("transform(s, e -> e.close - slope * e.t)"),
+        )
+    )
+    return fit.select(
         "user_id",
         F.size("s").alias("n_days"),
-        F.explode(
-            F.expr(
-                "flatten(transform(s, (x, i) -> "
-                "transform(slice(s, i + 2, size(s)), "
-                "y -> (y.close - x.close) / CAST(y.t - x.t AS DOUBLE))))"
-            )
-        ).alias("slope"),
-    )
-    fit = slopes.groupBy("user_id", "n_days").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.percentile("slope", F.lit(0.5)).alias("slope"),
-    )
-    # users-sized fit table broadcasts back onto the daily points for
-    # the residual-median intercept
-    resid = dn.join(F.broadcast(fit), "user_id").select(
-        "user_id",
-        "n_days",
-        "n_pairs",
-        F.col("slope"),
-        (F.col("close") - F.col("slope") * F.col("t")).alias("res"),
-    )
-    return (
-        resid.groupBy("user_id", "n_days", "n_pairs")
-        .agg(
-            _r6(F.max("slope")).alias("ts_slope"),
-            _r6(F.percentile("res", F.lit(0.5))).alias("ts_intercept"),
-        )
-        .select(
-            "user_id", "n_days", "n_pairs", "ts_slope", "ts_intercept"
-        )
-        .orderBy("user_id")
-    )
+        F.size("sl").cast("bigint").alias("n_pairs"),
+        _r6(F.col("slope")).alias("ts_slope"),
+        _r6(F.expr(med("res"))).alias("ts_intercept"),
+    ).orderBy("user_id")
 
 
 @_register(

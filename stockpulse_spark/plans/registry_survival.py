@@ -254,9 +254,12 @@ def q_gini_revenue_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(score, vec_id) tiebreak shared by all labels, since "
     "Mann-Whitney only needs global ranks) feeds every per-label "
     "aggregate; ranks and rank sums are integers so only the final "
-    "division is floating point. The global sort is the one "
-    "unavoidable shuffle — at cluster scale it range-partitions "
-    "(the same two-stage sort `global_sort_topk` documents).",
+    "division is floating point. The rank is DISTRIBUTED: a range "
+    "repartition on (score, vec_id), per-partition row_number, then "
+    "a broadcast of cumulative partition counts — the prefix-sum "
+    "decomposition (`peak_concurrent_sessions_daily` uses the same "
+    "trick) — so no single task ever sees the whole table the way a "
+    "global Window.orderBy would.",
 )
 def q_score_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
@@ -265,11 +268,45 @@ def q_score_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("embedding").getItem(0).cast("double").alias("score"),
     )
-    ranked = scored.select(
+    # distributed global rank: range partitions are totally ordered,
+    # so global_rank = (rows in earlier partitions) + local row_number
+    # localCheckpoint pins ONE materialization of the sampled range
+    # boundaries — the local-rank and offset subtrees must see the
+    # same pid assignment or ranks would shear
+    part = (
+        scored.repartitionByRange(
+            scored.sparkSession.sparkContext.defaultParallelism,
+            "score",
+            "vec_id",
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    local = part.withColumn(
+        "lrk",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy("score", "vec_id")
+        ),
+    )
+    offsets = (
+        part.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").select(
         "label",
-        F.row_number()
-        .over(Window.orderBy("score", "vec_id"))
-        .alias("rnk"),
+        (F.col("offset") + F.col("lrk")).alias("rnk"),
     )
     n_total = scored.agg(F.count(F.lit(1)).alias("n_total"))
     per = ranked.groupBy("label").agg(

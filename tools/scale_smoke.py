@@ -68,7 +68,19 @@ QUERIES = [
     "doc_dedup_pipeline_full", "incremental_dedup_gate",
     "decontamination_bloom_funnel", "semantic_dedup_keepers",
     "holt_linear_trend", "holt_winters_additive",
+    # round-4 third wave: state-space folds, robust stats, survival,
+    # bitmap rollup, rank-statistic AUC (one global sort), and the
+    # 3-way triangle join — the shapes most worth watching at 10x
+    "kalman_local_level", "changepoint_binseg", "theil_sen_trend",
+    "acf_multilag", "copurchase_triangles", "activity_bitmap_rollup",
+    "kaplan_meier_churn", "score_auc_rank",
 ]
+
+# SPARK_SMOKE_ONLY=q1,q2 restricts the run (fast iteration on a new
+# operator without re-measuring the whole suite)
+_only = os.environ.get("SPARK_SMOKE_ONLY")
+if _only:
+    QUERIES = [q for q in QUERIES if q in set(_only.split(","))]
 
 
 def _rotate_text(col, i: int):
