@@ -275,3 +275,27 @@ def test_gini_bounds_and_equality(spark, tmp_path):
     assert out[1995]["gini"] == 0.0
     assert out[1996]["gini"] > 0.7
     assert out[1995]["total_revenue"] == 200.0
+
+
+# --------------------------------------------------------------------------
+# DTW: zero self-distance, exact constant-offset distance
+
+
+def test_dtw_planted_offset(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 12)
+    rows = []
+    n_days = 8
+    for day in range(n_days):
+        base = 10.0 + 3.0 * ((day * 7) % 5)  # wiggly but shared shape
+        for u in (1, 2, 3):       # three identical users -> median = series
+            rows.append((t0 + dt.timedelta(days=day), u, base))
+        rows.append((t0 + dt.timedelta(days=day), 4, base + 1.0))
+    _write_events(tmp_path, rows)
+    out = {r["user_id"]: r for r in _rows(spark, "dtw_to_reference", str(tmp_path))}
+    # the median reference equals users 1-3's series exactly
+    for u in (1, 2, 3):
+        assert out[u]["dtw_distance"] == 0.0
+    # constant +1.0 offset: every cell costs 1.0, the optimal path is
+    # the diagonal -> distance = n_days * 1.0
+    assert out[4]["dtw_distance"] == float(n_days)
+    assert out[4]["n_user"] == n_days and out[4]["n_ref"] == n_days
