@@ -115,21 +115,21 @@ def q_dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("v_fk"))
     )
-    rules = None
-    pairs = [
-        ("orderkey_not_null", "v_key_null"),
-        ("custkey_not_null", "v_cust_null"),
-        ("totalprice_positive", "v_price"),
-        ("orderdate_in_range", "v_date"),
-        ("orderkey_unique", "v_dup_key"),
-    ]
-    for rule, col in pairs:
-        r = base.select(
-            F.lit(rule).alias("rule"),
-            F.col("n"),
-            F.col(col).alias("violations"),
-        )
-        rules = r if rules is None else rules.unionAll(r)
+    # ONE evaluation of the wide aggregate (a union of per-rule
+    # selects would re-scan orders once per rule — the plan test
+    # counts scans); stack() unpivots the single row into rule rows
+    base = base.localCheckpoint(eager=False)
+    rules = base.select(
+        F.expr(
+            "stack(5, "
+            "'orderkey_not_null', v_key_null, "
+            "'custkey_not_null', v_cust_null, "
+            "'totalprice_positive', v_price, "
+            "'orderdate_in_range', v_date, "
+            "'orderkey_unique', v_dup_key) AS (rule, violations)"
+        ),
+        "n",
+    ).select("rule", "n", "violations")
     fk_row = fk.join(F.broadcast(base.select("n"))).select(
         F.lit("custkey_fk_exists").alias("rule"),
         "n",

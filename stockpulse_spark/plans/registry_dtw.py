@@ -159,3 +159,121 @@ def q_dtw_to_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dtw_normalized"
         ),
     ).orderBy("user_id")
+
+
+# SAX breakpoints for alphabet size 4 (standard normal quartiles)
+_SAX_BP = (-0.6745, 0.0, 0.6745)
+
+
+@_register(
+    "sax_motifs",
+    oracle=f"""
+    WITH bars AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(round(arg_max(value, ts) * 100) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT user_id, COUNT(*) AS n, SUM(cents) AS s,
+             SUM(cents * cents) AS s2
+      FROM bars GROUP BY user_id
+      HAVING COUNT(*) >= 2
+    ), frames AS (
+      SELECT b.user_id, CAST(date_trunc('day', b.h) AS DATE) AS d,
+             CAST(hour(b.h) // 8 AS INT) AS frame,
+             SUM(b.cents) AS fs, COUNT(*) AS fn
+      FROM bars b GROUP BY 1, 2, 3
+    ), z AS (
+      SELECT f.user_id, f.d, f.frame,
+             (CAST(f.fs AS DOUBLE) / f.fn - CAST(t.s AS DOUBLE) / t.n)
+             / sqrt((CAST(t.s2 AS DOUBLE) - CAST(t.s AS DOUBLE)
+                     * CAST(t.s AS DOUBLE) / t.n) / (t.n - 1)) AS zz
+      FROM frames f JOIN stats t USING (user_id)
+      WHERE (CAST(t.s2 AS DOUBLE) - CAST(t.s AS DOUBLE)
+             * CAST(t.s AS DOUBLE) / t.n) > 0
+    ), words AS (
+      SELECT user_id, d,
+             string_agg(CASE WHEN zz < {_SAX_BP[0]} THEN 'a'
+                             WHEN zz < {_SAX_BP[1]} THEN 'b'
+                             WHEN zz < {_SAX_BP[2]} THEN 'c'
+                             ELSE 'd' END, '' ORDER BY frame) AS word
+      FROM z GROUP BY user_id, d
+    )
+    SELECT word, COUNT(*) AS n_days,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM words GROUP BY word
+    ORDER BY n_days DESC, word LIMIT 20
+    """,
+    tags=("timeseries", "sax", "text"),
+    doc="SAX (Symbolic Aggregate approXimation) motif mining: each "
+    "user-day's hourly closes compress to a 3-symbol word (8-hour "
+    "PAA frames, z-normalized per series, quantized at the standard-"
+    "normal quartile breakpoints a|b|c|d), and the corpus-wide motif "
+    "histogram surfaces the recurring intraday shapes ('abd' = "
+    "morning-low/evening-high). This is the discretization that "
+    "turns similarity search over raw series into string ops at 100 "
+    "TB. Determinism: frame sums and per-series moments are exact "
+    "integer cents, so every z-score is the same double in both "
+    "engines and quantization cannot disagree; two partial-agg "
+    "shuffles (bars -> frames; words), user stats broadcast back.",
+)
+def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.round(F.max_by("value", "ts") * 100).cast("bigint").alias("cents")
+    )
+    stats = (
+        bars.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
+            F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    frames = bars.groupBy(
+        "user_id",
+        F.date_trunc("day", "h").cast("date").alias("d"),
+        (F.hour("h").cast("int") / 8).cast("int").alias("frame"),
+    ).agg(F.sum("cents").alias("fs"), F.count(F.lit(1)).alias("fn"))
+    sd = F.col("s").cast("double")
+    var_num = F.col("s2").cast("double") - sd * sd / F.col("n")
+    z = (
+        frames.join(F.broadcast(stats), "user_id")
+        .filter(var_num > 0)
+        .select(
+            "user_id",
+            "d",
+            "frame",
+            (
+                (F.col("fs").cast("double") / F.col("fn") - sd / F.col("n"))
+                / F.sqrt(var_num / (F.col("n") - 1))
+            ).alias("zz"),
+        )
+    )
+    sym = (
+        F.when(F.col("zz") < _SAX_BP[0], "a")
+        .when(F.col("zz") < _SAX_BP[1], "b")
+        .when(F.col("zz") < _SAX_BP[2], "c")
+        .otherwise("d")
+    )
+    words = (
+        z.select("user_id", "d", "frame", sym.alias("sym"))
+        .groupBy("user_id", "d")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(frame, sym))), e -> e.sym), '')"
+            ).alias("word")
+        )
+    )
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_days"), "word")
+        .limit(20)
+    )

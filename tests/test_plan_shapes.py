@@ -335,3 +335,54 @@ def test_bpe_pairs_one_shuffle_topk(spark):
     # pair counting: one hash shuffle; the rank window is global on
     # the pair-vocabulary-sized table
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_theil_sen_single_exchange(spark):
+    """Slope and intercept medians are in-row: ONE hashpartitioning
+    exchange (daily rollup + collect share the user_id partitioning)
+    and no second shuffle for a median aggregation — the shape that
+    measured ~2x at 10x data (the exploded-median form measured 16x)."""
+    plan = _plan(spark, "theil_sen_trend")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_dtw_broadcasts_reference(spark):
+    """The reference series is a 1-row broadcast; per-user series
+    collect is the only data shuffle. The DP fold must stay JVM-side
+    (no Python evaluation nodes)."""
+    plan = _plan(spark, "dtw_to_reference")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_auc_rank_has_no_single_partition_window(spark):
+    """The global rank must NOT be a single-partition window: no
+    'Exchange SinglePartition' feeding a Window node (the range
+    repartition + prefix-sum offsets replace it)."""
+    plan = _plan(spark, "score_auc_rank")
+    assert "Exchange rangepartitioning" in plan
+    import re
+
+    # a Window directly downstream of a SinglePartition exchange is
+    # the scale bug this query exists to avoid
+    assert not re.search(
+        r"Exchange SinglePartition[^\n]*\n[^\n]*Window", plan
+    ), plan
+
+
+def test_mergeable_rollup_two_aggregations_one_scan(spark):
+    """Daily partials then weekly merge: exactly the two-level
+    aggregate with ONE scan of the fact table."""
+    plan = _plan(spark, "mergeable_weekly_rollup")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_dq_suite_single_scan_for_row_rules(spark):
+    """The five row-level rules fold into one Aggregate; only the FK
+    rule adds a second scan of orders (anti-join probe). Total orders
+    scans must be exactly 2, customer 1."""
+    plan = _plan(spark, "dq_expectation_suite")
+    assert plan.count("orders.parquet") <= 2
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
