@@ -229,3 +229,70 @@ def q_ewma_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("z.s.r")).alias("log_return"),
         _r6(F.sqrt(F.col("z.s2"))).alias("ewma_vol"),
     )
+
+
+@_register(
+    "kalman_events_batch",
+    oracle=f"""
+    WITH RECURSIVE bt AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS t,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ), state AS (
+      SELECT user_id, 0 AS t, n, CAST(value AS DOUBLE) AS l,
+             CAST({_KF_R!r} AS DOUBLE) AS p
+      FROM bt WHERE t = 0
+      UNION ALL
+      SELECT s.user_id, b.t, s.n,
+             (s.l + ((s.p + {_KF_Q!r}) / ((s.p + {_KF_Q!r}) + {_KF_R!r}))
+                    * (b.value - s.l)),
+             ((1.0 - ((s.p + {_KF_Q!r}) / ((s.p + {_KF_Q!r}) + {_KF_R!r})))
+                    * (s.p + {_KF_Q!r}))
+      FROM state s JOIN bt b
+        ON b.user_id = s.user_id AND b.t = s.t + 1
+    )
+    SELECT user_id, n AS n_obs,
+           ROUND(l, 6) AS level, ROUND(p, 6) AS err_var
+    FROM state WHERE t = n - 1
+    ORDER BY user_id
+    """,
+    tags=("statespace", "streaming"),
+    doc="FINAL Kalman state per user over the raw event sequence "
+    "(local-level filter, same Q/R as `kalman_local_level` but "
+    "per-event observations) — the batch twin of the STREAMING "
+    "stateful Kalman operator (streaming/transform_state.py:"
+    "running_kalman_filter): the stream folds the identical "
+    "recursion across micro-batches with (l, p, n) in keyed state, "
+    "and tests assert its final rows equal this query under any "
+    "batch split. Spark side: one scalar fold per series (no output "
+    "arrays — final state only); oracle: lockstep recursive CTE.",
+)
+def q_kalman_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.plans.registry import _t
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    fold = (
+        "aggregate("
+        "  slice(sv, 2, size(sv) - 1), "
+        "  named_struct("
+        "    'l', CAST(sv[0] AS DOUBLE), "
+        f"    'p', CAST({_KF_R!r} AS DOUBLE)), "
+        "  (acc, x) -> named_struct("
+        f"    'l', {_KF_NEWL}, "
+        f"    'p', {_KF_NEWP}))"
+    )
+    g = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("ts", "value"))).alias("s")
+        )
+        .withColumn("sv", F.expr("transform(s, e -> e.value)"))
+        .withColumn("st", F.expr(fold))
+    )
+    return g.select(
+        "user_id",
+        F.size("sv").cast("bigint").alias("n_obs"),
+        _r6(F.col("st.l")).alias("level"),
+        _r6(F.col("st.p")).alias("err_var"),
+    ).orderBy("user_id")

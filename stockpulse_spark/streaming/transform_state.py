@@ -178,3 +178,96 @@ def running_series_stats(stream_df):
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming Kalman filter: the state-space recursion of
+# plans/registry_statespace.py carried across micro-batches
+
+KALMAN_STATE_SCHEMA = "n LONG, l DOUBLE, p DOUBLE"
+KALMAN_OUTPUT_SCHEMA = "user_id LONG, n_obs LONG, level DOUBLE, err_var DOUBLE"
+_KF_Q, _KF_R = 0.1, 1.0  # keep in lockstep with registry_statespace
+
+
+def _kalman_fold(vals, n: int, l, p):
+    """Fold one time-ordered batch of observations into Kalman state.
+
+    Python-float arithmetic IS IEEE double arithmetic, and the update
+    expressions mirror the JVM fold in `kalman_events_batch`
+    operation-for-operation — so a stream split across any number of
+    micro-batches reproduces the batch query's final state
+    bit-for-bit (asserted in tests/test_kalman_stream.py)."""
+    for x in vals:
+        x = float(x)
+        if n == 0:
+            l, p = x, _KF_R
+        else:
+            ppred = p + _KF_Q
+            k = ppred / (ppred + _KF_R)
+            l = l + k * (x - l)
+            p = (1.0 - k) * ppred
+        n += 1
+    return n, l, p
+
+
+class KalmanProcessor(StatefulProcessor):
+    """Per-user online local-level Kalman filter (typed-state API)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("kalman", KALMAN_STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        n, l, p = (
+            self._state.get() if self._state.exists() else (0, None, None)
+        )
+        batch = pd.concat(list(rows)).sort_values("ts", kind="stable")
+        n, l, p = _kalman_fold(batch["value"].to_numpy(), n, l, p)
+        self._state.update((n, l, p))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_obs": [n],
+                "level": [l],
+                "err_var": [p],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _kalman_group_pandas(key, pdf_iter, state):
+    """applyInPandasWithState binding of the same Kalman kernel."""
+    n, l, p = state.get if state.exists else (0, None, None)
+    batch = pd.concat(list(pdf_iter)).sort_values("ts", kind="stable")
+    n, l, p = _kalman_fold(batch["value"].to_numpy(), n, l, p)
+    state.update((n, l, p))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_obs": [n], "level": [l], "err_var": [p]}
+    )
+
+
+def running_kalman_filter(stream_df):
+    """Attach the online Kalman filter: one output row per user per
+    micro-batch carrying the updated (n, level, err_var) state —
+    the streaming form of `kalman_events_batch`. Binds to whichever
+    state API this runtime supports (same rule as
+    `running_series_stats`)."""
+    if has_transform_with_state_runtime():
+        return stream_df.groupBy("user_id").transformWithStateInPandas(
+            KalmanProcessor(),
+            outputStructType=KALMAN_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        _kalman_group_pandas,
+        outputStructType=KALMAN_OUTPUT_SCHEMA,
+        stateStructType=KALMAN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
