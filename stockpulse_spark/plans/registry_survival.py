@@ -268,45 +268,10 @@ def q_score_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("embedding").getItem(0).cast("double").alias("score"),
     )
-    # distributed global rank: range partitions are totally ordered,
-    # so global_rank = (rows in earlier partitions) + local row_number
-    # localCheckpoint pins ONE materialization of the sampled range
-    # boundaries — the local-rank and offset subtrees must see the
-    # same pid assignment or ranks would shear
-    part = (
-        scored.repartitionByRange(
-            scored.sparkSession.sparkContext.defaultParallelism,
-            "score",
-            "vec_id",
-        )
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
-    local = part.withColumn(
-        "lrk",
-        F.row_number().over(
-            Window.partitionBy("pid").orderBy("score", "vec_id")
-        ),
-    )
-    offsets = (
-        part.groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "offset",
-            F.coalesce(
-                F.sum("cnt").over(
-                    Window.orderBy("pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("pid", "offset")
-    )
-    ranked = local.join(F.broadcast(offsets), "pid").select(
-        "label",
-        (F.col("offset") + F.col("lrk")).alias("rnk"),
+    from stockpulse_spark.operators.rank import with_global_rank
+
+    ranked = with_global_rank(scored, "score", "vec_id").select(
+        "label", "rnk"
     )
     n_total = scored.agg(F.count(F.lit(1)).alias("n_total"))
     per = ranked.groupBy("label").agg(
