@@ -74,6 +74,15 @@ QUERIES = [
     "kalman_local_level", "changepoint_binseg", "theil_sen_trend",
     "acf_multilag", "copurchase_triangles", "activity_bitmap_rollup",
     "kaplan_meier_churn", "score_auc_rank",
+    # round-4 fourth wave: DTW/SAX mining, trained NB, bootstrap
+    # (x100 replicate explode — the documented compute cost), feature
+    # encoders, IVM rollup, DQ gate, inference stats
+    "dtw_to_reference", "sax_motifs", "nb_lang_classifier",
+    "poisson_bootstrap_ci", "loo_target_encoding", "woe_binning",
+    "psi_value_drift", "mergeable_weekly_rollup",
+    "dq_expectation_suite", "kalman_events_batch",
+    "gini_revenue_yearly", "segment_type_chisq",
+    "trimmed_stats_by_type", "anova_hour_effect",
 ]
 
 # SPARK_SMOKE_ONLY=q1,q2 restricts the run (fast iteration on a new
