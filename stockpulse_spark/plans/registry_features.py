@@ -37,8 +37,10 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
     )
     SELECT e.event_id, e.event_type,
            ROUND(e.cents / 100.0, 6) AS value,
-           ROUND(CAST(g.s - e.cents AS DOUBLE)
-                 / (g.n - 1) / 100.0, 6) AS loo_enc
+           CASE WHEN g.n > 1 THEN
+             ROUND(CAST(g.s - e.cents AS DOUBLE)
+                   / (g.n - 1) / 100.0, 6)
+           END AS loo_enc
     FROM e JOIN g USING (event_type)
     ORDER BY e.event_id
     """,
@@ -69,10 +71,13 @@ def q_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             _r6(F.col("cents") / 100.0).alias("value"),
-            _r6(
-                (F.col("s") - F.col("cents")).cast("double")
-                / (F.col("n") - 1)
-                / 100.0
+            F.when(
+                F.col("n") > 1,
+                _r6(
+                    (F.col("s") - F.col("cents")).cast("double")
+                    / (F.col("n") - 1)
+                    / 100.0
+                ),
             ).alias("loo_enc"),
         )
         .orderBy("event_id")
@@ -104,12 +109,16 @@ def q_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT SUM(n_pos) AS tp, SUM(n_neg) AS tn FROM b
     )
     SELECT b.bin, b.n, b.n_pos, b.n_neg, b.bin_lo, b.bin_hi,
-           ROUND(ln((CAST(b.n_pos AS DOUBLE) / t.tp)
-                    / (CAST(b.n_neg AS DOUBLE) / t.tn)), 6) AS woe,
-           ROUND((CAST(b.n_pos AS DOUBLE) / t.tp
-                  - CAST(b.n_neg AS DOUBLE) / t.tn)
-                 * ln((CAST(b.n_pos AS DOUBLE) / t.tp)
-                      / (CAST(b.n_neg AS DOUBLE) / t.tn)), 6) AS iv_term
+           CASE WHEN b.n_pos > 0 AND b.n_neg > 0 THEN
+             ROUND(ln((CAST(b.n_pos AS DOUBLE) / t.tp)
+                      / (CAST(b.n_neg AS DOUBLE) / t.tn)), 6)
+           END AS woe,
+           CASE WHEN b.n_pos > 0 AND b.n_neg > 0 THEN
+             ROUND((CAST(b.n_pos AS DOUBLE) / t.tp
+                    - CAST(b.n_neg AS DOUBLE) / t.tn)
+                   * ln((CAST(b.n_pos AS DOUBLE) / t.tp)
+                        / (CAST(b.n_neg AS DOUBLE) / t.tn)), 6)
+           END AS iv_term
     FROM b, t
     ORDER BY b.bin
     """,
@@ -157,6 +166,10 @@ def q_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.max("value")).alias("bin_hi"),
     )
     t = b.agg(F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn"))
+    # WOE is defined only when the bin holds BOTH classes — a
+    # pure bin would divide or log by zero (ANSI errors; caught by
+    # the planted separating-feature test)
+    both = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
     pos_share = F.col("n_pos").cast("double") / F.col("tp")
     neg_share = F.col("n_neg").cast("double") / F.col("tn")
     woe = F.log(pos_share / neg_share)
@@ -169,8 +182,10 @@ def q_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_neg",
             "bin_lo",
             "bin_hi",
-            _r6(woe).alias("woe"),
-            _r6((pos_share - neg_share) * woe).alias("iv_term"),
+            F.when(both, _r6(woe)).alias("woe"),
+            F.when(both, _r6((pos_share - neg_share) * woe)).alias(
+                "iv_term"
+            ),
         )
         .orderBy("bin")
     )

@@ -43,9 +43,10 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
              // 3600000000 AS recency_hours,
            (epoch_us(f.last_ts) - epoch_us(f.first_ts))
              // 86400000000 AS tenure_days,
-           ROUND(CAST(epoch_us(f.last_ts) - epoch_us(f.first_ts)
-                      AS DOUBLE) / 60000000.0 / (f.n_events - 1), 6)
-             AS mean_gap_minutes
+           CASE WHEN f.n_events > 1 THEN
+             ROUND(CAST(epoch_us(f.last_ts) - epoch_us(f.first_ts)
+                        AS DOUBLE) / 60000000.0 / (f.n_events - 1), 6)
+           END AS mean_gap_minutes
     FROM f, h
     ORDER BY f.user_id
     """,
@@ -95,10 +96,13 @@ def q_user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "(last_us - first_us) DIV 86400000000"
             ).alias("tenure_days"),
-            _r6(
-                (F.col("last_us") - F.col("first_us")).cast("double")
-                / 60000000.0
-                / (F.col("n_events") - 1)
+            F.when(
+                F.col("n_events") > 1,
+                _r6(
+                    (F.col("last_us") - F.col("first_us")).cast("double")
+                    / 60000000.0
+                    / (F.col("n_events") - 1)
+                ),
             ).alias("mean_gap_minutes"),
         )
         .orderBy("user_id")
