@@ -222,3 +222,110 @@ def q_segment_type_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2",
         )
     )
+
+
+@_register(
+    "conformal_interval_coverage",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, hour(ts) AS hr, value,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             {hex_to_int_sql("md5(CAST(event_id AS VARCHAR))", 8)} % 2
+               AS split
+      FROM events
+    ), model AS (
+      SELECT event_type, hr,
+             CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 AS pred
+      FROM e WHERE split = 0 GROUP BY event_type, hr
+    ), scored AS (
+      SELECT e.event_type, e.split,
+             abs(e.value - m.pred) AS score
+      FROM e JOIN model m
+        ON e.event_type = m.event_type AND e.hr = m.hr
+    ), qhat AS (
+      SELECT event_type,
+             COUNT(*) AS n_calib,
+             quantile_cont(score, 0.9) AS q
+      FROM scored WHERE split = 0 GROUP BY event_type
+    )
+    SELECT s.event_type, q.n_calib,
+           COUNT(*) AS n_test,
+           ROUND(q.q, 6) AS qhat,
+           ROUND(CAST(SUM(CASE WHEN s.score <= q.q THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS coverage
+    FROM scored s JOIN qhat q USING (event_type)
+    WHERE s.split = 1
+    GROUP BY s.event_type, q.n_calib, q.q
+    ORDER BY s.event_type
+    """,
+    tags=("inference", "ml", "agg"),
+    doc="Split-conformal prediction intervals with empirical coverage "
+    "check: an md5-parity split carves calibration/test halves "
+    "deterministically in both engines, a (type, hour-of-day) "
+    "calibration-mean model predicts each event, the 90% quantile "
+    "of calibration residuals becomes the interval half-width, and "
+    "the TEST half reports achieved coverage (should sit near 0.9 — "
+    "the distribution-free guarantee every deployed predictor "
+    "should be wrapped in). Model and quantiles are metadata-sized "
+    "broadcasts; the whole check is two scan passes. Calibration "
+    "means come from integer cents, so predictions and residuals "
+    "are identical doubles across engines.",
+)
+def q_conformal_interval_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    split = (
+        F.expr(hex_to_int_sql("md5(CAST(event_id AS STRING))", 8)) % 2
+    ).alias("split")
+    e = ev.select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        "value",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        split,
+    )
+    model = (
+        e.filter(F.col("split") == 0)
+        .groupBy("event_type", "hr")
+        .agg(
+            (
+                F.sum("cents").cast("double")
+                / F.count(F.lit(1))
+                / 100.0
+            ).alias("pred")
+        )
+    )
+    scored = e.join(F.broadcast(model), ["event_type", "hr"]).select(
+        "event_type",
+        "split",
+        F.abs(F.col("value") - F.col("pred")).alias("score"),
+    )
+    qhat = (
+        scored.filter(F.col("split") == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_calib"),
+            F.percentile("score", F.lit(0.9)).alias("q"),
+        )
+    )
+    hit = F.when(F.col("score") <= F.col("q"), 1).otherwise(0)
+    return (
+        scored.filter(F.col("split") == 1)
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type", "n_calib", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            _r6(
+                F.sum(hit).cast("double") / F.count(F.lit(1))
+            ).alias("coverage"),
+        )
+        .select(
+            "event_type",
+            "n_calib",
+            "n_test",
+            _r6(F.col("q")).alias("qhat"),
+            "coverage",
+        )
+        .orderBy("event_type")
+    )

@@ -311,3 +311,127 @@ def q_acf_multilag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "lag")
     )
+
+
+@_register(
+    "isotonic_trend",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(round(arg_max(value, ts) * 100) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), ua AS (
+      SELECT user_id,
+             list(d ORDER BY d) AS ds,
+             list(cents ORDER BY d) AS a,
+             COUNT(*) AS na
+      FROM daily GROUP BY user_id
+    ), st AS (
+      SELECT user_id, na, a, ds, 0 AS i,
+             CAST([] AS STRUCT(s BIGINT, w BIGINT)[]) AS stack
+      FROM ua
+      UNION ALL
+      SELECT user_id, na, a, ds,
+             CASE WHEN viol THEN i ELSE i + 1 END AS i,
+             CASE WHEN viol THEN
+               list_append(stack[1:len(stack) - 2],
+                 {'s': stack[len(stack) - 1].s + stack[len(stack)].s,
+                  'w': stack[len(stack) - 1].w + stack[len(stack)].w})
+             ELSE
+               list_append(stack, {'s': a[i + 1], 'w': CAST(1 AS BIGINT)})
+             END AS stack
+      FROM (
+        SELECT *,
+               (len(stack) >= 2 AND
+                stack[len(stack) - 1].s * stack[len(stack)].w
+                  > stack[len(stack)].s * stack[len(stack) - 1].w) AS viol
+        FROM st
+      )
+      WHERE viol OR i < na
+    ), fin AS (
+      SELECT user_id, ds,
+             flatten(list_transform(stack, b ->
+               list_transform(range(b.w),
+                              x -> CAST(b.s AS DOUBLE) / b.w))) AS f,
+             a
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY i DESC,
+                                     len(stack)) AS rk
+        FROM st WHERE i = na
+      ) WHERE rk = 1
+    )
+    SELECT user_id,
+           unnest(ds) AS d,
+           ROUND(unnest(a) / 100.0, 6) AS close,
+           ROUND(unnest(f) / 100.0, 6) AS iso_fit
+    FROM fin
+    ORDER BY user_id, d
+    """,
+    tags=("robust", "isotonic", "statespace"),
+    doc="Isotonic (monotone non-decreasing) regression of daily "
+    "closes per series via POOL-ADJACENT-VIOLATORS — the calibration "
+    "fit Spark has no operator for (its ML variant is RDD-bound and "
+    "approximate across partitions). The block stack folds IN-ROW: "
+    "each push runs a bounded inner fold that merges violating "
+    "adjacent blocks; violations compare s_prev*w_new > s_new*w_prev "
+    "in INTEGER cents (cross-multiplied means), so the entire fit is "
+    "exact integer arithmetic in both engines and only the final "
+    "block-mean expansion divides. The oracle drives the identical "
+    "push/merge state machine one transition per recursive-CTE step "
+    "(merge steps don't consume a point; series finish at different "
+    "depths like the DTW fold). Properties pinned by tests: output "
+    "monotone, block-mean preservation, exact pooling of a planted "
+    "V-shape.",
+)
+def q_isotonic_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(
+        F.round(F.max_by("value", "ts") * 100).cast("bigint").alias("cents")
+    )
+    g = daily.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("d", "cents"))).alias("s")
+    )
+    last = "element_at(st, size(st))"
+    prev = "element_at(st, size(st) - 1)"
+    merged = (
+        f"array_append(slice(st, 1, size(st) - 2), "
+        f"named_struct('s', {prev}.s + {last}.s, "
+        f"'w', {prev}.w + {last}.w))"
+    )
+    inner = (
+        "aggregate(sequence(1, size(push)), push, (st, k) -> "
+        f"IF(size(st) >= 2 AND {prev}.s * {last}.w > {last}.s * {prev}.w, "
+        f"{merged}, st))"
+    )
+    outer = (
+        "aggregate(a, CAST(array() AS ARRAY<STRUCT<s: BIGINT, w: BIGINT>>), "
+        "(acc, x) -> "
+        + inner.replace(
+            "push", "array_append(acc, named_struct('s', x, 'w', CAST(1 AS BIGINT)))"
+        )
+        + ")"
+    )
+    fit = (
+        g.withColumn("a", F.expr("transform(s, e -> e.cents)"))
+        .withColumn("stack", F.expr(outer))
+        .withColumn(
+            "f",
+            F.expr(
+                "flatten(transform(stack, b -> "
+                "array_repeat(CAST(b.s AS DOUBLE) / b.w, CAST(b.w AS INT))))"
+            ),
+        )
+    )
+    z = fit.select(
+        "user_id",
+        F.explode(F.arrays_zip("s", "f")).alias("z"),
+    )
+    return z.select(
+        "user_id",
+        F.col("z.s.d").alias("d"),
+        _r6(F.col("z.s.cents") / 100.0).alias("close"),
+        _r6(F.col("z.f") / 100.0).alias("iso_fit"),
+    ).orderBy("user_id", "d")

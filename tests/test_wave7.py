@@ -168,3 +168,50 @@ def test_seasonal_anomaly_flags_planted_spike(spark, tmp_path):
     }
     assert out[("view", 3)]["n_anomalies"] == 1
     assert out[("view", 12)]["n_anomalies"] == 0
+
+
+def test_isotonic_pools_planted_v_shape(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 12)
+    # 10, 30, 20: PAVA must pool the violating (30, 20) into 25, 25
+    vals = [10.0, 30.0, 20.0]
+    _write_events(
+        tmp_path,
+        [
+            (t0 + dt.timedelta(days=i), 1, "view", v)
+            for i, v in enumerate(vals)
+        ],
+    )
+    out = sorted(
+        _rows(spark, "isotonic_trend", str(tmp_path)), key=lambda r: r["d"]
+    )
+    assert [r["iso_fit"] for r in out] == [10.0, 25.0, 25.0]
+
+
+def test_isotonic_monotone_and_mean_preserving(spark):
+    rows = _rows(spark, "isotonic_trend")
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r["d"])
+        fits = [r["iso_fit"] for r in rs]
+        assert fits == sorted(fits), uid  # monotone non-decreasing
+        # PAVA preserves the total (block means are block averages)
+        assert abs(sum(fits) - sum(r["close"] for r in rs)) < 1e-3, uid
+
+
+def test_isotonic_identity_on_monotone_series(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 12)
+    vals = [1.0, 2.0, 5.0, 5.0, 9.0]
+    _write_events(
+        tmp_path,
+        [
+            (t0 + dt.timedelta(days=i), 2, "view", v)
+            for i, v in enumerate(vals)
+        ],
+    )
+    out = sorted(
+        _rows(spark, "isotonic_trend", str(tmp_path)), key=lambda r: r["d"]
+    )
+    assert [r["iso_fit"] for r in out] == vals
