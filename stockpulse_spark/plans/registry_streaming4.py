@@ -161,3 +161,62 @@ def q_weekly_rollup_closed_batch(
         .drop("week_end", "wm")
         .orderBy("event_type", "week")
     )
+
+
+@_register(
+    "stream_kalman_filter",
+    oracle=None,  # custom stateful operator — rows-only; anchored by
+    # kalman_events_batch equality (tests/test_kalman_stream.py)
+    tags=("streaming", "stateful", "statespace"),
+    doc="ONLINE Kalman filter as a custom stateful operator "
+    "(streaming/transform_state.py:running_kalman_filter): per-user "
+    "(n, level, err_var) carried in keyed state, the local-level "
+    "recursion folded per micro-batch with Python-float updates that "
+    "mirror the JVM fold operation-for-operation — so any batch "
+    "split reproduces `kalman_events_batch`'s final state "
+    "bit-for-bit (asserted in tests). Binds to "
+    "transformWithStateInPandas where the runtime allows, else "
+    "applyInPandasWithState; one fixed-width state row per key.",
+)
+def q_stream_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.streaming.transform_state import (
+        has_transform_with_state_runtime,
+        running_kalman_filter,
+    )
+
+    load_table(spark, sf_dir, "events")
+    if has_transform_with_state_runtime():
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = running_kalman_filter(stream.select("user_id", "ts", "value"))
+    name = f"stream_kalman_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sp_ckpt_"))
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_kalman_filter: run exceeded 300s")
+    return spark.table(name)
