@@ -83,6 +83,7 @@ QUERIES = [
     "dq_expectation_suite", "kalman_events_batch",
     "gini_revenue_yearly", "segment_type_chisq",
     "trimmed_stats_by_type", "anova_hour_effect",
+    "isotonic_trend", "conformal_interval_coverage",
 ]
 
 # SPARK_SMOKE_ONLY=q1,q2 restricts the run (fast iteration on a new
