@@ -215,3 +215,39 @@ def test_isotonic_identity_on_monotone_series(spark, tmp_path):
         _rows(spark, "isotonic_trend", str(tmp_path)), key=lambda r: r["d"]
     )
     assert [r["iso_fit"] for r in out] == vals
+
+
+def _burst_series(tmp_path, counts):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for h, k in enumerate(counts):
+        for j in range(k):
+            rows.append(
+                (t0 + dt.timedelta(hours=h, minutes=j), 1, "view", 1.0)
+            )
+    _write_events(tmp_path, rows)
+
+
+def test_viterbi_labels_sustained_burst_exactly(spark, tmp_path):
+    # 20 quiet hours (k=2), 10 burst hours (k=12), 20 quiet hours:
+    # per-hour evidence ~4.3 nats for the burst state vs a 1-nat
+    # switch cost -> the decoded burst must be exactly hours 20..29
+    counts = [2] * 20 + [12] * 10 + [2] * 20
+    _burst_series(tmp_path, counts)
+    out = sorted(
+        _rows(spark, "burst_detection_viterbi", str(tmp_path)),
+        key=lambda r: r["hr"],
+    )
+    assert len(out) == 50
+    states = [r["burst_state"] for r in out]
+    assert states == [0] * 20 + [1] * 10 + [0] * 20
+    assert out[0]["base_rate"] == 4.0
+
+
+def test_viterbi_suppresses_single_mild_spike(spark, tmp_path):
+    # one k=5 hour in a k=2 sea: ~1.4 nats of evidence cannot pay the
+    # 2-nat round trip, so the label must NOT flicker
+    counts = [2] * 25 + [5] + [2] * 24
+    _burst_series(tmp_path, counts)
+    out = _rows(spark, "burst_detection_viterbi", str(tmp_path))
+    assert all(r["burst_state"] == 0 for r in out)
