@@ -84,6 +84,7 @@ QUERIES = [
     "gini_revenue_yearly", "segment_type_chisq",
     "trimmed_stats_by_type", "anova_hour_effect",
     "isotonic_trend", "conformal_interval_coverage",
+    "burst_detection_viterbi",
 ]
 
 # SPARK_SMOKE_ONLY=q1,q2 restricts the run (fast iteration on a new
