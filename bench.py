@@ -4,13 +4,16 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is fully executed (collected to the driver like the
-dashboard would) — not just planned. Each query runs THREE times
+dashboard would) — not just planned. Each query runs FIVE times
 post-warmup and the minimum is reported (standard warm-run
 convention: the first execution pays one-time whole-stage-codegen/
-janino compilation, a fixed cost independent of data volume), with
-the per-query spread (max−min) reported alongside so a regression
-between rounds is attributable — a delta inside the spread is
-JVM/GC noise, outside it is real.
+janino compilation, a fixed cost independent of data volume; min is
+the right location statistic under one-sided contention noise —
+round-4's artifact showed per-query spreads LARGER than the means,
+i.e. external load, not plan regressions), with the per-query spread
+(max−min) and median reported alongside so a regression between
+rounds is attributable — a delta inside the spread is JVM/GC/host
+noise, outside it is real.
 """
 
 from __future__ import annotations
@@ -73,17 +76,20 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in names:
         runs, n = [], 0
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             df = REGISTRY[name].builder(spark, sf_dir)
             n = len(df.collect())
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
         spreads[name] = round(max(runs) - min(runs), 3)
+        medians[name] = round(sorted(runs)[len(runs) // 2], 3)
         print(
-            f"# {name}: {timings[name]:.3f}s ±{spreads[name]:.3f} ({n} rows)",
+            f"# {name}: {timings[name]:.3f}s ±{spreads[name]:.3f} "
+            f"med={medians[name]:.3f} ({n} rows)",
             file=sys.stderr,
         )
 
@@ -115,6 +121,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spreads,
+                "median": medians,
                 "skew_queries": skew_timings,
                 "skew_ratio": {
                     n: round(skew_timings[n] / timings[n], 3) for n in skew_timings

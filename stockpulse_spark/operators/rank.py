@@ -26,10 +26,17 @@ def with_global_rank(
 ) -> DataFrame:
     """Append a 1-based dense global row number ordered by
     `order_cols` (callers must make the order total — include a
-    tiebreak key)."""
+    tiebreak key).
+
+    Ordering is pinned ASC NULLS LAST in both the range partitioner
+    and the per-partition window: Spark's default is NULLS FIRST but
+    the DuckDB oracles (`ROW_NUMBER() ... ORDER BY`) default to NULLS
+    LAST, and the two subtrees must agree with each other regardless.
+    """
+    ordering = [F.col(c).asc_nulls_last() for c in order_cols]
     part = (
         df.repartitionByRange(
-            df.sparkSession.sparkContext.defaultParallelism, *order_cols
+            df.sparkSession.sparkContext.defaultParallelism, *ordering
         )
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
@@ -37,7 +44,7 @@ def with_global_rank(
     local = part.withColumn(
         "__lrk",
         F.row_number().over(
-            Window.partitionBy("__pid").orderBy(*order_cols)
+            Window.partitionBy("__pid").orderBy(*ordering)
         ),
     )
     offsets = (

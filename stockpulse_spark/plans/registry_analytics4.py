@@ -125,7 +125,7 @@ def q_rolling_beta20(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM deltas
     )
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-           MAX(concurrent) AS peak_concurrent
+           CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent
     FROM running GROUP BY 1 ORDER BY day
     """,
     tags=("analytics", "session", "window"),

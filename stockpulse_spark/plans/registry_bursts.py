@@ -44,23 +44,26 @@ _SW = 1_000_000  # switch cost: 1 nat in micro-nats
              list(hr ORDER BY hr) AS hrs,
              list(k ORDER BY hr) AS ks,
              COUNT(*) AS n,
-             CAST(SUM(k) AS DOUBLE) / COUNT(*) AS lam
+             CAST(SUM(k) AS DOUBLE) / COUNT(*) AS lam,
+             CAST(round(CAST(SUM(k) AS DOUBLE) / COUNT(*) * 1000000)
+                  AS BIGINT) AS lam_u,
+             CAST(round(ln(CAST(SUM(k) AS DOUBLE) / COUNT(*)) * 1000000)
+                  AS BIGINT) AS llam,
+             CAST(round(ln(2 * CAST(SUM(k) AS DOUBLE) / COUNT(*)) * 1000000)
+                  AS BIGINT) AS l2lam
       FROM hc GROUP BY event_type
     ), fwd AS (
-      SELECT event_type, n, ks, lam, 0 AS t,
-             CAST(round((lam - ks[1] * ln(lam)) * 1000000) AS BIGINT)
-               AS c0,
-             CAST(round((2 * lam - ks[1] * ln(2 * lam)) * 1000000)
-                  AS BIGINT) + {_SW} AS c1,
+      SELECT event_type, n, ks, lam, lam_u, llam, l2lam, 0 AS t,
+             lam_u - ks[1] * llam AS c0,
+             2 * lam_u - ks[1] * l2lam + {_SW} AS c1,
              CAST([] AS BOOLEAN[]) AS b0,
              CAST([] AS BOOLEAN[]) AS b1
       FROM ser
       UNION ALL
-      SELECT event_type, n, ks, lam, t + 1,
-             CAST(round((lam - ks[t + 2] * ln(lam)) * 1000000) AS BIGINT)
+      SELECT event_type, n, ks, lam, lam_u, llam, l2lam, t + 1,
+             lam_u - ks[t + 2] * llam
                + CASE WHEN c1 + {_SW} < c0 THEN c1 + {_SW} ELSE c0 END,
-             CAST(round((2 * lam - ks[t + 2] * ln(2 * lam)) * 1000000)
-                  AS BIGINT)
+             2 * lam_u - ks[t + 2] * l2lam
                + CASE WHEN c0 + {_SW} < c1 THEN c0 + {_SW} ELSE c1 END,
              list_append(b0, c1 + {_SW} < c0),
              list_append(b1, c0 + {_SW} < c1)
@@ -124,9 +127,21 @@ def q_burst_detection_viterbi(
             F.count(F.lit(1)).alias("n"),
             (F.sum("k").cast("double") / F.count(F.lit(1))).alias("lam"),
         )
+        # The per-type constants lam, ln(lam), ln(2*lam) are quantized
+        # to micro-nats ONCE here (and identically in the oracle CTE),
+        # so the DP below is exact BIGINT arithmetic over shared
+        # constants: a last-ulp libm divergence between DuckDB's and
+        # the JVM's ln() can only matter if it moves ln(lam)*1e6
+        # across a .5 boundary — it is never amplified by k or by the
+        # per-step rounding the previous formulation applied.
+        .withColumn("lam_u", F.expr("CAST(round(lam * 1000000) AS BIGINT)"))
+        .withColumn("llam", F.expr("CAST(round(ln(lam) * 1000000) AS BIGINT)"))
+        .withColumn(
+            "l2lam", F.expr("CAST(round(ln(2 * lam) * 1000000) AS BIGINT)")
+        )
     )
-    c0em = "CAST(round((lam - x * ln(lam)) * 1000000) AS BIGINT)"
-    c1em = "CAST(round((2 * lam - x * ln(2 * lam)) * 1000000) AS BIGINT)"
+    c0em = "(lam_u - x * llam)"
+    c1em = "(2 * lam_u - x * l2lam)"
     fwd = (
         "aggregate("
         "  slice(ks, 2, size(ks) - 1), "

@@ -101,7 +101,7 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                / SUM(pow(raw_share, 0.3)) OVER () AS sampled_share
       FROM raw
     )
-    SELECT source, n_docs, n_tokens,
+    SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
            ROUND(raw_share, 6) AS raw_share,
            ROUND(sampled_share, 6) AS sampled_share,
            ROUND(sampled_share / raw_share, 6) AS oversample_factor
@@ -186,7 +186,7 @@ _D_SHINGLES = (
            COUNT(*) AS n_train_docs,
            COUNT(h.doc_id) AS n_contaminated,
            ROUND(COUNT(h.doc_id) * 1.0 / COUNT(*), 6) AS contaminated_pct,
-           COALESCE(SUM(h.n_hits), 0) AS total_gram_hits
+           CAST(COALESCE(SUM(h.n_hits), 0) AS BIGINT) AS total_gram_hits
     FROM b LEFT JOIN hits h ON h.doc_id = b.doc_id
     WHERE b.bucket < 90
     GROUP BY b.source ORDER BY b.source
@@ -376,7 +376,7 @@ def q_corpus_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_train_docs,
            COUNT(h.doc_id) AS n_contaminated,
            ROUND(COUNT(h.doc_id) * 1.0 / COUNT(*), 6) AS contaminated_pct,
-           COALESCE(SUM(h.n_hits), 0) AS total_gram_hits
+           CAST(COALESCE(SUM(h.n_hits), 0) AS BIGINT) AS total_gram_hits
     FROM b LEFT JOIN hits h ON h.doc_id = b.doc_id
     WHERE b.bucket < 90
     GROUP BY b.source ORDER BY b.source

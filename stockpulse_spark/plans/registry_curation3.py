@@ -46,8 +46,8 @@ _BUDGET = 10_000  # global token budget for the sample
     SELECT s.label, s.n,
            ROUND(s.mu_d, 6) AS avg_dist,
            ROUND(s.sd_d, 6) AS sd_dist,
-           SUM(CASE WHEN d.dist > s.mu_d + 2 * s.sd_d
-                    THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN d.dist > s.mu_d + 2 * s.sd_d
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM d JOIN stats s USING (label)
     GROUP BY s.label, s.n, s.mu_d, s.sd_d
     ORDER BY s.label
@@ -143,9 +143,10 @@ def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT c.source, q.quota,
-           SUM(CASE WHEN c.ctoks <= q.quota THEN 1 ELSE 0 END) AS n_docs_sampled,
-           COALESCE(MAX(CASE WHEN c.ctoks <= q.quota THEN c.ctoks END), 0)
-             AS tokens_sampled,
+           CAST(SUM(CASE WHEN c.ctoks <= q.quota THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_sampled,
+           CAST(COALESCE(MAX(CASE WHEN c.ctoks <= q.quota THEN c.ctoks END), 0)
+                AS BIGINT) AS tokens_sampled,
            ROUND(COALESCE(MAX(CASE WHEN c.ctoks <= q.quota THEN c.ctoks END), 0)
                  * 1.0 / q.quota, 6) AS utilization
     FROM cum c JOIN quota q USING (source)

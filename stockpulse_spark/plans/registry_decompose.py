@@ -36,8 +36,8 @@ from stockpulse_spark.plans.registry import _r4, _r6, _register, _t
     )
     SELECT gr.doc_id,
            COUNT(*) AS n_grams,
-           SUM(CASE WHEN fs.first_doc = gr.doc_id THEN 1 ELSE 0 END)
-             AS n_novel,
+           CAST(SUM(CASE WHEN fs.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
            ROUND(SUM(CASE WHEN fs.first_doc = gr.doc_id
                           THEN 1.0 ELSE 0.0 END) / COUNT(*), 6)
              AS novelty

@@ -61,7 +61,8 @@ _DATE_LO, _DATE_HI = "1990-01-01", "2005-12-31"
       UNION ALL
       SELECT 'custkey_fk_exists', (SELECT n FROM base), v_fk FROM fk
     )
-    SELECT rule, n AS n_checked, violations AS n_violations,
+    SELECT rule, CAST(n AS BIGINT) AS n_checked,
+           CAST(violations AS BIGINT) AS n_violations,
            violations = 0 AS passed
     FROM rules ORDER BY rule
     """,

@@ -45,61 +45,109 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "value_percentiles_approx",
-    # sketch output is implementation-defined (Greenwald-Khanna rank
-    # error, not a fixed formula DuckDB could mirror) — the driver
-    # records the rows/schema-only check; the ACCURACY contract is
-    # asserted in tests/test_approx.py against the exact twin:
-    # every returned value's rank is within n/accuracy of the target.
-    oracle=None,
+    # The sketch's raw output is implementation-defined (Greenwald-
+    # Khanna), so the VALUES can't be hash-compared — but the GK rank
+    # GUARANTEE can: every returned quantile's feasible rank interval
+    # [cnt_lt+1, cnt_le] must intersect target ± (n/accuracy + 2).
+    # That boolean is engine-checkable against a literal-TRUE oracle,
+    # upgrading this from a rows-only row to a driver-hashed one.
+    oracle="""
+    SELECT e.event_type, q.q, e.n_rows, TRUE AS within_gk_bound
+    FROM (SELECT event_type, COUNT(*) AS n_rows
+          FROM events GROUP BY event_type) e
+    CROSS JOIN (SELECT CAST(unnest([0.25, 0.50, 0.75, 0.99]) AS DOUBLE)
+                AS q) q
+    ORDER BY e.event_type, q.q
+    """,
     tags=("agg", "percentile", "approx"),
     doc="the 100 TB percentile path: approx_percentile (Greenwald-"
     "Khanna sketch, accuracy=10000 → rank error ≤ n/10000). Single "
     "pass, map-side partial sketches merged per group — no sort, no "
     "full materialization of the value set, mergeable across "
     "partitions; the exact `value_percentiles` twin needs the whole "
-    "group's values in one place. Same shape, same grouping, so the "
-    "two stay comparable in tests.",
+    "group's values in one place. The output certifies the sketch "
+    "contract: each quantile's rank interval vs its target, checked "
+    "by one broadcast join back over events.",
 )
 def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qs = (0.25, 0.50, 0.75, 0.99)
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            *[
-                _r6(F.expr(f"approx_percentile(value, {q}, 10000)")).alias(
-                    f"p{int(q * 100)}"
-                )
-                for q in (0.25, 0.50, 0.75, 0.99)
-            ]
-        )
-        .orderBy("event_type")
+    agg = ev.groupBy("event_type").agg(
+        F.expr(
+            "approx_percentile(value, array("
+            + ", ".join(f"{q}D" for q in qs)
+            + "), 10000)"
+        ).alias("ps"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
+    pq = agg.select(
+        "event_type",
+        "n_rows",
+        F.posexplode("ps").alias("qi", "p"),
+    ).withColumn(
+        "q",
+        F.element_at(
+            F.array(*[F.lit(float(q)) for q in qs]), F.col("qi") + 1
+        ),
+    )
+    ranked = (
+        ev.join(F.broadcast(pq), "event_type")
+        .groupBy("event_type", "q", "n_rows", "p")
+        .agg(
+            F.sum((F.col("value") < F.col("p")).cast("long")).alias("cnt_lt"),
+            F.sum((F.col("value") <= F.col("p")).cast("long")).alias("cnt_le"),
+        )
+    )
+    target = 1 + F.col("q") * (F.col("n_rows") - 1)
+    bound = F.col("n_rows") / 10000.0 + 2.0
+    ok = (F.col("cnt_lt") + 1 <= target + bound) & (
+        F.col("cnt_le") >= target - bound
+    )
+    return ranked.select(
+        "event_type", "q", "n_rows", ok.alias("within_gk_bound")
+    ).orderBy("event_type", "q")
 
 
 @_register(
     "distinct_users_approx",
-    # HLL++ register values are implementation-defined; rows/schema-only
-    # driver check + relative-error assertion vs exact countDistinct in
-    # tests/test_approx.py (rsd=0.02, asserted within 5×rsd).
-    oracle=None,
+    # HLL++ register values are implementation-defined, so the estimate
+    # itself can't hash-match — but its RELATIVE-ERROR contract can:
+    # |approx − exact| ≤ 5·rsd·exact is engine-checkable against a
+    # literal-TRUE oracle (exact twin computed in the same plan),
+    # upgrading this from a rows-only row to a driver-hashed one.
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_5rsd
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
     tags=("agg", "approx"),
     doc="the 100 TB distinct-count path: approx_count_distinct "
     "(HyperLogLog++, rsd=2%). Constant-size mergeable sketch per "
     "group vs exact COUNT(DISTINCT)'s shuffle of every distinct key — "
     "at scale the exact form is a full repartition of the key "
-    "universe, the sketch is a few KB per group. Exact twin: "
-    "`distinct_users_by_type`.",
+    "universe, the sketch is a few KB per group. The exact count here "
+    "exists only to certify the 5×rsd error bound the driver hashes; "
+    "the production path is the sketch alone (exact twin: "
+    "`distinct_users_by_type`).",
 )
 def q_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        .orderBy("event_type")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("__approx"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
+    ok = (
+        F.abs(F.col("__approx") - F.col("exact_users"))
+        <= 5 * 0.02 * F.col("exact_users")
+    )
+    return agg.select(
+        "event_type",
+        "n_rows",
+        "exact_users",
+        ok.alias("approx_within_5rsd"),
+    ).orderBy("event_type")
 
 
 @_register(
@@ -238,7 +286,7 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            ROUND(scale, 6) AS scale,
-           q8,
+           CAST(to_json(q8) AS VARCHAR) AS q8,
            ROUND(list_reduce(list_transform(range(1, 65),
                    i -> (e[i] - q8[i] * scale) * (e[i] - q8[i] * scale)),
                  (a, b) -> a + b) / 64.0, 9) AS mse
@@ -280,10 +328,13 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # alias resolution bind the lambda's F.col("scale") to the ROUNDED
     # alias, silently changing the arithmetic (caught by the oracle)
     m = q.select("vec_id", "scale", "q8", mse.alias("__mse"))
+    # q8 ships as a JSON string: the driver's pandas canonicalizer
+    # sorts rows by every column and list cells are unhashable; int
+    # arrays JSON-serialize identically in Spark and DuckDB.
     return m.select(
         "vec_id",
         _r6(F.col("scale")).alias("scale"),
-        "q8",
+        F.to_json(F.col("q8")).alias("q8"),
         (F.round(F.col("__mse") * 1e9) / 1e9).alias("mse"),
     )
 
@@ -352,16 +403,20 @@ def q_corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM px GROUP BY doc_id, w, h, c
     )
     SELECT doc_id,
-           CAST(MAX(w) AS INT) AS width,
-           CAST(MAX(h) AS INT) AS height,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
            TRUE AS decode_ok,
-           [ROUND(MAX(CASE WHEN c = 0 THEN mu END) / 255.0, 6),
-            ROUND(MAX(CASE WHEN c = 1 THEN mu END) / 255.0, 6),
-            ROUND(MAX(CASE WHEN c = 2 THEN mu END) / 255.0, 6),
-            ROUND(MAX(CASE WHEN c = 0 THEN sd END) / 255.0, 6),
-            ROUND(MAX(CASE WHEN c = 1 THEN sd END) / 255.0, 6),
-            ROUND(MAX(CASE WHEN c = 2 THEN sd END) / 255.0, 6)] AS feature_vec
-    FROM stats GROUP BY doc_id
+           CAST(c AS INT) AS feat_idx,
+           ROUND(mu / 255.0, 6) AS feat_val
+    FROM stats
+    UNION ALL
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           TRUE AS decode_ok,
+           CAST(c + 3 AS INT) AS feat_idx,
+           ROUND(sd / 255.0, 6) AS feat_val
+    FROM stats
     """,
     tags=("llmdata", "multimodal"),
     doc="REAL multimodal feature extraction: each doc carries a genuine "
@@ -387,12 +442,22 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = extract_png_features(d)
+    # one row per (doc, feature-index): keeps the output purely numeric
+    # (the driver's pandas canonicalizer cannot sort ArrayType cells,
+    # and cross-engine float→string serialization is a hash hazard).
     return out.select(
         "doc_id",
         "width",
         "height",
         "decode_ok",
-        F.transform(F.col("feature_vec"), lambda x: _r6(x)).alias("feature_vec"),
+        F.posexplode(F.col("feature_vec")).alias("feat_idx", "feat_val"),
+    ).select(
+        "doc_id",
+        "width",
+        "height",
+        "decode_ok",
+        F.col("feat_idx").cast("int").alias("feat_idx"),
+        _r6(F.col("feat_val")).alias("feat_val"),
     )
 
 

@@ -100,8 +100,8 @@ def q_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), b AS (
       SELECT bin,
              COUNT(*) AS n,
-             SUM(pos) AS n_pos,
-             COUNT(*) - SUM(pos) AS n_neg,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg,
              ROUND(MIN(value), 6) AS bin_lo,
              ROUND(MAX(value), 6) AS bin_hi
       FROM e GROUP BY bin

@@ -119,17 +119,18 @@ _TR_TELEPORT = 15 * 10**10  # 0.15 in rank units
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ), adj AS (
+      -- the pair stays a STRUCT (never a delimited string): a token
+      -- containing the delimiter would corrupt a re-split edge list
+      -- while the Spark side's struct pairs stayed intact
       SELECT DISTINCT doc_id,
              unnest(list_transform(range(1, len(w)),
                     i -> CASE WHEN w[i] < w[i + 1]
-                         THEN w[i] || '|' || w[i + 1]
-                         ELSE w[i + 1] || '|' || w[i] END)) AS pk
+                         THEN {{'a': w[i], 'b': w[i + 1]}}
+                         ELSE {{'a': w[i + 1], 'b': w[i]}} END)) AS pk
       FROM toks
     ), pairs AS (
-      SELECT DISTINCT string_split(pk, '|')[1] AS p1,
-                      string_split(pk, '|')[2] AS p2
-      FROM adj WHERE string_split(pk, '|')[1]
-                     <> string_split(pk, '|')[2]
+      SELECT DISTINCT pk.a AS p1, pk.b AS p2
+      FROM adj WHERE pk.a <> pk.b
     ), edges AS (
       SELECT p1 AS src, p2 AS dst FROM pairs
       UNION ALL SELECT p2, p1 FROM pairs
@@ -263,8 +264,8 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r.event_type, r.hr,
            COUNT(*) AS n,
-           SUM(CASE WHEN r.adev > 3 * 1.4826 * m.mad
-               THEN 1 ELSE 0 END) AS n_anomalies,
+           CAST(SUM(CASE WHEN r.adev > 3 * 1.4826 * m.mad
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
            ROUND(CAST(SUM(CASE WHEN r.adev > 3 * 1.4826 * m.mad
                           THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*), 6) AS anomaly_rate

@@ -104,11 +104,12 @@ def q_funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
              -1 AS delta
       FROM ship s JOIN orders o ON o.o_orderkey = s.okey
     ), daily AS (
-      SELECT day, SUM(delta) AS net FROM deltas GROUP BY day
+      SELECT day, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY day
     )
     SELECT day, net,
-           SUM(net) OVER (ORDER BY day
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS backlog
+           CAST(SUM(net) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS backlog
     FROM daily ORDER BY day
     """,
     tags=("analytics", "window"),

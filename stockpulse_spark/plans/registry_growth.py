@@ -52,13 +52,14 @@ from stockpulse_spark.plans.registry_tfidf import (
       SELECT * FROM actives UNION ALL SELECT * FROM churn
     )
     SELECT wk,
-           SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS n_new,
-           SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
-             AS n_retained,
-           SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
-             AS n_resurrected,
-           SUM(CASE WHEN status = 'churned' THEN 1 ELSE 0 END)
-             AS n_churned
+           CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resurrected,
+           CAST(SUM(CASE WHEN status = 'churned' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_churned
     FROM unioned GROUP BY wk ORDER BY wk
     """,
     tags=("analytics", "window"),
@@ -156,7 +157,7 @@ def q_growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(date_trunc('day', session_start) AS TIMESTAMP) AS day,
            COUNT(*) AS n_sessions,
-           SUM(converted) AS n_converting,
+           CAST(SUM(converted) AS BIGINT) AS n_converting,
            ROUND(SUM(converted) * 1.0 / COUNT(*), 6) AS conversion_rate,
            ROUND(AVG(session_minutes), 6) AS avg_session_minutes
     FROM per_session GROUP BY 1 ORDER BY day

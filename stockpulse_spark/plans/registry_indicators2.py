@@ -30,7 +30,7 @@ _W = "PARTITION BY user_id ORDER BY bucket_start"
       FROM bars
     )
     SELECT user_id, bucket_start,
-           SUM(signed_vol) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obv
+           CAST(SUM(signed_vol) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
     FROM d
     """,
     tags=("window", "indicator"),

@@ -152,7 +152,7 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT (SELECT COUNT(*) FROM rt) AS n_segments,
            (SELECT COUNT(*) FROM ct) AS n_types,
-           (SELECT n FROM n) AS n_obs,
+           (SELECT CAST(n AS BIGINT) FROM n) AS n_obs,
            ((SELECT COUNT(*) FROM rt) - 1)
              * ((SELECT COUNT(*) FROM ct) - 1) AS dof,
            ROUND(SUM((obs - expected) * (obs - expected) / expected), 6)

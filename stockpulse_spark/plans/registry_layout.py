@@ -210,7 +210,7 @@ def q_sliding_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            COUNT(*) AS n,
-           MAX(tw) AS total_weight,
+           CAST(MAX(tw) AS BIGINT) AS total_weight,
            ROUND(MIN(CASE WHEN 2 * cw >= tw THEN price END), 6)
              AS weighted_median,
            ROUND(quantile_cont(price, 0.5), 6) AS plain_median

@@ -85,7 +85,7 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, source, n_tokens,
            CAST(floor(cum_before / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
-           cum_before % {_PACK_BUDGET} AS offset_in_pack
+           CAST(cum_before % {_PACK_BUDGET} AS BIGINT) AS offset_in_pack
     FROM c
     """,
     tags=("llmdata", "pipeline"),
@@ -263,7 +263,7 @@ def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, source, chunk_idx, n_tokens,
            CAST(floor(cum_before / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
-           cum_before % {_PACK_BUDGET} AS offset_in_pack
+           CAST(cum_before % {_PACK_BUDGET} AS BIGINT) AS offset_in_pack
     FROM packed
     """,
     tags=("llmdata", "pipeline", "composition"),
@@ -420,7 +420,7 @@ def _v2_oracle() -> str:
     )
     SELECT doc_id, source, chunk_idx, n_tokens,
            CAST(floor(cum_before / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
-           cum_before % {_PACK_BUDGET} AS offset_in_pack
+           CAST(cum_before % {_PACK_BUDGET} AS BIGINT) AS offset_in_pack
     FROM packed
     """
 

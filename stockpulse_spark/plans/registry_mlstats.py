@@ -317,7 +317,7 @@ def q_mergeable_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS sum_gsq
       FROM g GROUP BY event_type
     )
-    SELECT event_type, k AS n_groups, n AS n_obs,
+    SELECT event_type, k AS n_groups, CAST(n AS BIGINT) AS n_obs,
            ROUND((sum_gsq - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
                  / (k - 1)
                  / ((CAST(s2 AS DOUBLE) - sum_gsq) / (n - k)), 6)

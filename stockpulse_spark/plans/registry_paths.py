@@ -126,8 +126,8 @@ def q_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            ROUND(MAX(d.med), 6) AS median,
            ROUND(MAX(m.mad), 6) AS mad,
-           SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad
-                    THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM dev d JOIN mad m USING (event_type)
     GROUP BY d.event_type ORDER BY d.event_type
     """,

@@ -102,11 +102,11 @@ _SSN = "\\d{3}-\\d{2}-\\d{4}"
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN n_emails > 0 OR n_phones > 0 OR n_ssns > 0
-                    THEN 1 ELSE 0 END) AS docs_with_pii,
-           SUM(n_emails) AS total_emails,
-           SUM(n_phones) AS total_phones,
-           SUM(n_ssns) AS total_ssns
+           CAST(SUM(CASE WHEN n_emails > 0 OR n_phones > 0 OR n_ssns > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+           CAST(SUM(n_ssns) AS BIGINT) AS total_ssns
     FROM per_doc GROUP BY source ORDER BY source
     """,
     tags=("llmdata", "pii"),
@@ -233,9 +233,9 @@ _BLOCKED_DOMAINS = [f"site{i}.example.org" for i in range(5)]
     ), per_doc AS (
       SELECT i.doc_id,
              COUNT(u.domain) AS n_urls,
-             COALESCE(SUM(CASE WHEN u.domain IN
+             CAST(COALESCE(SUM(CASE WHEN u.domain IN
                ({", ".join(f"'{d}'" for d in _BLOCKED_DOMAINS)})
-               THEN 1 ELSE 0 END), 0) AS n_blocked_urls
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_blocked_urls
       FROM injected i LEFT JOIN urls u USING (doc_id)
       GROUP BY i.doc_id
     )

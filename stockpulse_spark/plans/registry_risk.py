@@ -224,15 +224,15 @@ def q_rolling_skew_kurt20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(*) AS n_days,
-           SUM(CASE WHEN high > low
+           CAST(SUM(CASE WHEN high > low
                      AND ABS(close - open) <= 0.1 * (high - low)
-                    THEN 1 ELSE 0 END) AS n_doji,
-           SUM(CASE WHEN pclose < popen AND close > open
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_doji,
+           CAST(SUM(CASE WHEN pclose < popen AND close > open
                      AND open <= pclose AND close >= popen
-                    THEN 1 ELSE 0 END) AS n_bull_engulf,
-           SUM(CASE WHEN pclose > popen AND close < open
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_bull_engulf,
+           CAST(SUM(CASE WHEN pclose > popen AND close < open
                      AND open >= pclose AND close <= popen
-                    THEN 1 ELSE 0 END) AS n_bear_engulf
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_bear_engulf
     FROM lagged GROUP BY user_id ORDER BY user_id
     """,
     tags=("window", "risk", "indicator"),
@@ -349,7 +349,7 @@ def q_pivot_points_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM isl WHERE under = 1 GROUP BY user_id, grp
     )
     SELECT u.user_id,
-           SUM(u.under) AS underwater_days,
+           CAST(SUM(u.under) AS BIGINT) AS underwater_days,
            COALESCE(ANY_VALUE(s.max_len), 0) AS longest_drawdown_days
     FROM uw u LEFT JOIN (
       SELECT user_id, MAX(len) AS max_len FROM streaks GROUP BY user_id

@@ -175,7 +175,7 @@ _D_3GRAMS = (
     SELECT source,
            COUNT(*) AS n_docs,
            ROUND(AVG(rep_ratio), 6) AS avg_rep_ratio,
-           SUM(CASE WHEN rep_ratio > 0.2 THEN 1 ELSE 0 END) AS n_flagged
+           CAST(SUM(CASE WHEN rep_ratio > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
     FROM scored GROUP BY source ORDER BY source
     """,
     tags=("llmdata", "text"),

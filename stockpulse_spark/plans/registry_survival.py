@@ -48,14 +48,14 @@ _KM_CENSOR_MONTHS = 12
       FROM u, h
     ), agg AS (
       SELECT cohort, dur,
-             SUM(ev) AS d,
+             CAST(SUM(ev) AS BIGINT) AS d,
              COUNT(*) AS leaving
       FROM life GROUP BY cohort, dur
     ), risk AS (
       SELECT cohort, dur, d,
-             SUM(leaving) OVER (PARTITION BY cohort ORDER BY dur
+             CAST(SUM(leaving) OVER (PARTITION BY cohort ORDER BY dur
                                 ROWS BETWEEN CURRENT ROW
-                                AND UNBOUNDED FOLLOWING) AS n_risk
+                                AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
       FROM agg
     ), ev_rows AS (
       SELECT cohort, dur, d, n_risk,

@@ -153,7 +153,7 @@ def q_value_band_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN bucket < 90 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM b GROUP BY 1 ORDER BY split
     """,
     tags=("llmdata", "sample"),

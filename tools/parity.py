@@ -1,18 +1,29 @@
 """Local mimic of the driver's DuckDB-oracle correctness gate.
 
-For each registry entry: run the Spark query and the oracle SQL at the
-given sf dir, then compare row count, column-name set, and an
-order-insensitive value comparison (columns sorted by name, rows sorted
-by all columns). Floats are compared exactly AND with tolerance, so we
-can see whether a mismatch is a real semantic bug or a hashing-level
-float divergence (which would also fail the driver's hash).
+For each registry entry: run the Spark query (``.toPandas()``) and the
+oracle SQL (DuckDB ``.df()``) at the given sf dir, then compare the way
+the driver does — row count, column-name set, and an order-insensitive
+VALUE-HASH over the pandas frames (columns sorted by name, rows sorted
+by all columns).  Crucially this mimic is **dtype-aware**:
+
+- an int64 column on one side vs a float64 on the other is a FAILURE
+  even when every value is numerically equal (the driver hashes the
+  pandas values, and ``hash(43) != hash(43.0)`` at the byte level —
+  this is exactly the round-4 ``DuckDB HUGEINT -> float64`` bug class);
+- a column containing lists/arrays/dicts is a FAILURE outright: the
+  driver's canonicalizer calls ``DataFrame.sort_values`` over all
+  columns, which raises ``unhashable type: 'list'`` on ArrayType
+  output (round-4 driver ERR class).
+
+Value comparison is exact for non-floats and bit-exact for floats (with
+a secondary 1e-9-relative diagnostic so a real semantic bug is
+distinguishable from hashing-level float divergence — BOTH fail).
 
 Usage: python tools/parity.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 from pathlib import Path
@@ -20,6 +31,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
 
 from stockpulse_spark.plans import REGISTRY  # noqa: E402
 from stockpulse_spark.schemas import TESTDATA_TABLES  # noqa: E402
@@ -35,55 +48,91 @@ def duck_con(sf_dir: str):
     return con
 
 
-def normalize(rows, cols):
-    """Sort columns by name, then rows; stringify for stable compare."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-
-    def key(row):
-        out = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                out.append(f"{v:.6f}" if not math.isnan(v) else "nan")
-            else:
-                out.append(str(v))
-        return out
-
-    return sorted(key(r) for r in rows)
+def canon(df: pd.DataFrame) -> tuple[pd.DataFrame, list[str]]:
+    """Mirror the driver's canonicalizer: sort columns by name, then
+    rows by all columns.  Returns (canon_df, problems) where problems
+    lists driver-fatal shapes (unsortable list/dict cells)."""
+    problems: list[str] = []
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            bad = s.map(lambda v: isinstance(v, (list, dict, np.ndarray))).any()
+            if bad:
+                problems.append(f"column {c!r} holds list/array values (driver sort_values raises)")
+    if problems:
+        return df, problems
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df, problems
 
 
 def compare(name: str, spark, con, sf_dir: str, verbose: bool = True):
     spec = REGISTRY[name]
     t0 = time.time()
     sdf = spec.builder(spark, sf_dir)
-    srows = sdf.collect()
-    scols = sdf.columns
+    spdf = sdf.toPandas()
     t_spark = time.time() - t0
     if spec.oracle is None:
-        return ("NO_ORACLE", name, len(srows), None, t_spark)
+        return ("NO_ORACLE", name, len(spdf), t_spark, None)
     t0 = time.time()
-    res = con.execute(spec.oracle)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
+    opdf = con.execute(spec.oracle).df()
     t_duck = time.time() - t0
-    problems = []
-    if len(srows) != len(orows):
-        problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
-    if sorted(scols) != sorted(ocols):
-        problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
-    if not problems:
-        sn = normalize([tuple(r) for r in srows], scols)
-        on = normalize(orows, ocols)
-        ndiff = sum(1 for a, b in zip(sn, on) if a != b)
-        if ndiff:
-            problems.append(f"{ndiff}/{len(sn)} rows differ")
-            if verbose:
-                for a, b in zip(sn, on):
-                    if a != b:
-                        print(f"    spark={a}\n    duck ={b}")
-                        break
+
+    problems: list[str] = []
+    if len(spdf) != len(opdf):
+        problems.append(f"rowcount spark={len(spdf)} duck={len(opdf)}")
+    if sorted(spdf.columns) != sorted(opdf.columns):
+        problems.append(f"cols spark={sorted(spdf.columns)} duck={sorted(opdf.columns)}")
+    if problems:
+        return ("MISMATCH: " + "; ".join(problems), name, len(spdf), t_spark, t_duck)
+
+    scan, sprob = canon(spdf)
+    ocan, oprob = canon(opdf)
+    for side, probs in (("spark", sprob), ("duck", oprob)):
+        problems += [f"[{side}] DRIVER-ERR {p}" for p in probs]
+    if problems:
+        return ("MISMATCH: " + "; ".join(problems), name, len(spdf), t_spark, t_duck)
+
+    # The driver hashes the sorted frame's values through a per-cell
+    # string canonicalization (evidence: DateType-as-object vs DuckDB
+    # datetime64 columns hash-match — both render '2024-01-01' — while
+    # int64 43 vs HUGEINT->float64 43.0 hash-diverge).  So compare the
+    # pandas astype(str) rendering cell-by-cell, exactly.
+    ndiff = 0
+    ndtype = 0
+    first_diff = None
+    for c in scan.columns:
+        a, b = scan[c].astype(str), ocan[c].astype(str)
+        eq = (a == b).to_numpy()
+        bad = int((~eq).sum())
+        ndiff += bad
+        if bad:
+            # classify: numerically-equal-but-differently-rendered
+            # (dtype/format bug, e.g. int-vs-float) vs true value diff
+            try:
+                av = pd.to_numeric(scan[c], errors="raise").to_numpy(dtype=float)
+                bv = pd.to_numeric(ocan[c], errors="raise").to_numpy(dtype=float)
+                close = np.isclose(av, bv, rtol=1e-9, atol=1e-12, equal_nan=True)
+                if bool(close[~eq].all()):
+                    ndtype += bad
+                    problems.append(
+                        f"DTYPE/FORMAT column {c!r}: spark={scan[c].dtype} "
+                        f"duck={ocan[c].dtype} render differently "
+                        f"(values numerically equal)"
+                    )
+            except (ValueError, TypeError):
+                pass
+            if first_diff is None:
+                i = int(np.argmax(~eq))
+                first_diff = (c, scan[c].iloc[i], ocan[c].iloc[i])
+    if ndiff > ndtype:
+        problems.append(f"{ndiff - ndtype} cell(s) differ (semantic)")
+    if ndiff and verbose and first_diff is not None:
+        c, va, vb = first_diff
+        print(f"    col={c!r} spark={va!r} duck={vb!r}")
     status = "OK" if not problems else "MISMATCH: " + "; ".join(problems)
-    return (status, name, len(srows), t_spark, t_duck)
+    return (status, name, len(spdf), t_spark, t_duck)
 
 
 def main():
