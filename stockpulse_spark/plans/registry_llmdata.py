@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from stockpulse_spark.llmdata.dedup import (
     exact_dedup,
+    exact_jaccard_pairs_inverted,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash32,
@@ -448,3 +449,102 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return extract_media_metadata(d)
+
+
+# LSH candidate pairs as a reusable oracle fragment (the same banding
+# the doc_minhash_lsh oracle replays), for queries that need the
+# candidate set as an input rather than as the answer.
+_LSH_CAND_CTES = f"""
+    , sig AS (
+      SELECT doc_id, {_sig_sql(16)} AS sig FROM corpus
+    ), banded AS (
+      SELECT doc_id, sig, b.band_idx,
+             md5(array_to_string(sig[b.band_idx * 2 + 1 : b.band_idx * 2 + 2], '|')) AS band_hash
+      FROM sig, (SELECT unnest(range(0, 8)) AS band_idx) b
+    ), ok_buckets AS (
+      SELECT band_idx, band_hash FROM banded
+      GROUP BY band_idx, band_hash HAVING COUNT(*) <= 64
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS doc_id_1, r.doc_id AS doc_id_2
+      FROM banded l JOIN banded r
+        ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id
+      JOIN ok_buckets ob
+        ON ob.band_idx = l.band_idx AND ob.band_hash = l.band_hash
+      WHERE list_sum(list_transform(range(1, 17),
+            i -> CASE WHEN l.sig[i] = r.sig[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.5
+    )
+"""
+
+
+@_register(
+    "minhash_lsh_recall_eval",
+    oracle=_MUT_CTE
+    + f"""
+    , shn AS (
+      SELECT doc_id, sh, len(sh) AS n_sh FROM (
+        SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM corpus
+      ) WHERE len(sh) > 0
+    ), tok AS (
+      SELECT doc_id, unnest(sh) AS s FROM shn
+    ), inter AS (
+      SELECT l.doc_id AS doc_id_1, r.doc_id AS doc_id_2,
+             COUNT(*) AS n_inter
+      FROM tok l JOIN tok r ON l.s = r.s AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    ), truth AS (
+      SELECT i.doc_id_1, i.doc_id_2,
+             CAST(i.n_inter AS DOUBLE)
+               / (a.n_sh + b.n_sh - i.n_inter) AS jac
+      FROM inter i JOIN shn a ON a.doc_id = i.doc_id_1
+                   JOIN shn b ON b.doc_id = i.doc_id_2
+    ){_LSH_CAND_CTES}
+    SELECT CAST(least(floor(t.jac * 10), 9) AS INT) AS jaccard_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN c.doc_id_1 IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_caught,
+           ROUND(SUM(CASE WHEN c.doc_id_1 IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS catch_rate
+    FROM truth t
+    LEFT JOIN cand c
+      ON c.doc_id_1 = t.doc_id_1 AND c.doc_id_2 = t.doc_id_2
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llmdata", "dedup", "join", "evaluation"),
+    doc="Measures the LSH S-curve instead of assuming it: exact "
+    "shingle-Jaccard ground truth for every co-shingle pair "
+    "(inverted-index join — a J=0 pair never materializes; "
+    "llmdata/dedup.py:exact_jaccard_pairs_inverted) LEFT JOIN the "
+    "minhash_lsh_pairs candidate set, rolled up into per-Jaccard-"
+    "decile catch rates. High deciles must approach 1.0 (recall on "
+    "true near-dups), low deciles near 0 (LSH not wasting verify "
+    "budget) — the recall/cost trade every banded-LSH deployment "
+    "tunes blind unless it runs exactly this query on a sample. At "
+    "100 TB the truth side runs over a sampled subset and caps "
+    "shingle document-frequency, mirroring the band-bucket cap.",
+)
+def q_minhash_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _mutated_corpus(spark, sf_dir)
+    truth = exact_jaccard_pairs_inverted(corpus)
+    cand = minhash_lsh_pairs(corpus, k=16, bands=8, threshold=0.5).select(
+        "doc_id_1", "doc_id_2", F.lit(1).alias("__hit")
+    )
+    j = truth.join(cand, ["doc_id_1", "doc_id_2"], "left")
+    bucket = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("int")
+    out = (
+        j.groupBy(bucket.alias("jaccard_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias(
+                "n_caught"
+            ),
+        )
+        .select(
+            "jaccard_bucket",
+            "n_pairs",
+            "n_caught",
+            _r6(F.col("n_caught") * 1.0 / F.col("n_pairs")).alias("catch_rate"),
+        )
+        .orderBy("jaccard_bucket")
+    )
+    return out

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stockpulse_spark.llmdata.hashing import hex_to_int_sql
+from stockpulse_spark.llmdata.hashing import hex_to_int_sql, word32_sql
 from stockpulse_spark.operators.merge import merge_upsert
 from stockpulse_spark.plans.registry import _r4, _register, _t
 
@@ -300,3 +300,60 @@ def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+_N_SHARDS = 16
+_SHARD_SQL = word32_sql("CAST(doc_id AS STRING)") + f" % {_N_SHARDS}"
+
+
+@_register(
+    "shard_assignment_balance",
+    oracle=f"""
+    WITH s AS (
+      SELECT {_SHARD_SQL} AS shard, length(text) AS n_chars
+      FROM documents
+    ), per AS (
+      SELECT shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM s GROUP BY shard
+    )
+    SELECT CAST(shard AS INT) AS shard, n_docs, total_chars,
+           MAX(n_docs) OVER () * 1.0 <= 2.0 * AVG(n_docs) OVER ()
+             AS balanced_2x
+    FROM per ORDER BY shard
+    """,
+    tags=("llmdata", "warehouse", "sampling"),
+    doc="Write-side output sharding for a training corpus: md5-derived "
+    f"32-bit key hash mod {_N_SHARDS} (cross-engine deterministic — "
+    "llmdata/hashing.py, NOT Spark's hash()), per-shard doc/byte "
+    "rollup, and a hashed balance certificate (max shard <= 2x mean). "
+    "This is the repartition(expr) a 100 TB corpus writer uses so "
+    "every output file lands near the same size regardless of source "
+    "skew; the certificate is the check that the key really spreads — "
+    "a sequential or low-entropy id would fail it. One partial-agg "
+    f"shuffle on the shard key; the {_N_SHARDS}-row balance window is "
+    "post-aggregation (driver-scale).",
+)
+def q_shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            F.expr(_SHARD_SQL).alias("shard"),
+            F.length("text").alias("n_chars"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+    w = Window.partitionBy()
+    return per.select(
+        F.col("shard").cast("int").alias("shard"),
+        "n_docs",
+        "total_chars",
+        (
+            F.max("n_docs").over(w) * 1.0 <= 2.0 * F.avg("n_docs").over(w)
+        ).alias("balanced_2x"),
+    ).orderBy("shard")

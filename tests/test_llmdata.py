@@ -20,6 +20,7 @@ from stockpulse_spark.llmdata.multimodal import (
     extract_media_metadata,
 )
 from stockpulse_spark.llmdata.similarity import cosine_topk, srp_lsh_topk
+from stockpulse_spark.plans import REGISTRY
 from stockpulse_spark.plans.registry_llmdata import _mutated_corpus
 from stockpulse_spark.sources.tables import load_table
 from tests.conftest import SF_DIR
@@ -530,3 +531,40 @@ def test_incremental_gate_verdicts(spark):
     assert all(v == "exact_dup" for v in exact)
     assert sum(v == "near_dup" for v in near) > 0.6 * len(near)
     assert sum(v == "new" for v in new) > 0.9 * len(new)
+
+
+def test_lsh_recall_eval_s_curve(spark):
+    """The measured LSH catch-rate must look like an S-curve: (near-)
+    total recall on true near-dups (the planted mutations live in the
+    top Jaccard deciles), and near-zero candidate waste on the J<0.1
+    background mass of co-shingle pairs."""
+    rows = {
+        r["jaccard_bucket"]: r
+        for r in REGISTRY["minhash_lsh_recall_eval"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    assert rows, "no buckets"
+    top = max(rows)
+    assert top >= 8, f"no high-similarity pairs found (top bucket {top})"
+    assert rows[top]["catch_rate"] >= 0.9, rows[top]
+    if 0 in rows:
+        assert rows[0]["catch_rate"] <= 0.1, rows[0]
+    # counts are consistent: caught never exceeds pairs
+    for r in rows.values():
+        assert 0 <= r["n_caught"] <= r["n_pairs"]
+
+
+def test_shard_assignment_covers_corpus_and_balances(spark):
+    """Every document lands in exactly one shard, and the md5-derived
+    key spreads well enough to pass its own 2x-mean certificate."""
+    from stockpulse_spark.sources.tables import load_table
+
+    rows = (
+        REGISTRY["shard_assignment_balance"].builder(spark, SF_DIR).collect()
+    )
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert len({r["shard"] for r in rows}) == len(rows)
+    assert all(0 <= r["shard"] < 16 for r in rows)
+    assert all(r["balanced_2x"] for r in rows)
