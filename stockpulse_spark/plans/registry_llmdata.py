@@ -548,3 +548,88 @@ def q_minhash_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("jaccard_bucket")
     )
     return out
+
+
+@_register(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             {_BUCKETS_DUCK} AS buckets
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, e AS qv, buckets AS qb FROM v
+      WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, e AS cv, buckets AS cb FROM v
+    ), exact_ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               {_DOT_DUCK} / ({_NORM_DUCK.format(v='qv')} * {_NORM_DUCK.format(v='cv')}) DESC,
+               neighbor_id) AS rank
+      FROM q, c WHERE query_id != neighbor_id
+    ), exact_top AS (
+      SELECT query_id, neighbor_id FROM exact_ranked WHERE rank <= 10
+    ), cand AS (
+      SELECT DISTINCT query_id, neighbor_id, qv, cv
+      FROM q JOIN c ON EXISTS (
+        SELECT 1 FROM range({_N_TABLES}) t(i)
+        WHERE qb[t.i + 1] = cb[t.i + 1]
+      ) WHERE query_id != neighbor_id
+    ), approx_ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               {_DOT_DUCK} / ({_NORM_DUCK.format(v='qv')} * {_NORM_DUCK.format(v='cv')}) DESC,
+               neighbor_id) AS rank
+      FROM cand
+    ), approx_top AS (
+      SELECT query_id, neighbor_id FROM approx_ranked WHERE rank <= 10
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS recall_at_10
+    FROM exact_top e
+    LEFT JOIN approx_top a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """,
+    tags=("llmdata", "similarity", "evaluation"),
+    doc="Measured recall@10 of the multi-table SRP-LSH ANN against "
+    "the exact brute-force cosine baseline, per query vector — the "
+    "ANN counterpart of minhash_lsh_recall_eval: an index is only as "
+    "good as the recall you MEASURED at the bucket/table budget you "
+    "deploy. Both sides reuse the registry's own operators "
+    "(cosine_topk, srp_lsh_topk) so the evaluation exercises exactly "
+    "the production code path; at 100 TB the same query runs over a "
+    "sampled query set while the corpus side stays full-scale "
+    "(bucket joins, no cross join on the approx path).",
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(q, emb, k=10).select("query_id", "neighbor_id")
+    approx = srp_lsh_topk(
+        q, emb, k=10, n_planes=_N_PLANES, n_tables=_N_TABLES, dim=64
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    j = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            _r6(F.col("n_hit") * 1.0 / F.col("n_exact")).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )

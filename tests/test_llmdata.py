@@ -568,3 +568,15 @@ def test_shard_assignment_covers_corpus_and_balances(spark):
     assert len({r["shard"] for r in rows}) == len(rows)
     assert all(0 <= r["shard"] < 16 for r in rows)
     assert all(r["balanced_2x"] for r in rows)
+
+
+def test_ann_recall_eval_measures_nontrivial_recall(spark):
+    """The SRP-ANN must retrieve a meaningful share of the true exact
+    top-10 (multi-table recall), and the bookkeeping must be sound
+    (hits never exceed the exact set)."""
+    rows = REGISTRY["ann_recall_eval"].builder(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_hit"] <= r["n_exact"], r
+    mean_recall = sum(r["recall_at_10"] for r in rows) / len(rows)
+    assert mean_recall >= 0.3, mean_recall
