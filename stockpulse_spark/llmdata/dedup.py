@@ -373,6 +373,7 @@ def exact_jaccard_pairs_inverted(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    df_cap: int | None = 64,
 ) -> DataFrame:
     """EXACT shingle-Jaccard for every pair sharing >= 1 shingle, via
     an inverted index — the scale-correct ground truth for evaluating
@@ -382,21 +383,31 @@ def exact_jaccard_pairs_inverted(
     intersection, and recover the union as |A| + |B| − |A∩B|.
 
     Cost is Σ df(s)² over shingle document-frequencies — sub-quadratic
-    on real corpora where almost all shingles are rare; at 100 TB the
-    evaluation runs on a sampled doc subset and/or caps df(s) the same
-    way minhash_lsh_pairs caps band buckets (an evaluation harness
-    tolerates dropping the degenerate boilerplate shingles it could
-    not learn from anyway).
+    on real corpora where almost all shingles are rare, but one
+    boilerplate shingle shared by B docs costs B² pairs on exactly the
+    hottest key (the 10x smoke's planted crawl banner measured 13.3x
+    before the cap existed). `df_cap` drops shingles with document
+    frequency above the cap from the VOCABULARY (both the index and
+    the per-doc sizes), so the Jaccard is exact over the non-
+    boilerplate shingle space — the same judgment minhash_lsh_pairs'
+    band-bucket cap makes: overlap that ubiquitous is boilerplate
+    evidence, not duplication evidence. Post-cap the 10x ratio is
+    near-linear.
     """
-    sh = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            shingles(F.col(text_col), shingle_n).alias("sh"),
+    sh0 = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    tok = sh0.select("doc_id", F.explode("sh").alias("s"))
+    if df_cap is not None:
+        rare = (
+            tok.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= df_cap)
+            .select("s")
         )
-        .withColumn("n_sh", F.size("sh"))
-        .filter(F.col("n_sh") > 0)
-    )
-    tok = sh.select("doc_id", F.explode("sh").alias("s"))
+        tok = tok.join(rare, "s")
+    sh = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     l, r = tok.alias("l"), tok.alias("r")
     inter = (
         l.join(

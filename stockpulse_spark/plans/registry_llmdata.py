@@ -481,12 +481,19 @@ _LSH_CAND_CTES = f"""
     "minhash_lsh_recall_eval",
     oracle=_MUT_CTE
     + f"""
-    , shn AS (
-      SELECT doc_id, sh, len(sh) AS n_sh FROM (
+    , tok0 AS (
+      SELECT doc_id, unnest(sh) AS s FROM (
         SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM corpus
       ) WHERE len(sh) > 0
+    ), rare AS (
+      -- boilerplate guard mirrored from the Spark side: shingles in
+      -- more than 64 docs leave the vocabulary (a crawl banner's
+      -- shingles cost df^2 pairs each on the hottest index keys)
+      SELECT s FROM tok0 GROUP BY s HAVING COUNT(*) <= 64
     ), tok AS (
-      SELECT doc_id, unnest(sh) AS s FROM shn
+      SELECT tok0.doc_id, tok0.s FROM tok0 JOIN rare USING (s)
+    ), shn AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM tok GROUP BY doc_id
     ), inter AS (
       SELECT l.doc_id AS doc_id_1, r.doc_id AS doc_id_2,
              COUNT(*) AS n_inter

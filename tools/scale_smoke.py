@@ -85,6 +85,11 @@ QUERIES = [
     "trimmed_stats_by_type", "anova_hour_effect",
     "isotonic_trend", "conformal_interval_coverage",
     "burst_detection_viterbi",
+    # round 5: the evaluation harnesses — the inverted-index ground
+    # truth (sum df^2 cost) and the bucketed ANN recall join are the
+    # two shapes whose scaling needs measuring, not asserting
+    "minhash_lsh_recall_eval", "ann_recall_eval",
+    "shard_assignment_balance",
 ]
 
 # SPARK_SMOKE_ONLY=q1,q2 restricts the run (fast iteration on a new
