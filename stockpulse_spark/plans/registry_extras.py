@@ -152,10 +152,21 @@ def q_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "distinct_users_sketch_rollup",
-    # DataSketches HLL binary sketches are implementation-defined;
-    # rows/schema-only driver check + relative-error assertion vs the
-    # exact week->month distinct in tests/test_approx.py.
-    oracle=None,
+    # DataSketches HLL register values are implementation-defined, so
+    # the estimate itself can't hash-match — but its error contract
+    # can: |merged-sketch estimate − exact month distinct| ≤ 8%
+    # (lgConfigK=12 → rsd≈1.6%, certified at 5×) is engine-checkable
+    # against a literal-TRUE oracle, same pattern as
+    # distinct_users_approx.
+    oracle="""
+    SELECT CAST(date_trunc('month', date_trunc('week', ts)) AS TIMESTAMP)
+             AS mo,
+           COUNT(DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP))
+             AS n_weeks,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS merged_within_8pct
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
     tags=("agg", "approx", "rollup"),
     doc="sketch RE-AGGREGATION — the property approx_count_distinct "
     "alone never shows: per-week HLL sketches (hll_sketch_agg) are "
@@ -174,13 +185,26 @@ def q_distinct_users_sketch_rollup(
     weekly = ev.groupBy(F.date_trunc("week", "ts").alias("wk")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
+    merged = weekly.groupBy(F.date_trunc("month", "wk").alias("mo")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__approx"),
+        F.count(F.lit(1)).alias("n_weeks"),
+    )
+    # the exact twin exists only to certify the merge's error bound —
+    # the production rollup path is the sketch union alone
+    exact = ev.groupBy(
+        F.date_trunc("month", F.date_trunc("week", "ts")).alias("mo")
+    ).agg(F.count_distinct("user_id").alias("exact_users"))
+    ok = (
+        F.abs(F.col("__approx") - F.col("exact_users"))
+        <= 0.08 * F.col("exact_users")
+    )
     return (
-        weekly.groupBy(F.date_trunc("month", "wk").alias("mo"))
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
-                "approx_users"
-            ),
-            F.count(F.lit(1)).alias("n_weeks"),
+        merged.join(exact, "mo")
+        .select(
+            "mo",
+            "n_weeks",
+            "exact_users",
+            ok.alias("merged_within_8pct"),
         )
         .orderBy("mo")
     )
