@@ -118,10 +118,10 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "idle_rich_customers",
     "top_order_per_customer",
     "small_quantity_revenue",
-    "sql_weekly_active_users",
-    "rsi_wilder",
-    "williams_r",
-    "mfi14",
+    "minhash_lsh_recall_eval",
+    "ann_recall_eval",
+    "shard_assignment_balance",
+    "distinct_users_sketch_rollup",
 )
 
 
