@@ -170,13 +170,19 @@ def minhash_lsh_pairs(
     # dropDuplicates would dominate the cost; rejoin them afterwards
     lite = banded.select("doc_id", "band_idx", "band_hash")
     if bucket_cap is not None:
-        ok_buckets = (
+        # the OVER-cap bucket set is tiny by construction (a handful of
+        # boilerplate keys), so broadcast it as an anti-join — the
+        # inner-join-on-ok-buckets formulation shuffled every row of
+        # `lite` a second time to meet a mostly-trivial filter
+        hot_buckets = (
             lite.groupBy("band_idx", "band_hash")
             .agg(F.count(F.lit(1)).alias("bucket_n"))
-            .filter(F.col("bucket_n") <= bucket_cap)
+            .filter(F.col("bucket_n") > bucket_cap)
             .select("band_idx", "band_hash")
         )
-        lite = lite.join(ok_buckets, ["band_idx", "band_hash"])
+        lite = lite.join(
+            F.broadcast(hot_buckets), ["band_idx", "band_hash"], "left_anti"
+        )
     left = lite.alias("l")
     right = lite.alias("r")
     pairs = (

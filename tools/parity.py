@@ -136,21 +136,50 @@ def compare(name: str, spark, con, sf_dir: str, verbose: bool = True):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or list(REGISTRY)
+    args = [a for a in sys.argv[1:] if not a.startswith("--jobs")]
+    jobs = 4
+    for a in sys.argv[1:]:
+        if a.startswith("--jobs="):
+            jobs = int(a.split("=", 1)[1])
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    names = args[1:] or list(REGISTRY)
     spark = get_spark("parity")
-    con = duck_con(sf_dir)
-    failures = 0
-    for name in names:
+
+    # One shared SparkSession serves concurrent actions (the scheduler
+    # interleaves jobs across the 32 local cores — exactly what a
+    # multi-tenant cluster does); DuckDB connections are per-worker.
+    # Results print in registry order as they settle, so the log stays
+    # diffable against previous sweeps.
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    tl = threading.local()
+
+    def run_one(name):
+        con = getattr(tl, "con", None)
+        if con is None:
+            con = tl.con = duck_con(sf_dir)
         try:
-            status, _, nrows, ts, td = compare(name, spark, con, sf_dir)
+            return compare(name, spark, con, sf_dir)
         except Exception as e:  # noqa: BLE001
-            status, nrows, ts, td = f"ERROR: {type(e).__name__}: {e}", -1, None, None
+            return (f"ERROR: {type(e).__name__}: {e}", name, -1, None, None)
+
+    failures = 0
+    if jobs <= 1:
+        results = map(run_one, names)
+    else:
+        pool = ThreadPoolExecutor(max_workers=jobs)
+        results = pool.map(run_one, names)
+    for name, (status, _, nrows, ts, td) in zip(names, results):
         flag = "✓" if status == "OK" else ("·" if status == "NO_ORACLE" else "✗")
         if flag == "✗":
             failures += 1
         ts_s = f"{ts:.2f}s" if ts else "-"
-        print(f" {flag} {name:28s} rows={nrows:<8d} spark={ts_s:8s} {status if flag != '✓' else ''}")
+        print(
+            f" {flag} {name:28s} rows={nrows:<8d} spark={ts_s:8s} "
+            f"{status if flag != '✓' else ''}",
+            flush=True,
+        )
     sys.exit(1 if failures else 0)
 
 
