@@ -386,3 +386,29 @@ def test_dq_suite_single_scan_for_row_rules(spark):
     plan = _plan(spark, "dq_expectation_suite")
     assert plan.count("orders.parquet") <= 2
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_recall_eval_has_no_cartesian(spark):
+    """The LSH recall evaluation joins on shingle / band-bucket /
+    pair-id keys throughout — an accidental cross join on either the
+    truth or candidate side would be the quadratic scale bug."""
+    plan = _plan(spark, "minhash_lsh_recall_eval")
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_recall_eval_broadcasts_query_side(spark):
+    """The exact-baseline side broadcasts the 10 query vectors (a
+    cross join against a broadcast scalar side is the deliberate
+    brute-force pattern); the approx side must join on (table, bucket)
+    — no unbroadcast cartesian anywhere."""
+    plan = _plan(spark, "ann_recall_eval")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shard_assignment_single_shuffle(spark):
+    """One partial-agg exchange on the shard key; the 16-row balance
+    window is post-aggregation (driver-scale, single partition is
+    correct there)."""
+    plan = _plan(spark, "shard_assignment_balance")
+    assert plan.count("Exchange hashpartitioning") == 1
