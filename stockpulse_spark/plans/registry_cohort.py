@@ -109,7 +109,7 @@ def q_cohort_ltv_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
              datediff('day', MAX(o_orderdate),
                       (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
              COUNT(*) AS frequency,
-             SUM(o_totalprice) AS monetary
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary
       FROM orders GROUP BY o_custkey
     ), scored AS (
       SELECT o_custkey, monetary,
@@ -120,7 +120,7 @@ def q_cohort_ltv_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r_score, f_score, m_score,
            COUNT(*) AS n_customers,
-           ROUND(AVG(monetary), 4) AS avg_monetary
+           ROUND(SUM(monetary) / 100.0 / COUNT(*), 4) AS avg_monetary
     FROM scored GROUP BY r_score, f_score, m_score
     ORDER BY r_score, f_score, m_score
     """,
@@ -144,7 +144,13 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.any_value("anchor"), F.max("o_orderdate")
             ).alias("recency_days"),
             F.count(F.lit(1)).alias("frequency"),
-            F.sum("o_totalprice").alias("monetary"),
+            # integer cents: SUM over doubles is summation-order-
+            # dependent in the last ulp, which flips 4dp rounding
+            # boundaries at sf0.1 AND can reorder m_score ties —
+            # exact integer cents make both deterministic
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("monetary"),
         )
     )
     scored = per_cust.select(
@@ -164,7 +170,9 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            _r4(F.avg("monetary")).alias("avg_monetary"),
+            _r4(
+                F.sum("monetary") / 100.0 / F.count(F.lit(1))
+            ).alias("avg_monetary"),
         )
         .orderBy("r_score", "f_score", "m_score")
     )

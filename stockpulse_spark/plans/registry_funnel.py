@@ -83,9 +83,43 @@ def q_doc_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from stockpulse_spark.llmdata.hashing import word32_sql  # noqa: E402
 from stockpulse_spark.plans.registry_llmdata import (  # noqa: E402
-    _BUCKETS_DUCK,
     _SIMHASH_ASSEMBLE,
     _SIMHASH_VOTES_DUCK,
+    _plane_duck,
+)
+
+# Cardinality-ADAPTIVE SRP buckets for the semantic-dedup oracle.
+# The Spark side picks n_planes = clamp(ceil(log2(n/64)), 4, 12) from
+# the parquet footer count so per-bucket pair work stays ~constant as
+# the corpus grows; the oracle must bucket IDENTICALLY at every scale
+# or the candidate sets (and so the components) diverge — round 5's
+# sf0.1 sweep caught exactly that (static 4-plane oracle vs adaptive
+# 5-plane Spark side). Plane j >= 4 participates iff n > 64 * 2**j —
+# the exact integer form of ceil(log2(n/64)) > j — via a CASE on a
+# COUNT(*) scalar, so both engines derive the plane count from the
+# same arithmetic with no float boundary.
+_SEM_MAX_PLANES = 12
+
+
+def _bucket_duck_adaptive(table: int) -> str:
+    from stockpulse_spark.llmdata.similarity import pseudo_planes
+
+    planes = pseudo_planes(_SEM_MAX_PLANES, 64, table=table)
+    bits = []
+    for j, pl in enumerate(planes):
+        bit = (
+            "(CASE WHEN list_reduce(list_transform(range(1, 65), "
+            f"i -> e[i] * ({_plane_duck(pl)})[i]), (x, y) -> x + y) > 0 "
+            f"THEN {2**j} ELSE 0 END)"
+        )
+        if j >= 4:
+            bit = f"(CASE WHEN nn > {64 * 2**j} THEN {bit} ELSE 0 END)"
+        bits.append(bit)
+    return " + ".join(bits)
+
+
+_SEM_BUCKETS_DUCK = (
+    "[" + ", ".join(_bucket_duck_adaptive(t) for t in range(8)) + "]"
 )
 
 
@@ -273,10 +307,12 @@ _COS_AB = (
 @_register(
     "semantic_dedup_keepers",
     oracle=f"""
-    WITH RECURSIVE v AS (
+    WITH RECURSIVE n AS (
+      SELECT COUNT(*) AS nn FROM embeddings
+    ), v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e,
              {{buckets_duck}} AS buckets
-      FROM embeddings
+      FROM embeddings, n
     ), exp AS (
       SELECT vec_id, e, t.i AS tidx, buckets[t.i + 1] AS bucket
       FROM v, range({{n_tables}}) t(i)
@@ -307,7 +343,7 @@ _COS_AB = (
            vec_id != keeper_id AS is_duplicate,
            COUNT(*) OVER (PARTITION BY keeper_id) AS cluster_size
     FROM labeled
-    """.replace("{buckets_duck}", _BUCKETS_DUCK).replace("{n_tables}", "8"),
+    """.replace("{buckets_duck}", _SEM_BUCKETS_DUCK).replace("{n_tables}", "8"),
     tags=("llmdata", "dedup", "similarity", "iterative"),
     doc="SemDeDup-style semantic dedup at the SCALE shape: candidate "
     "pairs come from the multi-table SRP-LSH buckets (8 deterministic "
@@ -341,7 +377,10 @@ def q_semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -> 4 planes, matching the oracle's static bucket SQL; n=20k -> 9.
     n_rows = footer_row_count(sf_dir, "embeddings") or 500
     n_tables = 8
-    n_planes = max(4, math.ceil(math.log2(max(n_rows, 64) / 64)))
+    n_planes = max(
+        4, min(12, math.ceil(math.log2(max(n_rows, 64) / 64)))
+    )  # cap mirrors the oracle's embedded plane families
+
     plane_rows = [
         (t, j, pseudo_planes(n_planes, 64, table=t)[j])
         for t in range(n_tables)

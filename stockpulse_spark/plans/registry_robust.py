@@ -49,8 +49,11 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
     SELECT d.user_id,
            COUNT(*) AS n_days,
            MAX(f.n_pairs) AS n_pairs,
-           ROUND(MAX(f.ts_slope), 6) AS ts_slope,
-           ROUND(quantile_cont(d.close - f.ts_slope * d.t, 0.5), 6)
+           -- + 0.0 canonicalizes IEEE negative zero: DuckDB's ROUND
+           -- of a tiny negative returns -0.0 where Spark's BigDecimal
+           -- round returns +0.0 — equal values, different hash
+           ROUND(MAX(f.ts_slope), 6) + 0.0 AS ts_slope,
+           ROUND(quantile_cont(d.close - f.ts_slope * d.t, 0.5), 6) + 0.0
              AS ts_intercept
     FROM dn d JOIN fit f USING (user_id)
     GROUP BY d.user_id

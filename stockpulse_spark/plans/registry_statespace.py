@@ -152,8 +152,12 @@ _EWMA_LAMBDA = 0.94
     + f"""
     , rt AS (
       SELECT user_id, bucket_start, close,
-             ln(close / lag(close) OVER (PARTITION BY user_id
-                                         ORDER BY bucket_start)) AS r
+             CASE WHEN close > 0
+                   AND lag(close) OVER (PARTITION BY user_id
+                                        ORDER BY bucket_start) > 0
+                  THEN ln(close / lag(close) OVER (PARTITION BY user_id
+                                                   ORDER BY bucket_start))
+             END AS r
       FROM bars
     ), bt AS (
       SELECT user_id, bucket_start, r,
@@ -193,7 +197,15 @@ def q_ewma_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt = bars.select(
         "user_id",
         "bucket_start",
-        F.log(F.col("close") / F.lag("close").over(w)).alias("r"),
+        # a zero/negative close breaks the return series rather than
+        # the job: sf0.1 bars contain close == 0, and under ANSI the
+        # unguarded ratio is a DIVIDE_BY_ZERO error (ln of a
+        # non-positive ratio is no better); the CASE guard is mirrored
+        # in the oracle so both engines drop the same rows
+        F.when(
+            (F.col("close") > 0) & (F.lag("close").over(w) > 0),
+            F.log(F.col("close") / F.lag("close").over(w)),
+        ).alias("r"),
     ).filter(F.col("r").isNotNull())
     lam = _EWMA_LAMBDA
     newv = f"{lam!r} * acc.s2 + {1 - lam!r} * (x * x)"
