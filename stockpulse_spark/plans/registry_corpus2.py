@@ -495,3 +495,141 @@ def q_source_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(p_mix).alias("p_mixture"),
         _r6(p_mix / F.col("p_raw")).alias("upsample_factor"),
     ).orderBy("source")
+
+
+@_register(
+    "decontamination_recall_eval",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             {hex_to_int_sql("md5(text)")} % 100 AS bucket,
+             string_split(text, ' ') AS w
+      FROM documents
+    ), ev AS (
+      SELECT doc_id, text, w FROM b
+      WHERE bucket >= 90 AND len(w) >= 25
+    ), planted AS (
+      SELECT doc_id, 'clean_train' AS cohort, text
+      FROM b WHERE bucket < 90
+      UNION ALL
+      SELECT doc_id + 3000000, 'copy_full', text FROM ev
+      UNION ALL
+      SELECT doc_id + 4000000, 'copy_span10',
+             array_to_string(w[9:18], ' ') FROM ev
+      UNION ALL
+      SELECT doc_id + 5000000, 'copy_span4',
+             array_to_string(w[9:12], ' ') FROM ev
+    ), eval_grams AS (
+      SELECT DISTINCT md5(g) AS gh
+      FROM ev, unnest({_D_SHINGLES}) AS t(g)
+    ), train_grams AS (
+      SELECT DISTINCT doc_id, cohort, md5(g) AS gh
+      FROM planted, unnest({_D_SHINGLES}) AS t(g)
+    ), flagged AS (
+      SELECT DISTINCT t.doc_id
+      FROM train_grams t JOIN eval_grams e ON t.gh = e.gh
+    )
+    SELECT p.cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           ROUND(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS flag_rate
+    FROM planted p LEFT JOIN flagged f USING (doc_id)
+    GROUP BY p.cohort ORDER BY p.cohort
+    """,
+    tags=("llmdata", "dedup", "join", "evaluation"),
+    doc="Measured decontamination recall on PLANTED contamination — "
+    "the third evaluation harness beside the LSH S-curve and ANN "
+    "recall: every eval doc is re-planted into the train side at "
+    "three copy strengths (verbatim, a 10-word span, a 4-word span), "
+    "and the 5-gram-hash detector (decontamination_overlap's exact "
+    "machinery) is scored per cohort. The boundary is the point: "
+    "verbatim and 10-word spans must flag at 1.0 (any >=5-word "
+    "contiguous overlap survives shingling), the 4-word span at 0.0 "
+    "(structurally invisible to 5-gram hashing — the detector's "
+    "documented blind spot, why production stacks pair it with the "
+    "bloom funnel + fuzzy tiers), and clean_train shows the organic "
+    "false-positive base rate. Same join shape and scale posture as "
+    "decontamination_overlap (broadcast benchmark gram set).",
+)
+def q_decontamination_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    b = d.select(
+        "doc_id",
+        "text",
+        (F.expr(hex_to_int_sql("md5(text)")) % 100).alias("bucket"),
+        F.split("text", " ").alias("w"),
+    )
+    ev = b.filter((F.col("bucket") >= 90) & (F.size("w") >= 25))
+    planted = (
+        b.filter(F.col("bucket") < 90).select(
+            "doc_id", F.lit("clean_train").alias("cohort"), "text"
+        )
+        .unionAll(
+            ev.select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.lit("copy_full").alias("cohort"),
+                "text",
+            )
+        )
+        .unionAll(
+            ev.select(
+                (F.col("doc_id") + 4000000).alias("doc_id"),
+                F.lit("copy_span10").alias("cohort"),
+                F.array_join(F.slice("w", 9, 10), " ").alias("text"),
+            )
+        )
+        .unionAll(
+            ev.select(
+                (F.col("doc_id") + 5000000).alias("doc_id"),
+                F.lit("copy_span4").alias("cohort"),
+                F.array_join(F.slice("w", 9, 4), " ").alias("text"),
+            )
+        )
+    )
+    words = F.split("text", " ")
+    grams = F.when(
+        F.size(words) >= _NGRAM_N,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - _NGRAM_N),
+            lambda i: F.array_join(F.slice(words, i + 1, _NGRAM_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    eval_grams = (
+        ev.select(F.explode(grams).alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    train_grams = (
+        planted.select("doc_id", "cohort", F.explode(grams).alias("g"))
+        .select("doc_id", F.md5("g").alias("gh"))
+        .distinct()
+    )
+    flagged = (
+        train_grams.join(F.broadcast(eval_grams), "gh")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        planted.join(flagged, "doc_id", "left")
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .select(
+            "cohort",
+            "n_docs",
+            "n_flagged",
+            _r6(F.col("n_flagged") * 1.0 / F.col("n_docs")).alias("flag_rate"),
+        )
+        .orderBy("cohort")
+    )

@@ -580,3 +580,21 @@ def test_ann_recall_eval_measures_nontrivial_recall(spark):
         assert 0 <= r["n_hit"] <= r["n_exact"], r
     mean_recall = sum(r["recall_at_10"] for r in rows) / len(rows)
     assert mean_recall >= 0.3, mean_recall
+
+
+def test_decontamination_recall_boundary(spark):
+    """The 5-gram detector's boundary must be exactly where shingling
+    puts it: any >=5-word contiguous copy is flagged (verbatim and
+    10-word spans at 1.0), a 4-word span is structurally invisible
+    (0.0), and the organic clean-train false-positive rate stays
+    small."""
+    rows = {
+        r["cohort"]: r
+        for r in REGISTRY["decontamination_recall_eval"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    assert rows["copy_full"]["flag_rate"] == 1.0, rows["copy_full"]
+    assert rows["copy_span10"]["flag_rate"] == 1.0, rows["copy_span10"]
+    assert rows["copy_span4"]["flag_rate"] == 0.0, rows["copy_span4"]
+    assert rows["clean_train"]["flag_rate"] <= 0.2, rows["clean_train"]

@@ -89,7 +89,7 @@ QUERIES = [
     # truth (sum df^2 cost) and the bucketed ANN recall join are the
     # two shapes whose scaling needs measuring, not asserting
     "minhash_lsh_recall_eval", "ann_recall_eval",
-    "shard_assignment_balance",
+    "shard_assignment_balance", "decontamination_recall_eval",
 ]
 
 # SPARK_SMOKE_ONLY=q1,q2 restricts the run (fast iteration on a new
