@@ -251,3 +251,33 @@ def test_viterbi_suppresses_single_mild_spike(spark, tmp_path):
     _burst_series(tmp_path, counts)
     out = _rows(spark, "burst_detection_viterbi", str(tmp_path))
     assert all(r["burst_state"] == 0 for r in out)
+
+
+def test_ewma_volatility_survives_zero_close(spark, tmp_path):
+    """Regression for the sf0.1 DIVIDE_BY_ZERO: a bar closing at
+    exactly 0 must break that return (and the one into it) rather
+    than the job, and every other return must still be produced."""
+    import datetime
+
+    from stockpulse_spark.plans import REGISTRY
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, h), float(v), "click")
+        for h, v in [(0, 10.0), (1, 0.0), (2, 12.0), (3, 13.0), (4, 14.0)]
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_type string"
+    )
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = (
+        REGISTRY["ewma_volatility"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    )
+    # returns exist only across strictly positive consecutive closes:
+    # 12->13 and 13->14 (10->0 and 0->12 are both dropped)
+    assert len(out) == 2, out
+    assert all(r["ewma_vol"] is not None for r in out)
