@@ -89,3 +89,36 @@ def test_date_vs_datetime_is_not_a_failure(spark):
         "FROM events ORDER BY day",
     )
     assert _run(spec, spark) == "OK"
+
+
+def test_negative_zero_slope_hash_matches(spark, tmp_path):
+    """Regression for the sf0.1 IEEE −0.0 divergence: a tiny negative
+    trend rounds to −0.0 in DuckDB's ROUND but +0.0 in Spark's — the
+    oracle's `+ 0.0` canonicalization must keep the hash equal."""
+    import datetime
+
+    import duckdb
+
+    from stockpulse_spark.plans import REGISTRY
+
+    rows = [
+        (1, datetime.datetime(2024, 1, d, 12), 1.0 - d * 1e-10, "click")
+        for d in (1, 2, 3, 4)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_type string"
+    )
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    # sanity: the slope really is a rounded zero (the hazard case)
+    sp = REGISTRY["theil_sen_trend"].builder(spark, str(tmp_path)).collect()
+    assert sp[0]["ts_slope"] == 0.0
+    status, *_ = compare(
+        "theil_sen_trend", spark, con, str(tmp_path), verbose=False
+    )
+    assert status == "OK", status
