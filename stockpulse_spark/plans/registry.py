@@ -117,7 +117,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "disjunctive_filter",
     "idle_rich_customers",
     "top_order_per_customer",
-    "small_quantity_revenue",
+    "decontamination_recall_eval",
     "minhash_lsh_recall_eval",
     "ann_recall_eval",
     "shard_assignment_balance",
