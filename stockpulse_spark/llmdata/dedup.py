@@ -24,6 +24,8 @@ docs) are handled by AQE skew-join or a bucket-size cap filter.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -89,6 +91,11 @@ def minhash_signature(text: Column, k: int = 16, shingle_n: int = 3) -> Column:
 # executor memory stays bounded however many corpora one session scans.
 _SIG_CACHE: dict[int, DataFrame] = {}
 _SIG_CACHE_MAX = 2
+# The parity sweep (tools/parity.py --jobs=N) calls into this cache
+# from worker threads; the lock keeps the eviction loop from racing
+# (pop on an already-evicted key) and from unpersisting an entry
+# another thread just took a reference to mid-collect.
+_SIG_CACHE_LOCK = threading.Lock()
 
 
 def _cached_signatures(sig: DataFrame) -> DataFrame:
@@ -96,13 +103,16 @@ def _cached_signatures(sig: DataFrame) -> DataFrame:
         key = sig.semanticHash()
     except Exception:
         return sig.localCheckpoint(eager=False)
-    hit = _SIG_CACHE.get(key)
-    if hit is not None:
-        return hit
-    while len(_SIG_CACHE) >= _SIG_CACHE_MAX:
-        _SIG_CACHE.pop(next(iter(_SIG_CACHE))).unpersist()
-    sig = sig.persist()
-    _SIG_CACHE[key] = sig
+    with _SIG_CACHE_LOCK:
+        hit = _SIG_CACHE.get(key)
+        if hit is not None:
+            return hit
+        while len(_SIG_CACHE) >= _SIG_CACHE_MAX:
+            evicted = _SIG_CACHE.pop(next(iter(_SIG_CACHE)), None)
+            if evicted is not None:
+                evicted.unpersist()
+        sig = sig.persist()
+        _SIG_CACHE[key] = sig
     return sig
 
 

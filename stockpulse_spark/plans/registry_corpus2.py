@@ -526,7 +526,11 @@ def q_source_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id, cohort, md5(g) AS gh
       FROM planted, unnest({_D_SHINGLES}) AS t(g)
     ), flagged AS (
-      SELECT DISTINCT t.doc_id
+      -- keyed on (doc_id, cohort): the planted ids use fixed offsets
+      -- (+3M/+4M/+5M) that a large-enough documents table could
+      -- collide with real clean_train ids, and a doc_id-only key
+      -- would then cross-flag both cohorts
+      SELECT DISTINCT t.doc_id, t.cohort
       FROM train_grams t JOIN eval_grams e ON t.gh = e.gh
     )
     SELECT p.cohort,
@@ -535,7 +539,7 @@ def q_source_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_flagged,
            ROUND(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
                  * 1.0 / COUNT(*), 6) AS flag_rate
-    FROM planted p LEFT JOIN flagged f USING (doc_id)
+    FROM planted p LEFT JOIN flagged f USING (doc_id, cohort)
     GROUP BY p.cohort ORDER BY p.cohort
     """,
     tags=("llmdata", "dedup", "join", "evaluation"),
@@ -607,17 +611,20 @@ def q_decontamination_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     train_grams = (
         planted.select("doc_id", "cohort", F.explode(grams).alias("g"))
-        .select("doc_id", F.md5("g").alias("gh"))
+        .select("doc_id", "cohort", F.md5("g").alias("gh"))
         .distinct()
     )
+    # flagged keys on (doc_id, cohort) — mirrors the oracle: fixed
+    # planted-id offsets could collide with real clean_train ids at
+    # sufficient corpus size, and a doc_id-only key would cross-flag
     flagged = (
         train_grams.join(F.broadcast(eval_grams), "gh")
-        .select("doc_id")
+        .select("doc_id", "cohort")
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
     return (
-        planted.join(flagged, "doc_id", "left")
+        planted.join(flagged, ["doc_id", "cohort"], "left")
         .groupBy("cohort")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

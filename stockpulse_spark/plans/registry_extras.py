@@ -51,10 +51,15 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # [cnt_lt+1, cnt_le] must intersect target ± (n/accuracy + 2).
     # That boolean is engine-checkable against a literal-TRUE oracle,
     # upgrading this from a rows-only row to a driver-hashed one.
+    # n_rows = COUNT(value): the GK rank interval is over NON-NULL
+    # ranks (the sketch skips NULLs), so COUNT(*) over a null-bearing
+    # column would bias the target rank; all-NULL groups drop on both
+    # engines (HAVING here, NULL-array posexplode on the Spark side).
     oracle="""
     SELECT e.event_type, q.q, e.n_rows, TRUE AS within_gk_bound
-    FROM (SELECT event_type, COUNT(*) AS n_rows
-          FROM events GROUP BY event_type) e
+    FROM (SELECT event_type, COUNT(value) AS n_rows
+          FROM events GROUP BY event_type
+          HAVING COUNT(value) > 0) e
     CROSS JOIN (SELECT CAST(unnest([0.25, 0.50, 0.75, 0.99]) AS DOUBLE)
                 AS q) q
     ORDER BY e.event_type, q.q
@@ -78,7 +83,10 @@ def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ", ".join(f"{q}D" for q in qs)
             + "), 10000)"
         ).alias("ps"),
-        F.count(F.lit(1)).alias("n_rows"),
+        # non-null count: the sketch's rank space excludes NULLs, and
+        # an all-NULL group's NULL ps array is dropped by posexplode —
+        # matching the oracle's HAVING COUNT(value) > 0
+        F.count("value").alias("n_rows"),
     )
     pq = agg.select(
         "event_type",

@@ -136,13 +136,16 @@ def compare(name: str, spark, con, sf_dir: str, verbose: bool = True):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--jobs")]
-    jobs = 4
-    for a in sys.argv[1:]:
-        if a.startswith("--jobs="):
-            jobs = int(a.split("=", 1)[1])
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    names = args[1:] or list(REGISTRY)
+    import argparse
+
+    ap = argparse.ArgumentParser(description="DuckDB-oracle parity sweep")
+    ap.add_argument("--jobs", type=int, default=4)
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    ns = ap.parse_args()
+    jobs = ns.jobs
+    sf_dir = ns.sf_dir
+    names = ns.names or list(REGISTRY)
     spark = get_spark("parity")
 
     # One shared SparkSession serves concurrent actions (the scheduler
