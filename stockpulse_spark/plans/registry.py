@@ -60,68 +60,65 @@ def _register(
 
 
 # Driver-window rotation.  The driver's correctness gate samples the
-# FIRST 50 entries of queries() (dict insertion order).  Rounds 1-3 kept
-# registration order stable, so the §2 surface earned driver-grade rows
-# while every round-2/3 addition only ever had builder-side parity
-# evidence.  Round 5 leads with the 13 round-4 failures (all one bug
-# class: DuckDB HUGEINT→float64 vs Spark long, plus 2 ArrayType
-# outputs — both fixed, so these rows flip green), then the 24
-# latent-hazard / newly-oracled queries the same fix touched, then
-# never-driver-checked queries in registration order.  Names, builders
-# and oracles move only where the dtype fix required a cast — the
-# Spark plans are untouched.  Rotate via tools/rotate_window.py each
-# round until all oracle-backed queries have driver rows.
+# FIRST 50 entries of queries() (dict insertion order); rotate via
+# tools/rotate_window.py each round until all oracle-backed queries
+# have driver rows.  Round 6 (113 never-checked remaining) leads with
+# the 7 streaming batch twins — so every rows-only streaming query
+# (T2/T6 semantics, SURVEY §2.8) is anchored by a driver-green twin —
+# then the new SRP-ANN recall certificate, then never-driver-checked
+# queries in registration order.  All 50 are first-time names; none
+# of round 5's 50 repeat.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    "doc_pack_sequences",
-    "doc_train_test_split",
-    "doc_token_budget_sample",
-    "source_sampling_weights",
-    "decontamination_overlap",
-    "training_data_pipeline",
-    "training_data_pipeline_v2",
-    "doc_repetition_score",
-    "doc_ngram_novelty",
-    "pii_source_report",
-    "embedding_label_outliers",
-    "embedding_quantize_int8",
-    "media_features",
-    "sessionize_events",
-    "obv",
-    "candle_patterns",
-    "drawdown_durations",
-    "growth_accounting_weekly",
-    "session_conversion_daily",
-    "kaplan_meier_churn",
-    "order_backlog_daily",
-    "peak_concurrent_sessions_daily",
-    "dq_expectation_suite",
-    "late_shipment_priority",
-    "anova_hour_effect",
-    "segment_type_chisq",
-    "woe_binning",
-    "seasonal_anomaly_rates",
-    "value_mad_outliers",
-    "weighted_median_price",
-    "doc_blocklist_filter",
-    "decontamination_bloom_funnel",
-    "daily_order_ship_reconciliation",
-    "burst_detection_viterbi",
-    "textrank_keywords",
-    "value_percentiles_approx",
-    "distinct_users_approx",
-    "macd_probed_dispatch",
-    "semantic_dedup_keepers",
-    "doc_dedup_pipeline_full",
-    "incremental_dedup_gate",
-    "large_orders",
-    "disjunctive_filter",
-    "idle_rich_customers",
-    "top_order_per_customer",
-    "decontamination_recall_eval",
-    "minhash_lsh_recall_eval",
-    "ann_recall_eval",
-    "shard_assignment_balance",
-    "distinct_users_sketch_rollup",
+    "purchase_attribution_batch",
+    "sliding_windows_batch",
+    "up_streak_batch",
+    "dedup_keys_batch",
+    "weekly_rollup_closed_batch",
+    "kalman_events_batch",
+    "enriched_segment_counts_batch",
+    "srp_ann_recall_certificate",
+    "small_quantity_revenue",
+    "sql_weekly_active_users",
+    "rsi_wilder",
+    "williams_r",
+    "mfi14",
+    "cci20",
+    "adx14",
+    "donchian20",
+    "keltner20",
+    "ichimoku",
+    "psar",
+    "value_rank_family",
+    "user_cohort_set_ops",
+    "rolling_1h_time_window",
+    "props_json_stats",
+    "window_offsets",
+    "salted_event_type_stats",
+    "local_supplier_revenue",
+    "cube_order_stats",
+    "event_funnel",
+    "weekly_retention",
+    "min_cost_supplier",
+    "important_parts",
+    "top_supplier_revenue",
+    "bloom_prefilter_semi_join",
+    "orders_merge_upsert",
+    "value_band_islands",
+    "value_histogram",
+    "scd2_point_in_time_join",
+    "rolling_corr20",
+    "cross_sectional_zscore",
+    "doc_fluency_filter",
+    "grouping_sets_revenue",
+    "unpivot_ohlc",
+    "twap_daily",
+    "max_drawdown",
+    "hourly_p95_by_type",
+    "ohlcv_daily_from_hourly",
+    "revenue_concentration",
+    "rolling_outliers",
+    "benford_first_digit",
+    "nation_trade_flows",
 )
 
 

@@ -557,9 +557,11 @@ def q_minhash_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@_register(
-    "ann_recall_eval",
-    oracle=f"""
+# Shared exact-vs-SRP CTE block: exact_top = brute-force cosine top-10
+# per query, approx_top = the SRP-LSH index's top-10 over its candidate
+# set. ann_recall_eval reports per-query recall; the certificate query
+# aggregates the same block into one driver-hashed boolean gate.
+_ANN_EVAL_CTES = f"""
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e,
              {_BUCKETS_DUCK} AS buckets
@@ -591,7 +593,13 @@ def q_minhash_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cand
     ), approx_top AS (
       SELECT query_id, neighbor_id FROM approx_ranked WHERE rank <= 10
-    )
+    )"""
+
+
+@_register(
+    "ann_recall_eval",
+    oracle=_ANN_EVAL_CTES
+    + """
     SELECT e.query_id,
            CAST(COUNT(*) AS BIGINT) AS n_exact,
            CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -639,4 +647,57 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r6(F.col("n_hit") * 1.0 / F.col("n_exact")).alias("recall_at_10"),
         )
         .orderBy("query_id")
+    )
+
+
+@_register(
+    "srp_ann_recall_certificate",
+    oracle=_ANN_EVAL_CTES
+    + """
+    SELECT CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS recall_at_10,
+           2 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             >= COUNT(*) AS meets_gate
+    FROM exact_top e
+    LEFT JOIN approx_top a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    """,
+    tags=("llmdata", "similarity", "evaluation"),
+    doc="the SRP-ANN deployment gate as a driver-hashed certificate: "
+    "the recall>=0.5 floor tests/test_llmdata.py asserts (expected "
+    "~0.75 at 8 tables x 4 planes) folded into ONE boolean row over "
+    "the same exact-vs-approx machinery as ann_recall_eval. The gate "
+    "compare is pure integer arithmetic (2*n_hit >= n_exact), so no "
+    "float-boundary flip can shear the boolean between engines; at "
+    "100 TB this runs on a sampled query set as the recall regression "
+    "check before an index-parameter change ships.",
+)
+def q_srp_ann_recall_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(q, emb, k=10).select("query_id", "neighbor_id")
+    approx = srp_lsh_topk(
+        q, emb, k=10, n_planes=_N_PLANES, n_tables=_N_TABLES, dim=64
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    j = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return j.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_hit"),
+    ).select(
+        "n_queries",
+        "n_exact",
+        "n_hit",
+        _r6(F.col("n_hit") * 1.0 / F.col("n_exact")).alias("recall_at_10"),
+        (2 * F.col("n_hit") >= F.col("n_exact")).alias("meets_gate"),
     )
