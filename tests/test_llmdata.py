@@ -598,3 +598,88 @@ def test_decontamination_recall_boundary(spark):
     assert rows["copy_span10"]["flag_rate"] == 1.0, rows["copy_span10"]
     assert rows["copy_span4"]["flag_rate"] == 0.0, rows["copy_span4"]
     assert rows["clean_train"]["flag_rate"] <= 0.2, rows["clean_train"]
+
+
+def test_srp_recall_certificate_gate_holds(spark):
+    """The driver-hashed deployment gate must agree with the pytest
+    recall floor: one row, integer bookkeeping sound, meets_gate True
+    at the 8x4 table/plane budget on the test corpus."""
+    rows = (
+        REGISTRY["srp_ann_recall_certificate"].builder(spark, SF_DIR).collect()
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_queries"] == 10
+    assert 0 <= r["n_hit"] <= r["n_exact"]
+    assert r["meets_gate"] == (2 * r["n_hit"] >= r["n_exact"])
+    assert r["meets_gate"], r
+
+
+def test_signature_cache_thread_safe():
+    """tools/parity.py sweeps with --jobs=N worker threads, all hitting
+    the module-level signature cache: concurrent insert/evict must
+    never raise (the unlocked version could KeyError in the eviction
+    loop) and the cache must stay at its size bound."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from stockpulse_spark.llmdata import dedup as d
+
+    class _FakeDF:
+        def __init__(self, key):
+            self._key = key
+
+        def semanticHash(self):
+            return self._key
+
+        def persist(self):
+            return self
+
+        def unpersist(self):
+            return self
+
+    saved = dict(d._SIG_CACHE)
+    d._SIG_CACHE.clear()
+    try:
+        def hammer(seed):
+            for i in range(300):
+                d._cached_signatures(_FakeDF((seed * 31 + i) % 7))
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            for f in [ex.submit(hammer, s) for s in range(16)]:
+                f.result()  # re-raises any worker exception
+        assert len(d._SIG_CACHE) <= d._SIG_CACHE_MAX
+    finally:
+        d._SIG_CACHE.clear()
+        d._SIG_CACHE.update(saved)
+
+
+def test_decontamination_recall_survives_planted_id_collision(
+    spark, tmp_path
+):
+    """The planted-copy ids use fixed offsets (+3M/+4M/+5M); on a big
+    enough corpus a planted id collides with a REAL clean_train doc_id.
+    The flagged join keys on (doc_id, cohort), so the collision must
+    not cross-flag the innocent clean doc: here doc 7 is an eval doc
+    whose verbatim copy is planted at id 3000007 — the same id as a
+    real clean doc sharing no 5-grams with anything."""
+    eval_text = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu probe7"
+    )  # md5 bucket 93 -> eval side, 27 words
+    clean_text = " ".join(f"w{j}x1" for j in range(30))  # bucket 61
+    df = spark.createDataFrame(
+        [(7, eval_text), (3000007, clean_text)], "doc_id long, text string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["cohort"]: r
+        for r in REGISTRY["decontamination_recall_eval"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    assert rows["copy_full"]["flag_rate"] == 1.0
+    assert rows["clean_train"]["n_docs"] == 1
+    assert rows["clean_train"]["flag_rate"] == 0.0, (
+        "planted-id collision cross-flagged the clean doc"
+    )

@@ -122,3 +122,22 @@ def test_negative_zero_slope_hash_matches(spark, tmp_path):
         "theil_sen_trend", spark, con, str(tmp_path), verbose=False
     )
     assert status == "OK", status
+
+
+def test_cli_accepts_both_jobs_forms():
+    """`--jobs 8` (space form) must parse identically to `--jobs=8` —
+    the old prefix-stripping parser silently dropped the space form and
+    misread the '8' as sf_dir, sweeping a nonexistent directory."""
+    import pytest
+
+    from tools.parity import parse_args
+
+    eq = parse_args(["--jobs=8", "/tmp/sf", "q1", "q2"])
+    sp = parse_args(["--jobs", "8", "/tmp/sf", "q1", "q2"])
+    assert eq.jobs == sp.jobs == 8
+    assert eq.sf_dir == sp.sf_dir == "/tmp/sf"
+    assert eq.names == sp.names == ["q1", "q2"]
+    assert parse_args([]).jobs == 4
+    # unknown flags must error, not be filtered
+    with pytest.raises(SystemExit):
+        parse_args(["--jbos=8"])

@@ -135,14 +135,24 @@ def compare(name: str, spark, con, sf_dir: str, verbose: bool = True):
     return (status, name, len(spdf), t_spark, t_duck)
 
 
-def main():
+def parse_args(argv):
+    """Sweep CLI: [--jobs N | --jobs=N] [sf_dir] [name ...].
+
+    argparse (not prefix-stripping): the old hand parser silently
+    dropped the space form `--jobs 8` and then misread '8' as the
+    sf_dir positional, sweeping a nonexistent directory. Unrecognized
+    flags now error out instead of being filtered."""
     import argparse
 
     ap = argparse.ArgumentParser(description="DuckDB-oracle parity sweep")
     ap.add_argument("--jobs", type=int, default=4)
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
     ap.add_argument("names", nargs="*")
-    ns = ap.parse_args()
+    return ap.parse_args(argv)
+
+
+def main():
+    ns = parse_args(sys.argv[1:])
     jobs = ns.jobs
     sf_dir = ns.sf_dir
     names = ns.names or list(REGISTRY)
