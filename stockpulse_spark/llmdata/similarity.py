@@ -50,7 +50,12 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+    """L2 norm, NULL for the all-zero vector: a direction-less vector
+    has no defined cosine, and NULL propagates through the division
+    (no ANSI divide-by-zero) and sorts NULLS LAST under the DESC
+    rank ordering in BOTH engines (oracle fragments mirror with
+    sqrt(nullif(Σx², 0)))."""
+    return F.sqrt(F.nullif(dot(a, a), F.lit(0.0)))
 
 
 def _as_double(c: Column) -> Column:

@@ -53,13 +53,17 @@ def quality_features(text: Column) -> dict[str, Column]:
     n_punct = F.length(F.regexp_replace(text, "[a-zA-Z0-9 ]", ""))
     n_stop = stopword_hits(text, LANG_STOPWORDS["en"])
     n_unique = F.size(F.array_distinct(w))
+    # nullif guards: an empty text has n_chars = 0 (ANSI divide error);
+    # ratios of a zero-length text are undefined -> NULL, and the
+    # oracles mirror with nullif(n_chars, 0) / nullif(n_words, 0)
     return {
         "n_words": n_words,
         "n_chars": n_chars,
-        "punct_ratio": n_punct / n_chars,
-        "stopword_ratio": n_stop / n_words,
-        "mean_word_len": (n_chars - (n_words - 1)) / n_words,
-        "unique_ratio": n_unique / n_words,
+        "punct_ratio": n_punct / F.nullif(n_chars, F.lit(0)),
+        "stopword_ratio": n_stop / F.nullif(n_words, F.lit(0)),
+        "mean_word_len": (n_chars - (n_words - 1))
+        / F.nullif(n_words, F.lit(0)),
+        "unique_ratio": n_unique / F.nullif(n_words, F.lit(0)),
     }
 
 
@@ -154,14 +158,19 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         guess = F.when(F.col(f"__h_{lang}") == m, F.lit(lang)).otherwise(guess)
     guess = F.when(m == 0, F.lit("unknown")).otherwise(guess)
 
-    sw_ratio = F.col("__n_stop") / F.col("n_words")
-    uq_ratio = F.col("__n_unique") / F.col("n_words")
+    # nullif: empty text (n_chars = 0) must yield NULL ratios, not an
+    # ANSI divide error — mirrored in the oracles
+    nw = F.nullif(F.col("n_words"), F.lit(0))
+    sw_ratio = F.col("__n_stop") / nw
+    uq_ratio = F.col("__n_unique") / nw
     out = staged.select(
         "*",
         F.col("n_words").alias("token_count_ws"),
-        (F.col("__n_punct") / F.col("n_chars")).alias("punct_ratio"),
+        (F.col("__n_punct") / F.nullif(F.col("n_chars"), F.lit(0))).alias(
+            "punct_ratio"
+        ),
         sw_ratio.alias("stopword_ratio"),
-        ((F.col("n_chars") - (F.col("n_words") - 1)) / F.col("n_words")).alias(
+        ((F.col("n_chars") - (F.col("n_words") - 1)) / nw).alias(
             "mean_word_len"
         ),
         uq_ratio.alias("unique_ratio"),

@@ -220,7 +220,7 @@ def q_distinct_users_sketch_rollup(
 
 _N_CENTROIDS = 16
 _DOTC = "list_reduce(list_transform(range(1, 65), i -> e[i] * c[i]), (x, y) -> x + y)"
-_NORM = "sqrt(list_reduce(list_transform(range(1, 65), i -> {v}[i] * {v}[i]), (x, y) -> x + y))"
+_NORM = "sqrt(nullif(list_reduce(list_transform(range(1, 65), i -> {v}[i] * {v}[i]), (x, y) -> x + y), 0))"
 
 
 @_register(

@@ -197,7 +197,7 @@ def q_doc_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOT64 = (
     "list_reduce(list_transform(range(1, 65), i -> v1[i] * v2[i]), (x, y) -> x + y)"
 )
-_N64 = "sqrt(list_reduce(list_transform(range(1, 65), i -> {v}[i] * {v}[i]), (x, y) -> x + y))"
+_N64 = "sqrt(nullif(list_reduce(list_transform(range(1, 65), i -> {v}[i] * {v}[i]), (x, y) -> x + y), 0))"
 
 
 @_register(
@@ -605,13 +605,24 @@ def q_incremental_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(
             docs.filter(F.col("doc_id") % 5 == 1).select(
                 (F.col("doc_id") + 1000000).alias("batch_id"),
-                F.concat_ws(" ", F.slice(w, 1, n - 5)).alias("text"),
+                # negative-length guard + NULL passthrough, mirroring
+                # DuckDB's clamping l[1:n] / NULL-propagating
+                # array_to_string (see _mutated_corpus)
+                F.when(
+                    F.col("text").isNotNull(),
+                    F.concat_ws(
+                        " ", F.slice(w, 1, F.greatest(n - 5, F.lit(0)))
+                    ),
+                ).alias("text"),
             )
         )
         .unionAll(
             docs.filter(F.col("doc_id") % 5 == 2).select(
                 (F.col("doc_id") + 1000000).alias("batch_id"),
-                F.concat_ws(" ", F.reverse(w)).alias("text"),
+                F.when(
+                    F.col("text").isNotNull(),
+                    F.concat_ws(" ", F.reverse(w)),
+                ).alias("text"),
             )
         )
     )

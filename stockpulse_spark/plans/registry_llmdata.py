@@ -55,10 +55,19 @@ def _mutated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     w = F.split("text", " ")
+    # greatest(…, 0): a doc under 6 words would feed slice() a negative
+    # length (runtime error); DuckDB's l[1:n] clamps to empty, so the
+    # guard keeps the engines aligned. NULL text stays NULL (concat_ws
+    # would silently turn it into '' while array_to_string keeps NULL).
     mut = d.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         "source",
-        F.concat_ws(" ", F.slice(w, 1, F.size(w) - 5)).alias("text"),
+        F.when(
+            F.col("text").isNotNull(),
+            F.concat_ws(
+                " ", F.slice(w, 1, F.greatest(F.size(w) - 5, F.lit(0)))
+            ),
+        ).alias("text"),
     )
     return d.unionAll(mut).repartition(spark.sparkContext.defaultParallelism)
 
@@ -112,13 +121,15 @@ _LANG_CASE = "CASE WHEN __m = 0 THEN 'unknown' " + " ".join(
       FROM base
     )
     SELECT doc_id, token_count_ws, token_count_bpe, n_chars,
-           ROUND(n_punct / n_chars, 6) AS punct_ratio,
-           ROUND(n_stop / n_words, 6) AS stopword_ratio,
-           ROUND((n_chars - (n_words - 1)) / n_words, 6) AS mean_word_len,
-           ROUND(n_unique / n_words, 6) AS unique_ratio,
+           ROUND(n_punct / nullif(n_chars, 0), 6) AS punct_ratio,
+           ROUND(n_stop / nullif(n_words, 0), 6) AS stopword_ratio,
+           ROUND((n_chars - (n_words - 1)) / nullif(n_words, 0), 6)
+             AS mean_word_len,
+           ROUND(n_unique / nullif(n_words, 0), 6) AS unique_ratio,
            ROUND(0.4 * least(n_words / 100.0, 1.0)
-                 + 0.3 * (n_stop / n_words)
-                 + 0.3 * (n_unique / n_words), 6) AS quality_score,
+                 + 0.3 * (n_stop / nullif(n_words, 0))
+                 + 0.3 * (n_unique / nullif(n_words, 0)), 6)
+             AS quality_score,
            {_LANG_CASE} AS lang_guess,
            md5(text) AS fp_md5,
            list_min(list_transform({_SHINGLES_DUCK}, s -> md5(s))) AS fp_min_shingle
@@ -303,7 +314,7 @@ _DOT_DUCK = (
     "list_reduce(list_transform(range(1, 65), i -> qv[i] * cv[i]), (x, y) -> x + y)"
 )
 _NORM_DUCK = (
-    "sqrt(list_reduce(list_transform(range(1, 65), i -> {v}[i] * {v}[i]), (x, y) -> x + y))"
+    "sqrt(nullif(list_reduce(list_transform(range(1, 65), i -> {v}[i] * {v}[i]), (x, y) -> x + y), 0))"
 )
 
 

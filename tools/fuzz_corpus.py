@@ -1,0 +1,148 @@
+"""Adversarial parity corpus — a mutated copy of an sf dir that stress-
+tests the ENGINE-SEMANTIC edges where Spark and DuckDB are allowed to
+disagree unless the query pins them down:
+
+- duplicate (user_id, ts) event rows   -> window/rank tie handling
+- NULL `value` / NULL `event_type`     -> NULL ordering (Spark ASC is
+  NULLS FIRST, DuckDB NULLS LAST), NULL-skipping aggs, COUNT(*) vs
+  COUNT(col)
+- -0.0 and rounding-boundary values    -> IEEE sign / HALF_UP drift
+- NULL / empty / one-word / '|'-bearing / unicode / shared-boilerplate
+  document text                        -> tokenizer edges, delimiter
+  injection, LSH hot buckets
+- all-zero embedding vectors           -> cosine divide-by-zero
+
+Every registry query must STILL hash-match its DuckDB oracle on this
+corpus: the two engines read identical bytes, so any divergence is a
+latent data-dependent parity bug of exactly the class round-4/5
+advisories kept finding (asc_nulls_last, -0.0, ANSI divide).
+
+Usage: python tools/fuzz_corpus.py [src_sf_dir] [dest_dir]
+       python tools/parity.py --jobs=6 <dest_dir>
+
+Mutations are deterministic (hash-of-id based, no RNG state) so the
+corpus is reproducible and the sweep is re-runnable bit-for-bit.
+Untouched tables are passed through unchanged so every query can run.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BOILER = (
+    "all content on this page is provided as is without warranty of "
+    "any kind either express or implied see the license file for the "
+    "full terms and conditions of use " * 3
+)
+PIPE_TEXT = (
+    "the quick|brown fox | jumps||over the lazy dog while a|b c|d "
+    "tokens carry pipes into every shingle and pair delimiter"
+)
+UNICODE_TEXT = (
+    "naïve résumé 中文分词 straße "
+    "élève coopération 日本語 한국어 "
+    "emoji \U0001f600 mixed with plain ascii words for the tokenizer"
+)
+
+
+def mutate_events(tbl: pa.Table) -> pa.Table:
+    d = tbl.to_pydict()
+    n = len(d["event_id"])
+    # 1) duplicate every 47th row EXACTLY (same event_id/user_id/ts):
+    #    any ROW_NUMBER over a non-total order must still agree
+    dup_idx = list(range(0, n, 47))
+    for k in d:
+        d[k] = list(d[k]) + [d[k][i] for i in dup_idx]
+    m = len(d["event_id"])
+    for i in range(m):
+        eid = d["event_id"][i] if d["event_id"][i] is not None else i
+        h = (eid * 2654435761) % 1000
+        # 2) NULL value on ~3%
+        if h < 30:
+            d["value"][i] = None
+        # 3) -0.0 on a few
+        elif h < 35:
+            d["value"][i] = -0.0
+        # 4) exact rounding-boundary magnitude (6dp half cases)
+        elif h < 40:
+            d["value"][i] = 0.0000005 * ((eid % 7) + 1)
+        # 5) NULL event_type on ~1%
+        if 990 <= h:
+            d["event_type"][i] = None
+    return pa.table(d, schema=tbl.schema)
+
+
+def mutate_documents(tbl: pa.Table) -> pa.Table:
+    d = tbl.to_pydict()
+    n = len(d["doc_id"])
+    for i in range(n):
+        did = d["doc_id"][i]
+        h = (did * 2654435761) % 1000
+        if h < 20:
+            d["text"][i] = None  # NULL text
+        elif h < 40:
+            d["text"][i] = ""  # empty text
+        elif h < 60:
+            d["text"][i] = "solitary"  # below every n-gram threshold
+        elif h < 80:
+            d["text"][i] = PIPE_TEXT  # delimiter injection
+        elif h < 100:
+            d["text"][i] = UNICODE_TEXT  # non-ascii tokens
+        elif h < 150:
+            d["text"][i] = BOILER  # one shared text, ~5% of corpus
+        if d["text"][i] is not None:
+            d["n_chars"][i] = len(d["text"][i])
+        else:
+            d["n_chars"][i] = None
+    return pa.table(d, schema=tbl.schema)
+
+
+def mutate_embeddings(tbl: pa.Table) -> pa.Table:
+    d = tbl.to_pydict()
+    n = len(d["vec_id"])
+    dim = len(d["embedding"][0])
+    for i in range(n):
+        vid = d["vec_id"][i]
+        h = (vid * 2654435761) % 1000
+        if h < 20:
+            # all-zero vector: norm 0 -> cosine must not divide-by-zero
+            d["embedding"][i] = [0.0] * dim
+    return pa.table(d, schema=tbl.schema)
+
+
+MUTATORS = {
+    "events": mutate_events,
+    "documents": mutate_documents,
+    "embeddings": mutate_embeddings,
+}
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/fuzz_" + Path(src).name
+    os.makedirs(dst, exist_ok=True)
+    for f in sorted(Path(src).glob("*.parquet")):
+        name = f.stem
+        out = Path(dst) / f.name
+        if name in MUTATORS:
+            tbl = pq.read_table(f)
+            mut = MUTATORS[name](tbl)
+            pq.write_table(mut, out)
+            print(f"mutated   {name}: {len(tbl)} -> {len(mut)} rows")
+        else:
+            if out.exists() or out.is_symlink():
+                out.unlink()
+            shutil.copyfile(f, out)
+            print(f"passthru  {name}")
+    print(dst)
+
+
+if __name__ == "__main__":
+    main()
