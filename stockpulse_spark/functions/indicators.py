@@ -24,6 +24,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn
 from pyspark.sql.window import WindowSpec
 
 
@@ -236,7 +238,7 @@ def eod_rolling_mean_join(
     last_order = F.struct(*[F.col(c) for c in order_cols])
     eod = (
         df.groupBy(partition_col, date_col)
-        .agg(F.max_by(F.col(close), last_order).alias("__eod_close"))
+        .agg(max_by_nn(F.col(close), last_order).alias("__eod_close"))
     )
     w = (
         Window.partitionBy(partition_col)

@@ -1,0 +1,35 @@
+"""NULL-skipping positional aggregates.
+
+Spark's `max_by(v, ts)` returns the value at the max ordering key even
+when that value is NULL; DuckDB's `arg_max(v, ts)` skips rows whose
+value is NULL and returns the last NON-NULL one. For OHLCV semantics
+the skip-NULL form is the correct one — a NULL observation is not a
+trade, so `close` is the last REAL price — and it is what every oracle
+computes, so these helpers pin the Spark side to the same contract:
+the ordering key is masked to NULL wherever the value is NULL, and a
+NULL ordering key can never win min_by/max_by. A bucket whose values
+are ALL NULL yields NULL in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x: Column | str) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+def min_by_nn(value: Column | str, order: Column | str) -> Column:
+    """Value at the smallest `order` among rows where value IS NOT
+    NULL (DuckDB arg_min)."""
+    v = _c(value)
+    return F.min_by(v, F.when(v.isNotNull(), _c(order)))
+
+
+def max_by_nn(value: Column | str, order: Column | str) -> Column:
+    """Value at the largest `order` among rows where value IS NOT
+    NULL (DuckDB arg_max)."""
+    v = _c(value)
+    return F.max_by(v, F.when(v.isNotNull(), _c(order)))

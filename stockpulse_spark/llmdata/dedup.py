@@ -280,7 +280,10 @@ def ngram_jaccard_pairs(
     )
     inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
     union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
-    jac = inter.cast("double") / union
+    # nullif: two shingle-less docs (short/empty text) have an
+    # UNDEFINED Jaccard -> NULL -> dropped by the threshold filter on
+    # both engines (oracles mirror with nullif(union, 0))
+    jac = inter.cast("double") / F.nullif(union, F.lit(0))
     return pairs.select(
         F.col("l.doc_id").alias("doc_id_1"),
         F.col("r.doc_id").alias("doc_id_2"),

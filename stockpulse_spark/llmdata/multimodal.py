@@ -376,8 +376,16 @@ def attach_image_payload(
         F.lit("03011100021101031101"),
     )
     header = F.unhex(F.when(did % 2 == 0, png_hex).otherwise(jpeg_hex))
+    # coalesce: a NULL text must still yield a decodable container
+    # (header + empty body), not a NULL payload that would crash the
+    # Arrow kernel with bytes(None); oracles mirror with
+    # coalesce(text, '')
     return df.withColumn(
-        "payload", F.concat(header, F.encode(F.col(text_col), "utf-8"))
+        "payload",
+        F.concat(
+            header,
+            F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8"),
+        ),
     )
 
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn
+
 
 def resample_ohlcv(
     df: DataFrame,
@@ -41,10 +43,10 @@ def resample_ohlcv(
     agg = (
         df.groupBy(*partition_cols, F.window(F.col(ts_col), freq).alias("__w"))
         .agg(
-            F.min_by(F.col(open_col), order).alias("open"),
+            min_by_nn(F.col(open_col), order).alias("open"),
             F.max(F.col(high_col)).alias("high"),
             F.min(F.col(low_col)).alias("low"),
-            F.max_by(F.col(close_col), order).alias("close"),
+            max_by_nn(F.col(close_col), order).alias("close"),
             F.sum(F.col(volume_col)).alias("volume"),
         )
         .withColumn("bucket_start", F.col("__w.start"))

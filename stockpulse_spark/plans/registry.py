@@ -26,6 +26,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn
+
 from stockpulse_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -198,10 +200,10 @@ def _hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_start")
     ).agg(
-        F.min_by("value", "ts").alias("open"),
+        min_by_nn("value", "ts").alias("open"),
         F.max("value").alias("high"),
         F.min("value").alias("low"),
-        F.max_by("value", "ts").alias("close"),
+        max_by_nn("value", "ts").alias("close"),
         F.count(F.lit(1)).alias("volume"),
     )
 
@@ -515,7 +517,7 @@ def q_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id")
         .agg(
             F.max("ts").alias("latest_ts"),
-            F.max_by("value", "ts").alias("latest_value"),
+            max_by_nn("value", "ts").alias("latest_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("user_id")
@@ -637,10 +639,10 @@ def q_ohlcv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id", F.to_date("ts").alias("date"))
         .agg(
-            _r6(F.min_by("value", "ts")).alias("open"),
+            _r6(min_by_nn("value", "ts")).alias("open"),
             _r6(F.max("value")).alias("high"),
             _r6(F.min("value")).alias("low"),
-            _r6(F.max_by("value", "ts")).alias("close"),
+            _r6(max_by_nn("value", "ts")).alias("close"),
             F.count(F.lit(1)).alias("volume"),
         )
         .orderBy("user_id", "date")
@@ -710,7 +712,7 @@ def q_ma5_cma(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_eod_ma5_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
     eod = ev.groupBy("user_id", "date").agg(
-        F.max_by("value", "ts").alias("eod_close")
+        max_by_nn("value", "ts").alias("eod_close")
     )
     w = Window.partitionBy("user_id").orderBy("date").rowsBetween(-4, 0)
     eod_ma = eod.select(

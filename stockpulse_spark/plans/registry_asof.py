@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn
+
 from stockpulse_spark.operators.asof import asof_join
 from stockpulse_spark.plans.registry import _r6, _register, _t
 
@@ -37,7 +39,7 @@ def q_asof_prev_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     eod = (
         ev.groupBy("user_id", F.to_date("ts").alias("d"))
-        .agg(F.max_by("value", "ts").alias("prev_close"))
+        .agg(max_by_nn("value", "ts").alias("prev_close"))
         .select(
             "user_id",
             "prev_close",

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn
+
 from stockpulse_spark.plans.registry import _r6, _register, _t
 
 _INF = 10**15
@@ -108,7 +110,7 @@ def q_dtw_to_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
     ).agg(
-        (F.round(F.max_by("value", "ts") * 100).cast("bigint") * 2).alias(
+        (F.round(max_by_nn("value", "ts") * 100).cast("bigint") * 2).alias(
             "c2"
         )
     )
@@ -221,7 +223,7 @@ def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(
-        F.round(F.max_by("value", "ts") * 100).cast("bigint").alias("cents")
+        F.round(max_by_nn("value", "ts") * 100).cast("bigint").alias("cents")
     )
     stats = (
         bars.groupBy("user_id")

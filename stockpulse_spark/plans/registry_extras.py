@@ -98,8 +98,15 @@ def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(float(q)) for q in qs]), F.col("qi") + 1
         ),
     )
+    # null-safe equality: a NULL event_type group must survive the
+    # certification join-back (plain equi-join drops NULL keys, and the
+    # oracle keeps the group)
     ranked = (
-        ev.join(F.broadcast(pq), "event_type")
+        ev.withColumnRenamed("event_type", "__et")
+        .join(
+            F.broadcast(pq),
+            F.col("__et").eqNullSafe(F.col("event_type")),
+        )
         .groupBy("event_type", "q", "n_rows", "p")
         .agg(
             F.sum((F.col("value") < F.col("p")).cast("long")).alias("cnt_lt"),
@@ -311,9 +318,12 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
       FROM v
     ), q AS (
+      -- scale = 0 (all-zero vector) quantizes to all zeros instead of
+      -- dividing by zero
       SELECT vec_id, e, scale,
-             list_transform(e, x -> CAST(greatest(-127, least(127,
-               floor(x / scale + 0.5))) AS INTEGER)) AS q8
+             list_transform(e, x -> CASE WHEN scale = 0 THEN 0 ELSE
+               CAST(greatest(-127, least(127,
+                 floor(x / scale + 0.5))) AS INTEGER) END) AS q8
       FROM s
     )
     SELECT vec_id,
@@ -341,12 +351,16 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(F.transform(F.col("e"), lambda x: F.abs(x))) / 127.0
     ).alias("scale")
     s = emb.select("vec_id", "e", scale)
+    # scale = 0 (all-zero vector) -> all-zero q8; the conditional also
+    # keeps ANSI mode from raising on the guarded division
     q8 = F.transform(
         F.col("e"),
-        lambda x: F.greatest(
-            F.lit(-127),
-            F.least(F.lit(127), F.floor(x / F.col("scale") + 0.5)),
-        ).cast("int"),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.floor(x / F.col("scale") + 0.5)),
+            ).cast("int")
+        ),
     )
     q = s.select("vec_id", "e", "scale", q8.alias("q8"))
     err = F.zip_with(

@@ -43,12 +43,12 @@ from stockpulse_spark.plans.registry_llmdata import (
     )
     SELECT c.doc_id_1, c.doc_id_2,
            ROUND(CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
-                 / len(list_distinct(list_concat(s1.sh, s2.sh))), 6) AS jaccard
+                 / nullif(len(list_distinct(list_concat(s1.sh, s2.sh))), 0), 6) AS jaccard
     FROM cand c
     JOIN sig s1 ON c.doc_id_1 = s1.doc_id
     JOIN sig s2 ON c.doc_id_2 = s2.doc_id
     WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
-          / len(list_distinct(list_concat(s1.sh, s2.sh))) >= 0.6
+          / nullif(len(list_distinct(list_concat(s1.sh, s2.sh))), 0) >= 0.6
     """,
     tags=("llmdata", "dedup", "pipeline"),
     doc="the full near-dup FUNNEL in one plan: MinHash-LSH generates "
@@ -72,8 +72,10 @@ def q_doc_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
     enriched = cand.join(s1, "doc_id_1").join(s2, "doc_id_2")
     inter = F.size(F.array_intersect("sh1", "sh2"))
+    # nullif: shingle-less docs (short/empty text) have an UNDEFINED
+    # Jaccard -> NULL -> dropped by the threshold (oracle mirrors)
     union = F.size(F.array_union("sh1", "sh2"))
-    jac = inter.cast("double") / union
+    jac = inter.cast("double") / F.nullif(union, F.lit(0))
     return (
         enriched.select("doc_id_1", "doc_id_2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.6)
@@ -255,12 +257,16 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id_1, doc_id_2,
            levenshtein(t1, t2) AS edit_dist,
+           -- nullif: two empty texts have max length 0; their edit
+           -- similarity is UNDEFINED -> NULL -> dropped on both engines
            ROUND(1.0 - levenshtein(t1, t2)
-                 / CAST(greatest(length(t1), length(t2)) AS DOUBLE), 6)
+                 / CAST(nullif(greatest(length(t1), length(t2)), 0)
+                        AS DOUBLE), 6)
              AS edit_sim
     FROM cand
     WHERE 1.0 - levenshtein(t1, t2)
-          / CAST(greatest(length(t1), length(t2)) AS DOUBLE) >= 0.5
+          / CAST(nullif(greatest(length(t1), length(t2)), 0) AS DOUBLE)
+          >= 0.5
     """,
     tags=("llmdata", "dedup"),
     doc="character-level edit-distance verification — the dedup-family "
@@ -286,7 +292,9 @@ def q_doc_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = l.join(r, "pfx").filter(F.col("doc_id_1") < F.col("doc_id_2"))
     dist = F.levenshtein("t1", "t2")
-    sim = 1.0 - dist / F.greatest(F.length("t1"), F.length("t2")).cast("double")
+    sim = 1.0 - dist / F.nullif(
+        F.greatest(F.length("t1"), F.length("t2")).cast("double"), F.lit(0.0)
+    )
     scored = cand.select(
         "doc_id_1",
         "doc_id_2",
@@ -463,7 +471,7 @@ def q_semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sig s1 ON c.doc_id_1 = s1.doc_id
       JOIN sig s2 ON c.doc_id_2 = s2.doc_id
       WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
-            / len(list_distinct(list_concat(s1.sh, s2.sh))) >= 0.6
+            / nullif(len(list_distinct(list_concat(s1.sh, s2.sh))), 0) >= 0.6
     ), sym AS (
       SELECT doc_id_1 AS a, doc_id_2 AS b FROM verified
       UNION SELECT doc_id_2, doc_id_1 FROM verified
@@ -505,7 +513,7 @@ def q_doc_dedup_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
     jac = (
         F.size(F.array_intersect("sh1", "sh2")).cast("double")
-        / F.size(F.array_union("sh1", "sh2"))
+        / F.nullif(F.size(F.array_union("sh1", "sh2")), F.lit(0))
     )
     verified = (
         cand.join(s1, "doc_id_1")
@@ -533,8 +541,11 @@ WITH RECURSIVE batch AS (
   WHERE doc_id % 5 = 0
   UNION ALL
   SELECT doc_id + 1000000,
-         array_to_string(
-           (string_split(text, ' '))[1:len(string_split(text, ' ')) - 5], ' ')
+         CASE WHEN text IS NULL THEN NULL
+              ELSE coalesce(array_to_string(
+                (string_split(text, ' '))[1:len(string_split(text, ' ')) - 5],
+                ' '), '')
+         END
   FROM documents WHERE doc_id % 5 = 1
   UNION ALL
   SELECT doc_id + 1000000,

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn
+
 from stockpulse_spark.functions.ema import add_macd_auto
 from stockpulse_spark.plans.registry import (
     _BARS_CTE,
@@ -265,8 +267,14 @@ def q_roc_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_BARS_CTE
     + f"""
     SELECT user_id, bucket_start,
-           ROUND(list_reduce(list(close * volume) OVER w, (acc, e) -> acc + e)
-                 / (SUM(volume) OVER w), 6) AS vwap
+           -- FILTER mirrors Spark SUM's NULL-skipping: an all-NULL
+           -- bucket's close would otherwise poison the whole fold
+           -- (NULL + acc) while Spark's SUM just skips it
+           ROUND(CASE WHEN COUNT(close) OVER w > 0 THEN
+                   list_reduce(list(close * volume)
+                                 FILTER (close IS NOT NULL) OVER w,
+                               (acc, e) -> acc + e)
+                   / (SUM(volume) OVER w) END, 6) AS vwap
     FROM bars
     WINDOW w AS ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
@@ -311,7 +319,7 @@ def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_returns_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy("user_id", F.to_date("ts").alias("date")).agg(
-        F.max_by("value", "ts").alias("close")
+        max_by_nn("value", "ts").alias("close")
     )
     w0 = Window.partitionBy("user_id").orderBy("date")
     prev = F.lag("close", 1).over(w0)

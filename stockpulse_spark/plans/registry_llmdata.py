@@ -76,8 +76,12 @@ _MUT_CTE = """
 WITH corpus AS (
   SELECT doc_id, source, text FROM documents
   UNION ALL
+  -- coalesce: array_to_string of the EMPTY slice (a <6-word doc) is
+  -- NULL in DuckDB but Spark's concat_ws gives ''; NULL text stays NULL
   SELECT doc_id + 1000000 AS doc_id, source,
-         array_to_string((string_split(text, ' '))[1:len(string_split(text, ' ')) - 5], ' ') AS text
+         CASE WHEN text IS NULL THEN NULL
+              ELSE coalesce(array_to_string((string_split(text, ' '))[1:len(string_split(text, ' ')) - 5], ' '), '')
+         END AS text
   FROM documents
 )
 """
@@ -289,10 +293,10 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l.doc_id AS doc_id_1, r.doc_id AS doc_id_2,
            ROUND(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
-                 / len(list_distinct(list_concat(l.sh, r.sh))), 6) AS jaccard
+                 / nullif(len(list_distinct(list_concat(l.sh, r.sh))), 0), 6) AS jaccard
     FROM sh l JOIN sh r ON l.source = r.source AND l.doc_id < r.doc_id
     WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
-          / len(list_distinct(list_concat(l.sh, r.sh))) >= 0.2
+          / nullif(len(list_distinct(list_concat(l.sh, r.sh))), 0) >= 0.2
     """,
     tags=("llmdata", "dedup", "join"),
     doc="exact word-3-gram Jaccard >= 0.2 within bounded candidate "
@@ -432,7 +436,7 @@ def q_embedding_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 21 END
-             + octet_length(encode(text)) AS byte_len,
+             + octet_length(encode(coalesce(text, ''))) AS byte_len,
            CASE WHEN doc_id % 2 = 0 THEN 'PNG' ELSE 'JPEG' END AS format,
            CAST(doc_id % 512 + 16 AS INTEGER) AS width,
            CAST((doc_id * 7) % 512 + 16 AS INTEGER) AS height,

@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn
+
 from stockpulse_spark.operators.dedup import new_keys_only
 from stockpulse_spark.plans.registry import _r4, _r6, _register, _t
 
@@ -52,7 +54,7 @@ def q_new_keys_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_live_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    last_v = F.max_by("value", "ts")
+    last_v = max_by_nn("value", "ts")
     return ev.groupBy("user_id").agg(
         F.max("ts").alias("latest_ts"),
         _r6(last_v).alias("latest_value"),
@@ -86,10 +88,10 @@ def q_ohlcv_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("week_start")
     ).agg(
-        _r6(F.min_by("value", "ts")).alias("open"),
+        _r6(min_by_nn("value", "ts")).alias("open"),
         _r6(F.max("value")).alias("high"),
         _r6(F.min("value")).alias("low"),
-        _r6(F.max_by("value", "ts")).alias("close"),
+        _r6(max_by_nn("value", "ts")).alias("close"),
         F.count(F.lit(1)).alias("volume"),
     )
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn
+
 from stockpulse_spark.llmdata.similarity import _as_double, dot, norm
 from stockpulse_spark.plans.registry import _r6, _register, _t
 
@@ -246,10 +248,10 @@ def q_ohlcv_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bars.groupBy("user_id", day.alias("day"))
         .agg(
-            _r6(F.min_by("open", "bucket_start")).alias("open"),
+            _r6(min_by_nn("open", "bucket_start")).alias("open"),
             _r6(F.max("high")).alias("high"),
             _r6(F.min("low")).alias("low"),
-            _r6(F.max_by("close", "bucket_start")).alias("close"),
+            _r6(max_by_nn("close", "bucket_start")).alias("close"),
             F.sum("volume").alias("volume"),
         )
         .orderBy("user_id", "day")

@@ -241,8 +241,10 @@ def q_trimmed_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, week, n,
            ROUND(CAST(s AS DOUBLE) / n / 100.0, 6) AS avg_value,
-           ROUND((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE)
-                  * CAST(s AS DOUBLE) / n) / (n - 1) / 10000.0, 6)
+           -- sample variance of a single observation is undefined
+           ROUND(CASE WHEN n > 1 THEN
+                   (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE)
+                    * CAST(s AS DOUBLE) / n) / (n - 1) / 10000.0 END, 6)
              AS var_value,
            ROUND(mn / 100.0, 6) AS min_value,
            ROUND(mx / 100.0, 6) AS max_value
@@ -291,9 +293,12 @@ def q_mergeable_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         _r6(sd / F.col("n") / 100.0).alias("avg_value"),
         _r6(
-            (F.col("s2").cast("double") - sd * sd / F.col("n"))
-            / (F.col("n") - 1)
-            / 10000.0
+            F.when(
+                F.col("n") > 1,
+                (F.col("s2").cast("double") - sd * sd / F.col("n"))
+                / (F.col("n") - 1)
+                / 10000.0,
+            )
         ).alias("var_value"),
         _r6(F.col("mn") / 100.0).alias("min_value"),
         _r6(F.col("mx") / 100.0).alias("max_value"),

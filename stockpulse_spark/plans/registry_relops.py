@@ -33,7 +33,11 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
 )
 def q_value_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    # asc_nulls_last: Spark ASC is NULLS FIRST, DuckDB ORDER BY default
+    # is NULLS LAST — NULL values must rank last on both engines
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last(), "event_id"
+    )
     return ev.select(
         "event_id",
         "event_type",

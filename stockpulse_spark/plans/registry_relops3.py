@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn
+
 from stockpulse_spark.plans.registry import (
     _BARS_CTE,
     _hourly_bars,
@@ -104,7 +106,9 @@ def q_unpivot_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, day,
-           ROUND(SUM(value * dt_us) / SUM(dt_us), 6) AS twap,
+           -- nullif: a day whose only segments are zero-length
+           -- (duplicate-timestamp ticks) has an undefined TWAP
+           ROUND(SUM(value * dt_us) / nullif(SUM(dt_us), 0), 6) AS twap,
            COUNT(dt_us) AS n_segments
     FROM seg WHERE dt_us IS NOT NULL
     GROUP BY user_id, day
@@ -133,9 +137,10 @@ def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         seg.groupBy("user_id", "day")
         .agg(
-            _r6(F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us")).alias(
-                "twap"
-            ),
+            _r6(
+                F.sum(F.col("value") * F.col("dt_us"))
+                / F.nullif(F.sum("dt_us"), F.lit(0.0))
+            ).alias("twap"),
             F.count("dt_us").alias("n_segments"),
         )
         .orderBy("user_id", "day")
@@ -177,7 +182,7 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.max_by("value", "ts").alias("close"))
+    ).agg(max_by_nn("value", "ts").alias("close"))
     wcum = (
         Window.partitionBy("user_id")
         .orderBy("day")
@@ -188,7 +193,12 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         (F.col("close") / F.max("close").over(wcum) - 1.0).alias("drawdown"),
     )
-    wr = Window.partitionBy("user_id").orderBy(F.col("drawdown").asc(), F.col("day").asc())
+    # asc_nulls_last: an all-NULL day has NULL drawdown; Spark's ASC
+    # default (NULLS FIRST) would crown it the trough while DuckDB's
+    # ROW_NUMBER default (NULLS LAST) never would
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("drawdown").asc_nulls_last(), F.col("day").asc()
+    )
     return (
         dd.withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") == 1)

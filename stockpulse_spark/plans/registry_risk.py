@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn
+
 from stockpulse_spark.plans.registry import _r4, _r6, _register, _t
 
 # daily EOD bars from events (shared CTE text for the oracles)
@@ -39,10 +41,10 @@ _WD = "PARTITION BY user_id ORDER BY date"
 def _daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id", F.to_date("ts").alias("date")).agg(
-        F.min_by("value", "ts").alias("open"),
+        min_by_nn("value", "ts").alias("open"),
         F.max("value").alias("high"),
         F.min("value").alias("low"),
-        F.max_by("value", "ts").alias("close"),
+        max_by_nn("value", "ts").alias("close"),
     )
 
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn
+
 from stockpulse_spark.plans.registry import _r6, _register, _t
 
 
@@ -78,7 +80,7 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
-    ).agg(F.max_by("value", "ts").alias("close"))
+    ).agg(max_by_nn("value", "ts").alias("close"))
     dn = daily.select(
         "user_id",
         F.datediff("d", F.lit("1970-01-01")).alias("t"),
@@ -183,7 +185,7 @@ def q_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("bucket_start")
     ).agg(
-        F.round(F.max_by("value", "ts") * 100)
+        F.round(max_by_nn("value", "ts") * 100)
         .cast("bigint")
         .alias("cents")
     )
@@ -231,7 +233,9 @@ def q_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = cost.withColumn(
         "rk",
         F.row_number().over(
-            Window.partitionBy("user_id").orderBy("split_cost", "t")
+            Window.partitionBy("user_id").orderBy(
+                F.col("split_cost").asc_nulls_last(), "t"
+            )
         ),
     ).filter(F.col("rk") == 1)
     return best.select(
@@ -392,7 +396,7 @@ def q_isotonic_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
     ).agg(
-        F.round(F.max_by("value", "ts") * 100).cast("bigint").alias("cents")
+        F.round(max_by_nn("value", "ts") * 100).cast("bigint").alias("cents")
     )
     g = daily.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("d", "cents"))).alias("s")

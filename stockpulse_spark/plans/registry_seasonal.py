@@ -134,7 +134,10 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_value_ntile_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    # asc_nulls_last: mirror DuckDB's NULLS LAST default
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last(), "event_id"
+    )
     t = ev.select(
         "event_type", "value", F.ntile(10).over(w).alias("decile")
     )

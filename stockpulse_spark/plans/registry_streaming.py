@@ -16,6 +16,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn
+
 from stockpulse_spark.plans.registry import _register, _t
 from stockpulse_spark.sources.tables import load_table
 
@@ -57,7 +59,7 @@ def q_stream_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         deduped.groupBy("user_id", F.window("ts", "1 hour").alias("w"))
         .agg(
-            F.round(F.min_by("value", "ts") * 1e6).alias("__o"),
+            F.round(min_by_nn("value", "ts") * 1e6).alias("__o"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
             F.count(F.lit(1)).alias("volume"),
@@ -253,7 +255,7 @@ def q_stream_dedup_hourly_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         dd.groupBy("user_id", F.window("ts", "1 hour").alias("w"))
         .agg(
-            (F.round(F.min_by("value", "ts") * 1e6) / 1e6).alias("open"),
+            (F.round(min_by_nn("value", "ts") * 1e6) / 1e6).alias("open"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
             F.count(F.lit(1)).alias("volume"),

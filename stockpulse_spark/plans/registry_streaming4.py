@@ -58,9 +58,13 @@ def _finalize(states: DataFrame) -> DataFrame:
         "n",
         _r6(sd / F.col("n") / 100.0).alias("avg_value"),
         _r6(
-            (F.col("s2").cast("double") - sd * sd / F.col("n"))
-            / (F.col("n") - 1)
-            / 10000.0
+            # sample variance of a single observation is undefined
+            F.when(
+                F.col("n") > 1,
+                (F.col("s2").cast("double") - sd * sd / F.col("n"))
+                / (F.col("n") - 1)
+                / 10000.0,
+            )
         ).alias("var_value"),
         _r6(F.col("mn") / 100.0).alias("min_value"),
         _r6(F.col("mx") / 100.0).alias("max_value"),
@@ -129,8 +133,9 @@ def q_stream_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS wm FROM events)
     SELECT CAST(week_ts AS DATE) AS week, event_type, n,
            ROUND(CAST(s AS DOUBLE) / n / 100.0, 6) AS avg_value,
-           ROUND((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE)
-                  * CAST(s AS DOUBLE) / n) / (n - 1) / 10000.0, 6)
+           ROUND(CASE WHEN n > 1 THEN
+                   (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE)
+                    * CAST(s AS DOUBLE) / n) / (n - 1) / 10000.0 END, 6)
              AS var_value,
            ROUND(mn / 100.0, 6) AS min_value,
            ROUND(mx / 100.0, 6) AS max_value

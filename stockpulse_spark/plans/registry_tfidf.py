@@ -107,8 +107,18 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_keeper_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _mutated_corpus(spark, sf_dir)
-    prefix = F.md5(
-        F.encode(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 10)), "utf-8")
+    # NULL text -> NULL prefix: concat_ws would silently produce '',
+    # bucketing every NULL-text doc with the empty-text docs while the
+    # oracle's md5(array_to_string(NULL)) stays NULL (and NULL join
+    # keys never match, on either engine)
+    prefix = F.when(
+        F.col("text").isNotNull(),
+        F.md5(
+            F.encode(
+                F.concat_ws(" ", F.slice(F.split("text", " "), 1, 10)),
+                "utf-8",
+            )
+        ),
     )
     keyed = corpus.select("doc_id", prefix.alias("pfx"))
     l = keyed.select(F.col("doc_id").alias("doc_id_1"), "pfx")

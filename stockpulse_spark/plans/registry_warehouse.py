@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn
+
 from stockpulse_spark.llmdata.hashing import hex_to_int_sql, word32_sql
 from stockpulse_spark.operators.merge import merge_upsert
 from stockpulse_spark.plans.registry import _r4, _register, _t
@@ -122,7 +124,7 @@ def q_value_band_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).agg(
-        F.floor(F.max_by("value", "ts") / 50.0).cast("int").alias("band")
+        F.floor(max_by_nn("value", "ts") / 50.0).cast("int").alias("band")
     )
     wa = Window.partitionBy("user_id").orderBy("day")
     wb = Window.partitionBy("user_id", "band").orderBy("day")
@@ -272,7 +274,7 @@ def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).agg(
-        F.floor(F.max_by("value", "ts") / 50.0).cast("int").alias("band")
+        F.floor(max_by_nn("value", "ts") / 50.0).cast("int").alias("band")
     )
     wa = Window.partitionBy("user_id").orderBy("day")
     wb = Window.partitionBy("user_id", "band").orderBy("day")

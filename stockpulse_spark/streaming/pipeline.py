@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
@@ -160,10 +162,10 @@ def streaming_resample(
         df.withWatermark(ts_col, watermark)
         .groupBy(*partition_cols, F.window(F.col(ts_col), freq).alias("w"))
         .agg(
-            F.min_by(value_col, ts_col).alias("open"),
+            min_by_nn(value_col, ts_col).alias("open"),
             F.max(value_col).alias("high"),
             F.min(value_col).alias("low"),
-            F.max_by(value_col, ts_col).alias("close"),
+            max_by_nn(value_col, ts_col).alias("close"),
             F.count(F.lit(1)).alias("volume"),
         )
         .select(F.col("w.start").alias("bucket_start"), *partition_cols,

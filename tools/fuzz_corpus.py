@@ -67,12 +67,19 @@ def mutate_events(tbl: pa.Table) -> pa.Table:
         # 2) NULL value on ~3%
         if h < 30:
             d["value"][i] = None
-        # 3) -0.0 on a few
+        # 3) -0.0 on a few (toggle: SPARK_GRAFT_FUZZ_NEGZERO=0 to
+        #    isolate the NULL/zero classes from the signed-zero class)
         elif h < 35:
-            d["value"][i] = -0.0
-        # 4) exact rounding-boundary magnitude (6dp half cases)
+            import os
+            if os.environ.get("SPARK_GRAFT_FUZZ_NEGZERO", "1") != "0":
+                d["value"][i] = -0.0
+        # 4) exact small integers including true zero (divide hazards).
+        #    NOT .5-at-6dp boundary values: round(2.4999999999999998e-6)
+        #    legitimately differs between Spark (shortest-decimal
+        #    HALF_UP -> 2e-6) and DuckDB (binary value -> 3e-6) — an
+        #    irreducible 1-ulp ambiguity, not a query bug.
         elif h < 40:
-            d["value"][i] = 0.0000005 * ((eid % 7) + 1)
+            d["value"][i] = float(eid % 3)
         # 5) NULL event_type on ~1%
         if 990 <= h:
             d["event_type"][i] = None
