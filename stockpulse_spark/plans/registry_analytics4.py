@@ -266,11 +266,27 @@ def q_embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
              lag(n) OVER (PARTITION BY event_type ORDER BY hr) AS n_prev
       FROM hc
     )
+    , sums AS (
+      -- corr from exact BIGINT power sums: Spark's ANSI corr raises
+      -- DIVIDE_BY_ZERO on single-pair groups and float-sum order
+      -- differs between engines; integer sums make it total AND
+      -- bit-identical (NULL when the variance product is 0)
+      SELECT event_type,
+             COUNT(*) AS c,
+             SUM(n) AS sx, SUM(n_prev) AS sy,
+             SUM(n * n) AS sxx, SUM(n_prev * n_prev) AS syy,
+             SUM(n * n_prev) AS sxy
+      FROM lagged WHERE n_prev IS NOT NULL GROUP BY event_type
+    )
     SELECT event_type,
-           COUNT(*) AS n_hours,
-           ROUND(corr(n, n_prev), 6) AS autocorr_lag1
-    FROM lagged WHERE n_prev IS NOT NULL
-    GROUP BY event_type ORDER BY event_type
+           c AS n_hours,
+           ROUND((CAST(c AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / nullif(sqrt(CAST(c AS DOUBLE) * sxx
+                               - CAST(sx AS DOUBLE) * sx)
+                          * sqrt(CAST(c AS DOUBLE) * syy
+                                 - CAST(sy AS DOUBLE) * sy), 0), 6)
+             AS autocorr_lag1
+    FROM sums ORDER BY event_type
     """,
     tags=("analytics", "window", "agg"),
     doc="Lag-1 autocorrelation of hourly event counts per type — the "
@@ -288,14 +304,26 @@ def q_hourly_count_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("hr")
     lagged = hc.select(
         "event_type",
-        F.col("n").cast("double").alias("n"),
-        F.lag("n").over(w).cast("double").alias("n_prev"),
+        F.col("n"),
+        F.lag("n").over(w).alias("n_prev"),
     ).filter(F.col("n_prev").isNotNull())
-    return (
-        lagged.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_hours"),
-            _r6(F.corr("n", "n_prev")).alias("autocorr_lag1"),
-        )
-        .orderBy("event_type")
+    # corr from exact BIGINT power sums (see oracle note): total over
+    # degenerate groups and bit-identical across engines
+    sums = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("n").alias("sx"),
+        F.sum("n_prev").alias("sy"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+        F.sum(F.col("n_prev") * F.col("n_prev")).alias("syy"),
+        F.sum(F.col("n") * F.col("n_prev")).alias("sxy"),
     )
+    c = F.col("c").cast("double")
+    num = c * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        c * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(c * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    return sums.select(
+        "event_type",
+        F.col("c").alias("n_hours"),
+        _r6(num / F.nullif(den, F.lit(0.0))).alias("autocorr_lag1"),
+    ).orderBy("event_type")

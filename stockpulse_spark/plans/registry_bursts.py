@@ -36,9 +36,11 @@ _SW = 1_000_000  # switch cost: 1 nat in micro-nats
     "burst_detection_viterbi",
     oracle=f"""
     WITH RECURSIVE hc AS (
+      -- typed burst detection: untyped (NULL) events carry no series
+      -- key; filtered identically on the Spark side
       SELECT event_type, date_trunc('hour', ts) AS hr,
              COUNT(*) AS k
-      FROM events GROUP BY 1, 2
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
     ), ser AS (
       SELECT event_type,
              list(hr ORDER BY hr) AS hrs,
@@ -111,7 +113,9 @@ _SW = 1_000_000  # switch cost: 1 nat in micro-nats
 def q_burst_detection_viterbi(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     hc = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hr")
     ).agg(F.count(F.lit(1)).alias("k"))

@@ -163,11 +163,14 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_distinct(string_split(text, ' '))) AS n_unique
       FROM documents
     ), r AS (
+      -- nullif mirrors the Spark quality_features guards (empty text);
+      -- every rule boolean coalesces to FALSE: a doc with undefined
+      -- ratios does not pass, deterministically, on both engines
       SELECT doc_id, n_words,
-             (n_chars - (n_words - 1)) / n_words AS mean_word_len,
-             n_punct / n_chars AS punct_ratio,
-             n_stop / n_words AS stop_ratio,
-             n_unique / n_words AS unique_ratio
+             (n_chars - (n_words - 1)) / nullif(n_words, 0) AS mean_word_len,
+             n_punct / nullif(n_chars, 0) AS punct_ratio,
+             n_stop / nullif(n_words, 0) AS stop_ratio,
+             n_unique / nullif(n_words, 0) AS unique_ratio
       FROM f
     )
     SELECT doc_id,
@@ -176,16 +179,16 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(punct_ratio, 6) AS punct_ratio,
            ROUND(stop_ratio, 6) AS stop_ratio,
            ROUND(unique_ratio, 6) AS unique_ratio,
-           n_words BETWEEN 10 AND 10000 AS r_len,
-           mean_word_len BETWEEN 2 AND 12 AS r_word_len,
-           stop_ratio >= 0.03 AS r_stop,
-           punct_ratio <= 0.3 AS r_punct,
-           unique_ratio >= 0.3 AS r_unique,
-           (n_words BETWEEN 10 AND 10000)
+           coalesce(n_words BETWEEN 10 AND 10000, FALSE) AS r_len,
+           coalesce(mean_word_len BETWEEN 2 AND 12, FALSE) AS r_word_len,
+           coalesce(stop_ratio >= 0.03, FALSE) AS r_stop,
+           coalesce(punct_ratio <= 0.3, FALSE) AS r_punct,
+           coalesce(unique_ratio >= 0.3, FALSE) AS r_unique,
+           coalesce((n_words BETWEEN 10 AND 10000)
              AND (mean_word_len BETWEEN 2 AND 12)
              AND stop_ratio >= 0.03
              AND punct_ratio <= 0.3
-             AND unique_ratio >= 0.3 AS passes
+             AND unique_ratio >= 0.3, FALSE) AS passes
     FROM r
     """,
     tags=("llmdata", "pipeline", "quality"),
@@ -214,12 +217,14 @@ def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(f["punct_ratio"]).alias("punct_ratio"),
         _r6(f["stopword_ratio"]).alias("stop_ratio"),
         _r6(f["unique_ratio"]).alias("unique_ratio"),
-        r_len.alias("r_len"),
-        r_word_len.alias("r_word_len"),
-        r_stop.alias("r_stop"),
-        r_punct.alias("r_punct"),
-        r_unique.alias("r_unique"),
-        (r_len & r_word_len & r_stop & r_punct & r_unique).alias("passes"),
+        F.coalesce(r_len, F.lit(False)).alias("r_len"),
+        F.coalesce(r_word_len, F.lit(False)).alias("r_word_len"),
+        F.coalesce(r_stop, F.lit(False)).alias("r_stop"),
+        F.coalesce(r_punct, F.lit(False)).alias("r_punct"),
+        F.coalesce(r_unique, F.lit(False)).alias("r_unique"),
+        F.coalesce(
+            r_len & r_word_len & r_stop & r_punct & r_unique, F.lit(False)
+        ).alias("passes"),
     )
 
 

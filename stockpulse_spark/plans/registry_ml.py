@@ -178,7 +178,9 @@ def q_hourly_p95_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT tf.doc_id,
            CAST(n.n_tokens AS BIGINT) AS n_tokens,
-           ROUND(-SUM((tf.tf / n.n_tokens) * ln(tf.tf / n.n_tokens)), 6)
+           -- + 0.0 canonicalizes the single-token doc's -0.0
+           -- (-(1*ln 1)) to +0.0 on both engines
+           ROUND(-SUM((tf.tf / n.n_tokens) * ln(tf.tf / n.n_tokens)) + 0.0, 6)
              AS word_entropy
     FROM tf JOIN n USING (doc_id)
     GROUP BY tf.doc_id, n.n_tokens
@@ -208,7 +210,9 @@ def q_doc_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tf.select("doc_id", F.sum("tf").over(wn).alias("n_tokens"), p)
         .groupBy("doc_id", "n_tokens")
-        .agg(_r6(-F.sum(F.col("p") * F.log("p"))).alias("word_entropy"))
+        .agg(
+            _r6(-F.sum(F.col("p") * F.log("p")) + 0.0).alias("word_entropy")
+        )
         .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "word_entropy")
         .orderBy("doc_id")
     )

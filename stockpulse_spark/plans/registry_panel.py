@@ -41,8 +41,11 @@ _W = "PARTITION BY user_id ORDER BY bucket_start"
              lag(close, 10) OVER ({_W}) AS close10,
              CASE WHEN COUNT(low) OVER w14 >= 14 THEN MIN(low) OVER w14 END AS lo14,
              CASE WHEN COUNT(high) OVER w14 >= 14 THEN MAX(high) OVER w14 END AS hi14,
-             list_reduce(list(close * volume) OVER wcum, (a, b) -> a + b)
-               / SUM(volume) OVER wcum AS vwap
+             CASE WHEN COUNT(close) OVER wcum > 0 THEN
+               list_reduce(list(close * volume)
+                             FILTER (close IS NOT NULL) OVER wcum,
+                           (a, b) -> a + b)
+               / SUM(volume) OVER wcum END AS vwap
       FROM d
       WINDOW w5 AS ({_W} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
              w14 AS ({_W} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),

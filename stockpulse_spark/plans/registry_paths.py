@@ -37,7 +37,11 @@ from stockpulse_spark.plans.registry import _r4, _r6, _register, _t
       FROM flagged
     ), paths AS (
       SELECT user_id, session_id,
-             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             -- coalesce: an all-NULL-type session is the empty path on
+             -- both engines (string_agg of zero non-null rows is NULL,
+             -- Spark's array_join of skipped nulls is '')
+             coalesce(string_agg(event_type, '>' ORDER BY ts, event_id),
+                      '') AS path,
              COUNT(*) AS path_len
       FROM sess
       GROUP BY user_id, session_id

@@ -57,14 +57,17 @@ def _injected(df: DataFrame) -> DataFrame:
         ),
     ).otherwise("")
     return df.withColumn(
-        "injected", F.concat(F.col("text"), email, phone, ssn, url)
+        # coalesce: NULL text injects over '' so the audit counts are
+        # integers (not NULLs that float64 the whole oracle column)
+        "injected",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), email, phone, ssn, url),
     )
 
 
 _INJECT_SQL = """
   injected AS (
     SELECT doc_id, source, lang,
-           text
+           coalesce(text, '')
            || CASE WHEN doc_id % 7 = 0
                    THEN ' contact user' || CAST(doc_id AS VARCHAR)
                         || '@example.com for details' ELSE '' END

@@ -26,12 +26,17 @@ from stockpulse_spark.plans.registry import _r4, _r6, _register, _t
 # daily EOD bars from events (shared CTE text for the oracles)
 _DAILY_CTE = """
 WITH daily AS (
+  -- HAVING: a day with no non-NULL price has no bar (arg_max skips
+  -- NULLs, so close IS NULL <=> the whole day was NULL); a NULL bar
+  -- inside a recursive series (EMA/Heikin-Ashi) would poison every
+  -- later row in one engine and not the other
   SELECT user_id, CAST(ts AS DATE) AS date,
          arg_min(value, ts) AS open,
          max(value)         AS high,
          min(value)         AS low,
          arg_max(value, ts) AS close
   FROM events GROUP BY user_id, CAST(ts AS DATE)
+  HAVING arg_max(value, ts) IS NOT NULL
 )
 """
 
@@ -40,11 +45,16 @@ _WD = "PARTITION BY user_id ORDER BY date"
 
 def _daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("user_id", F.to_date("ts").alias("date")).agg(
-        min_by_nn("value", "ts").alias("open"),
-        F.max("value").alias("high"),
-        F.min("value").alias("low"),
-        max_by_nn("value", "ts").alias("close"),
+    return (
+        ev.groupBy("user_id", F.to_date("ts").alias("date"))
+        .agg(
+            min_by_nn("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            max_by_nn("value", "ts").alias("close"),
+        )
+        # mirror the oracle's HAVING: no bar for an all-NULL day
+        .filter(F.col("close").isNotNull())
     )
 
 
