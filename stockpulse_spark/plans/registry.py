@@ -181,6 +181,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _BARS_CTE = """
 WITH bars AS (
+  -- HAVING: an hour with no non-NULL price forms no bar (arg_max
+  -- skips NULLs, so close IS NULL <=> every value in the bucket was
+  -- NULL); a NULL bar inside a recursive kernel (EMA/MACD) would
+  -- poison the rest of the series in one engine and not the other
   SELECT
     user_id,
     date_trunc('hour', ts) AS bucket_start,
@@ -191,20 +195,26 @@ WITH bars AS (
     count(*)               AS volume
   FROM events
   GROUP BY user_id, date_trunc('hour', ts)
+  HAVING arg_max(value, ts) IS NOT NULL
 )
 """
 
 
 def _hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy(
-        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_start")
-    ).agg(
-        min_by_nn("value", "ts").alias("open"),
-        F.max("value").alias("high"),
-        F.min("value").alias("low"),
-        max_by_nn("value", "ts").alias("close"),
-        F.count(F.lit(1)).alias("volume"),
+    return (
+        ev.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_start")
+        )
+        .agg(
+            min_by_nn("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            max_by_nn("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        # mirror the oracle's HAVING: no bar for an all-NULL hour
+        .filter(F.col("close").isNotNull())
     )
 
 

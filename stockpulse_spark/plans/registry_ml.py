@@ -222,16 +222,26 @@ def q_doc_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ohlcv_daily_from_hourly",
     oracle="""
     -- the oracle aggregates DIRECTLY from raw events: passing proves
-    -- the hourly->daily reaggregation algebra loses nothing
-    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-           ROUND(arg_min(value, ts), 6) AS open,
-           ROUND(max(value), 6)         AS high,
-           ROUND(min(value), 6)         AS low,
-           ROUND(arg_max(value, ts), 6) AS close,
-           count(*)                     AS volume
-    FROM events
-    GROUP BY user_id, date_trunc('day', ts)
-    ORDER BY user_id, day
+    -- the hourly->daily reaggregation algebra loses nothing. Under
+    -- the no-empty-bar contract, rows in all-NULL hours carry no
+    -- volume (their hour forms no bar) and all-empty days form no
+    -- row; o/h/l/c are unaffected because arg_min/arg_max/min/max
+    -- skip NULLs anyway.
+    WITH he AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, COUNT(value) AS nv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT e.user_id, CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day,
+           ROUND(arg_min(e.value, e.ts), 6) AS open,
+           ROUND(max(e.value), 6)           AS high,
+           ROUND(min(e.value), 6)           AS low,
+           ROUND(arg_max(e.value, e.ts), 6) AS close,
+           COUNT(*) FILTER (WHERE he.nv > 0) AS volume
+    FROM events e
+    JOIN he ON e.user_id = he.user_id AND date_trunc('hour', e.ts) = he.h
+    GROUP BY e.user_id, date_trunc('day', e.ts)
+    HAVING COUNT(e.value) > 0
+    ORDER BY e.user_id, day
     """,
     tags=("agg", "resample", "rollup"),
     doc="Continuous-aggregate rollup reuse: daily OHLCV computed FROM "

@@ -27,7 +27,7 @@ _PAYLOAD_HEX_SQL = """
               || printf('%04X', (doc_id * 7) % 512 + 16)
               || printf('%04X', doc_id % 512 + 16)
               || '03011100021101031101'
-    END || hex(encode(text))
+    END || hex(encode(coalesce(text, '')))
 """
 
 

@@ -31,9 +31,12 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
     "theil_sen_trend",
     oracle="""
     WITH daily AS (
+      -- HAVING: an all-NULL day has no close and contributes neither
+      -- a pair slope nor a residual (mirrored on the Spark side)
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
              arg_max(value, ts) AS close
       FROM events GROUP BY 1, 2
+      HAVING arg_max(value, ts) IS NOT NULL
     ), dn AS (
       SELECT user_id, close,
              date_diff('day', DATE '1970-01-01', d) AS t
@@ -78,9 +81,13 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
 )
 def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
-    ).agg(max_by_nn("value", "ts").alias("close"))
+    daily = (
+        ev.groupBy(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+        )
+        .agg(max_by_nn("value", "ts").alias("close"))
+        .filter(F.col("close").isNotNull())
+    )
     dn = daily.select(
         "user_id",
         F.datediff("d", F.lit("1970-01-01")).alias("t"),
