@@ -47,6 +47,51 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def _signzero_canon(sql: str) -> str:
+    """Rewrite every `ROUND(...)` in oracle SQL to `(ROUND(...) + 0.0)`.
+
+    DuckDB's ROUND preserves IEEE negative zero (ROUND(-0.0, 6) and
+    ROUND of a tiny negative both yield -0.0) while Spark's round
+    normalizes to +0.0 — numerically equal values that the driver's
+    per-cell string canonicalizer hashes differently ('-0.0' vs
+    '0.0'). Adding +0.0 maps -0.0 -> +0.0 and is the identity on every
+    other double (and on NULL/NaN), so applying it uniformly at
+    registration costs nothing and retires the whole hazard class —
+    including signed zeros arriving from SOURCE data, not just the
+    ROUND-of-tiny-negative case fixed piecemeal in earlier rounds.
+    Balanced-paren matching (not regex) so nested calls, lambdas, and
+    quoted strings inside the argument list are handled; the wrap is
+    parenthesized so `ROUND(a, 6) / b` can't re-associate.
+    """
+    import re
+
+    out: list[str] = []
+    i, n = 0, len(sql)
+    pat = re.compile(r"\bROUND\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        out.append(sql[i : m.start()])
+        j = m.end()  # char after the opening paren
+        depth = 1
+        while j < n and depth:
+            c = sql[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "'":
+                j += 1
+                while j < n and sql[j] != "'":
+                    j += 1
+            j += 1
+        out.append("(" + sql[m.start() : j] + " + 0.0)")
+        i = j
+    return "".join(out)
+
+
 def _register(
     name: str,
     oracle: str | None,
@@ -55,7 +100,14 @@ def _register(
     doc: str = "",
 ):
     def deco(fn):
-        REGISTRY[name] = QuerySpec(name, fn, oracle, headline, tags, doc)
+        REGISTRY[name] = QuerySpec(
+            name,
+            fn,
+            _signzero_canon(oracle) if oracle is not None else None,
+            headline,
+            tags,
+            doc,
+        )
         return fn
 
     return deco

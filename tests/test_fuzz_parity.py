@@ -1,0 +1,108 @@
+"""Adversarial-data parity pinning.
+
+Round 6 ran the full registry against a mutated corpus
+(tools/fuzz_corpus.py: NULL/empty/short/delimiter/unicode/boilerplate
+texts, NULL and signed-zero event values, exact duplicate rows, NULL
+event types, all-zero embeddings) and fixed ~100 data-dependent
+divergences — NULL-skipping min_by/max_by, the no-empty-bar contract,
+NULLS LAST rank windows, guarded divisions, array_to_string-of-empty
+NULL, signed-zero ROUND canonicalization. These tests keep that work
+from regressing: one representative query per hazard class runs
+through the SAME driver-gate compare on a freshly-built fuzz corpus.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+from stockpulse_spark.plans.registry import _signzero_canon
+from tools.parity import compare, duck_con
+
+REPO = Path(__file__).resolve().parent.parent
+
+# one per fixed hazard class (kept small: the full fuzz sweep is a
+# round-close activity via tools/parity.py, not a per-commit cost)
+FUZZ_PINNED = [
+    "ohlcv_hourly",  # skip-NULL max_by + no-empty-bar contract
+    "sma_50_200",  # signed-zero close through the window family
+    "macd_unbounded_kernel",  # Arrow kernel over NULL-free series
+    "vwap",  # NULL-skipping fold vs list_reduce FILTER
+    "value_rank_family",  # asc_nulls_last rank windows
+    "twap_daily",  # zero-duration segment division
+    "doc_text_stats",  # empty-text ratio guards
+    "doc_minhash_lsh",  # short-doc shingles + boilerplate buckets
+    "doc_simhash_hamming_pairs",  # empty-slice NULL vs '' alignment
+    "embedding_cosine_topk",  # zero-norm vector -> NULL cosine
+    "value_percentiles_approx",  # null-safe certification join
+    "pii_redaction_audit",  # coalesced NULL-text injection
+    "burst_detection_viterbi",  # NULL-typed events excluded
+    "mergeable_weekly_rollup",  # single-observation variance guard
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("fuzz_sf")
+    subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "tools" / "fuzz_corpus.py"),
+            "/root/testdata/sf0.001",
+            str(dst),
+        ],
+        check=True,
+        capture_output=True,
+    )
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", FUZZ_PINNED)
+def test_fuzz_parity_pinned(spark, fuzz_dir, name):
+    con = duck_con(fuzz_dir)
+    try:
+        status, *_ = compare(name, spark, con, fuzz_dir, verbose=False)
+    finally:
+        con.close()
+    assert status == "OK", f"{name} on fuzz corpus: {status}"
+
+
+def test_signzero_canon_wraps_balanced():
+    """The registration-time rewrite must wrap every ROUND(...) —
+    nested calls, lambdas, quoted strings — in (... + 0.0) without
+    breaking balance or operator precedence."""
+    assert (
+        _signzero_canon("SELECT ROUND(x, 6) AS a")
+        == "SELECT (ROUND(x, 6) + 0.0) AS a"
+    )
+    # precedence: the wrap must bind before a following division
+    assert (
+        _signzero_canon("ROUND(a, 6) / b") == "(ROUND(a, 6) + 0.0) / b"
+    )
+    # nested + lambda + quoted paren stay balanced
+    s = _signzero_canon(
+        "ROUND(list_reduce(list_transform(x, i -> f(i, ')')), "
+        "(a, b) -> a + b), 6)"
+    )
+    assert s.startswith("(ROUND(") and s.endswith(" + 0.0)")
+    # the quoted "')'" paren must NOT have terminated the match early
+    assert "(a, b) -> a + b), 6) + 0.0)" in s
+    # case-insensitive, multiple sites
+    out = _signzero_canon("round(a, 2) + ROUND(b, 4)")
+    assert out == "(round(a, 2) + 0.0) + (ROUND(b, 4) + 0.0)"
+
+
+def test_signzero_canon_kills_negative_zero():
+    """DuckDB ROUND preserves -0.0; the canonicalized form must not."""
+    con = duckdb.connect()
+    # a tiny negative DOUBLE rounds to -0.0 in DuckDB (a decimal
+    # literal -0.0 would round to unsigned Decimal 0.0 instead)
+    raw, canon = con.execute(
+        "SELECT ROUND(-1e-9, 6), " + _signzero_canon("ROUND(-1e-9, 6)")
+    ).fetchone()
+    assert str(raw) == "-0.0"
+    assert str(canon) == "0.0"
