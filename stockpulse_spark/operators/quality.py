@@ -61,13 +61,27 @@ def clean_bars(
 
 
 def scrub_non_finite(df: DataFrame, cols: list[str]) -> DataFrame:
-    """±inf / NaN → NULL (reference P7: app/dashboard.py:137-139)."""
+    """±inf / NaN → NULL, −0.0 → +0.0 (reference P7:
+    app/dashboard.py:137-139, extended with zero-sign
+    canonicalization).
+
+    The signed-zero scrub is the ingestion-layer answer to the
+    round-6 fuzz findings: −0.0 survives parquet round-trips, fails
+    Spark's pushed-down `value = 0.0` parquet filter (binary stats
+    comparison), and renders differently from +0.0 through every
+    downstream hash — scrubbing at bronze means no analytics query
+    ever sees a signed zero. `x + 0.0` is the IEEE identity on every
+    other double (NULL and NaN included, and NaN is already NULLed
+    above).
+    """
     out = df
     for c in cols:
         col = F.col(c)
         out = out.withColumn(
             c,
-            F.when(F.isnan(col) | (F.abs(col) == float("inf")), F.lit(None)).otherwise(col),
+            F.when(
+                F.isnan(col) | (F.abs(col) == float("inf")), F.lit(None)
+            ).otherwise(col + 0.0),
         )
     return out
 

@@ -58,6 +58,15 @@ def test_scrub_non_finite(spark):
     assert vals[0] == 1.0 and all(v is None for v in vals[1:])
 
 
+def test_scrub_non_finite_normalizes_signed_zero(spark):
+    """-0.0 must leave bronze as +0.0: it survives parquet, fails
+    Spark's pushed-down equality filter, and hash-renders as '-0.0'
+    downstream (round-6 fuzz finding)."""
+    df = spark.createDataFrame([(-0.0,), (0.0,), (-2.5,)], "x double")
+    vals = [r["x"] for r in scrub_non_finite(df, ["x"]).collect()]
+    assert [str(v) for v in vals] == ["0.0", "0.0", "-2.5"]
+
+
 def test_bounded_ffill_run_length(spark):
     rows = [(i, None if 2 <= i <= 6 else float(i)) for i in range(10)]
     df = spark.createDataFrame(rows, "i long, x double").withColumn(
