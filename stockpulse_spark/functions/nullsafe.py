@@ -23,13 +23,22 @@ def _c(x: Column | str) -> Column:
 
 def min_by_nn(value: Column | str, order: Column | str) -> Column:
     """Value at the smallest `order` among rows where value IS NOT
-    NULL (DuckDB arg_min)."""
+    NULL; ties on `order` break by the SMALLEST value.
+
+    The struct key makes simultaneous observations (same user, same
+    timestamp, different values — they exist at 100 TB) deterministic:
+    without the tiebreak both engines pick an arbitrary tied row and
+    disagree (found by hypothesis in tests/test_property_parity.py).
+    Oracle twin: `first(v ORDER BY ts, v) FILTER (WHERE v IS NOT
+    NULL)`.
+    """
     v = _c(value)
-    return F.min_by(v, F.when(v.isNotNull(), _c(order)))
+    return F.min_by(v, F.when(v.isNotNull(), F.struct(_c(order), v)))
 
 
 def max_by_nn(value: Column | str, order: Column | str) -> Column:
     """Value at the largest `order` among rows where value IS NOT
-    NULL (DuckDB arg_max)."""
+    NULL; ties on `order` break by the LARGEST value. Oracle twin:
+    `last(v ORDER BY ts, v) FILTER (WHERE v IS NOT NULL)`."""
     v = _c(value)
-    return F.max_by(v, F.when(v.isNotNull(), _c(order)))
+    return F.max_by(v, F.when(v.isNotNull(), F.struct(_c(order), v)))

@@ -240,14 +240,14 @@ WITH bars AS (
   SELECT
     user_id,
     date_trunc('hour', ts) AS bucket_start,
-    arg_min(value, ts)     AS open,
+    first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL)     AS open,
     max(value)             AS high,
     min(value)             AS low,
-    arg_max(value, ts)     AS close,
+    last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL)     AS close,
     count(*)               AS volume
   FROM events
   GROUP BY user_id, date_trunc('hour', ts)
-  HAVING arg_max(value, ts) IS NOT NULL
+  HAVING last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) IS NOT NULL
 )
 """
 
@@ -562,7 +562,7 @@ def q_time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            MAX(ts)            AS latest_ts,
-           arg_max(value, ts) AS latest_value,
+           last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) AS latest_value,
            COUNT(*)           AS n_events
     FROM events
     GROUP BY user_id
@@ -684,10 +684,10 @@ def q_ohlcv_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(ts AS DATE)   AS date,
-           ROUND(arg_min(value, ts), 6) AS open,
+           ROUND(first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL), 6) AS open,
            ROUND(max(value), 6)         AS high,
            ROUND(min(value), 6)         AS low,
-           ROUND(arg_max(value, ts), 6) AS close,
+           ROUND(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL), 6) AS close,
            count(*)                     AS volume
     FROM events
     GROUP BY user_id, CAST(ts AS DATE)
@@ -753,7 +753,7 @@ def q_ma5_cma(spark: SparkSession, sf_dir: str) -> DataFrame:
     "eod_ma5_join",
     oracle="""
     WITH eod AS (
-      SELECT user_id, CAST(ts AS DATE) AS date, arg_max(value, ts) AS eod_close
+      SELECT user_id, CAST(ts AS DATE) AS date, last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) AS eod_close
       FROM events GROUP BY user_id, CAST(ts AS DATE)
     ), eod_ma AS (
       SELECT user_id, date,

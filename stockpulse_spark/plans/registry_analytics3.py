@@ -89,9 +89,9 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH bars AS (
       -- HAVING mirrors _BARS_CTE's no-empty-bar contract
       SELECT user_id, date_trunc('hour', ts) AS bucket_start,
-             arg_max(value, ts) AS close
+             last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) AS close
       FROM events GROUP BY user_id, date_trunc('hour', ts)
-      HAVING arg_max(value, ts) IS NOT NULL
+      HAVING last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) IS NOT NULL
     ), z AS (
       SELECT user_id, bucket_start, close,
              CASE WHEN COUNT(*) OVER w >= 20

@@ -18,7 +18,7 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
     "asof_prev_close",
     oracle="""
     WITH eod AS (
-      SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS prev_close,
+      SELECT user_id, CAST(ts AS DATE) AS d, last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) AS prev_close,
              CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY AS avail_ts
       FROM events GROUP BY user_id, CAST(ts AS DATE)
     )

@@ -297,7 +297,7 @@ def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returns_volatility",
     oracle="""
     WITH daily AS (
-      SELECT user_id, CAST(ts AS DATE) AS date, arg_max(value, ts) AS close
+      SELECT user_id, CAST(ts AS DATE) AS date, last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) AS close
       FROM events GROUP BY user_id, CAST(ts AS DATE)
     ), r AS (
       SELECT user_id, date, close,

@@ -232,10 +232,10 @@ def q_doc_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     )
     SELECT e.user_id, CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day,
-           ROUND(arg_min(e.value, e.ts), 6) AS open,
+           ROUND(first(e.value ORDER BY e.ts, e.value) FILTER (WHERE e.value IS NOT NULL), 6) AS open,
            ROUND(max(e.value), 6)           AS high,
            ROUND(min(e.value), 6)           AS low,
-           ROUND(arg_max(e.value, e.ts), 6) AS close,
+           ROUND(last(e.value ORDER BY e.ts, e.value) FILTER (WHERE e.value IS NOT NULL), 6) AS close,
            COUNT(*) FILTER (WHERE he.nv > 0) AS volume
     FROM events e
     JOIN he ON e.user_id = he.user_id AND date_trunc('hour', e.ts) = he.h

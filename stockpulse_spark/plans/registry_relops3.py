@@ -152,7 +152,7 @@ def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             arg_max(value, ts) AS close
+             last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) AS close
       FROM events GROUP BY 1, 2
     ), dd AS (
       SELECT user_id, day,

@@ -31,12 +31,12 @@ WITH daily AS (
   -- inside a recursive series (EMA/Heikin-Ashi) would poison every
   -- later row in one engine and not the other
   SELECT user_id, CAST(ts AS DATE) AS date,
-         arg_min(value, ts) AS open,
+         first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) AS open,
          max(value)         AS high,
          min(value)         AS low,
-         arg_max(value, ts) AS close
+         last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) AS close
   FROM events GROUP BY user_id, CAST(ts AS DATE)
-  HAVING arg_max(value, ts) IS NOT NULL
+  HAVING last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) IS NOT NULL
 )
 """
 

@@ -34,9 +34,9 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
       -- HAVING: an all-NULL day has no close and contributes neither
       -- a pair slope nor a residual (mirrored on the Spark side)
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
-             arg_max(value, ts) AS close
+             last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) AS close
       FROM events GROUP BY 1, 2
-      HAVING arg_max(value, ts) IS NOT NULL
+      HAVING last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) IS NOT NULL
     ), dn AS (
       SELECT user_id, close,
              date_diff('day', DATE '1970-01-01', d) AS t
@@ -137,7 +137,7 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH bars AS (
       SELECT user_id, date_trunc('hour', ts) AS bucket_start,
-             CAST(round(arg_max(value, ts) * 100) AS BIGINT) AS cents
+             CAST(round(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) * 100) AS BIGINT) AS cents
       FROM events GROUP BY 1, 2
     ), pre AS (
       SELECT user_id, bucket_start,
@@ -332,7 +332,7 @@ def q_acf_multilag(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE daily AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
-             CAST(round(arg_max(value, ts) * 100) AS BIGINT) AS cents
+             CAST(round(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) * 100) AS BIGINT) AS cents
       FROM events GROUP BY 1, 2
     ), ua AS (
       SELECT user_id,

@@ -95,7 +95,7 @@ def q_orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- CAST: DuckDB date_trunc('day') yields DATE, Spark a timestamp
     WITH daily AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             CAST(floor(arg_max(value, ts) / 50.0) AS INTEGER) AS band
+             CAST(floor(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) / 50.0) AS INTEGER) AS band
       FROM events GROUP BY user_id, date_trunc('day', ts)
     ), grp AS (
       SELECT user_id, day, band,
@@ -235,7 +235,7 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             CAST(floor(arg_max(value, ts) / 50.0) AS INTEGER) AS band
+             CAST(floor(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) / 50.0) AS INTEGER) AS band
       FROM events GROUP BY user_id, date_trunc('day', ts)
     ), grp AS (
       SELECT user_id, day, band,

@@ -53,11 +53,17 @@ def test_ma5_cma_shares_one_window_exchange(spark):
 def test_indicator_panel_shares_exchanges(spark):
     """Ten indicator columns over four frame sizes: exactly 2 hash
     exchanges total (1 for the bars aggregation + 1 shared by every
-    window — same partitioning) and 1 sort. A per-indicator plan would
-    shuffle per frame."""
+    window — same partitioning). A per-indicator plan would shuffle
+    per frame. Sorts: 3 — the window sort plus two SortAggregate-side
+    sorts, the deliberate price of the tie-broken struct ordering key
+    in min_by_nn/max_by_nn (a struct agg buffer is not hash-mutable);
+    the sorts are scan-local CPU while the shuffle still moves only
+    per-group partial states, which is the side that matters at
+    100 TB. Pinned so an ACCIDENTAL extra exchange or sort still
+    fails."""
     plan = _plan(spark, "indicator_panel")
     assert plan.count("Exchange hashpartitioning") == 2
-    assert plan.count("Sort ") == 1
+    assert plan.count("Sort ") == 3
 
 
 def test_anti_join_is_hash_not_loop(spark):
@@ -276,10 +282,12 @@ def test_shipping_priority_topk_and_pushdown(spark):
 def test_risk_windows_share_user_partitioning(spark):
     """rolling_skew_kurt20: the four raw-moment windows share ONE
     exchange + sort on top of the daily-bars agg (2 exchanges total:
-    bars groupBy + window)."""
+    bars groupBy + window). 3 sorts: window + the two
+    SortAggregate-side sorts from the tie-broken positional aggs
+    (see test_indicator_panel_shares_exchanges)."""
     plan = _plan(spark, "rolling_skew_kurt20")
     assert plan.count("Exchange hashpartitioning") == 2
-    assert plan.count("Sort ") == 1
+    assert plan.count("Sort ") == 3
 
 
 def test_pii_operators_stay_jvm_side(spark):
