@@ -101,3 +101,59 @@ def test_random_events_hash_parity(spark, name, rows):
     finally:
         con.close()
     assert status == "OK", f"{name}: {status} on rows={rows!r}"
+
+
+DOC_WORDS = ["alpha", "beta", "the", "naïve", "a|b", "", "中文", "zz"]
+
+doc_row = st.tuples(
+    st.integers(min_value=1, max_value=500),  # doc_id
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.sampled_from(DOC_WORDS), min_size=0, max_size=12
+        ).map(" ".join),
+    ),
+    st.sampled_from(["web", "book"]),
+)
+
+doc_tables = st.lists(doc_row, min_size=2, max_size=25)
+
+DOC_QUERIES = ("doc_text_stats", "doc_dedup_exact", "doc_word_entropy")
+
+
+def _write_documents(sf_dir: str, rows) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for (d, _, _) in rows], pa.int64()),
+            "text": pa.array([t for (_, t, _) in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([s for (_, _, s) in rows], pa.string()),
+            "n_chars": pa.array(
+                [len(t) if t is not None else None for (_, t, _) in rows],
+                pa.int64(),
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "documents.parquet"))
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=doc_tables)
+def test_random_documents_hash_parity(spark, name, rows):
+    sf_dir = tempfile.mkdtemp(prefix="sp_prop_")
+    _write_documents(sf_dir, rows)
+    con = duck_con(sf_dir)
+    try:
+        status, *_ = compare(name, spark, con, sf_dir, verbose=False)
+    finally:
+        con.close()
+    assert status == "OK", f"{name}: {status} on rows={rows!r}"
