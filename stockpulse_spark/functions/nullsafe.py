@@ -42,3 +42,28 @@ def max_by_nn(value: Column | str, order: Column | str) -> Column:
     `last(v ORDER BY ts, v) FILTER (WHERE v IS NOT NULL)`."""
     v = _c(value)
     return F.max_by(v, F.when(v.isNotNull(), F.struct(_c(order), v)))
+
+
+def corr_nn(x: Column | str, y: Column | str) -> Column:
+    """Pearson correlation as a TOTAL aggregate: NULL — never a raise —
+    on zero variance or <2 pairs.
+
+    Spark's ANSI `corr` throws DIVIDE_BY_ZERO when either side is
+    constant (a degenerate group a 100 TB corpus will contain), while
+    DuckDB's `corr` returns NULL; restating BOTH engines as
+    covar_pop / nullif(stddev_pop * stddev_pop, 0) over the
+    pairwise-complete rows makes the aggregate total and the formula
+    bit-identical. The masks reproduce `corr`'s pairwise deletion:
+    a row where EITHER side is NULL contributes to no moment.
+    Oracle twin:
+    covar_pop(x, y) / nullif(stddev_pop(x) * stddev_pop(y), 0)
+    with x, y pre-masked the same way (or NULL-free by construction).
+    """
+    cx, cy = _c(x), _c(y)
+    both = cx.isNotNull() & cy.isNotNull()
+    xm = F.when(both, cx)
+    ym = F.when(both, cy)
+    return F.try_divide(
+        F.covar_pop(xm, ym),
+        F.nullif(F.stddev_pop(xm) * F.stddev_pop(ym), F.lit(0.0)),
+    )

@@ -37,8 +37,13 @@ _XS = "PARTITION BY bucket_start"
       FROM bars
     )
     SELECT user_id, bucket_start,
+           -- total-corr restatement (functions/nullsafe.py corr_nn):
+           -- a flat 20-bar frame is NULL, not Spark's ANSI raise
            ROUND(CASE WHEN COUNT(*) OVER w >= 20
-                      THEN corr(close, mkt) OVER w END, 6) AS corr20
+                      THEN covar_pop(close, mkt) OVER w
+                           / nullif((stddev_pop(close) OVER w)
+                                    * (stddev_pop(mkt) OVER w), 0)
+                 END, 6) AS corr20
     FROM m
     WINDOW w AS ({_W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     """,
@@ -56,7 +61,17 @@ def q_rolling_corr20(spark: SparkSession, sf_dir: str) -> DataFrame:
     mkt = F.avg("close").over(Window.partitionBy("bucket_start"))
     m = bars.select("user_id", "bucket_start", "close", mkt.alias("mkt"))
     w = Window.partitionBy("user_id").orderBy("bucket_start").rowsBetween(-19, 0)
-    c = F.when(F.count(F.lit(1)).over(w) >= 20, F.corr("close", "mkt").over(w))
+    # windowed twin of corr_nn: each co-moment over the same frame, so a
+    # flat frame yields NULL instead of an ANSI DIVIDE_BY_ZERO (bars have
+    # no NULL closes by the no-empty-bar contract, so no pairwise mask)
+    total_corr = F.try_divide(
+        F.covar_pop("close", "mkt").over(w),
+        F.nullif(
+            F.stddev_pop("close").over(w) * F.stddev_pop("mkt").over(w),
+            F.lit(0.0),
+        ),
+    )
+    c = F.when(F.count(F.lit(1)).over(w) >= 20, total_corr)
     return m.select("user_id", "bucket_start", _r6(c).alias("corr20"))
 
 

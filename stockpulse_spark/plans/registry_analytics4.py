@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import corr_nn
 from stockpulse_spark.plans.registry import (
     _BARS_CTE,
     _hourly_bars,
@@ -213,9 +214,15 @@ _N_DIMS_CORR = 8
     ), dims AS (
       SELECT vec_id, p.pos - 1 AS pos, e[p.pos] AS val
       FROM v, (SELECT unnest(range(1, {_N_DIMS_CORR + 1})) AS pos) p
+      WHERE e[p.pos] IS NOT NULL
     )
+    -- corr restated as covar_pop/nullif(stddev product): Spark's ANSI
+    -- corr raises DIVIDE_BY_ZERO on a constant dim, DuckDB's returns
+    -- NULL; the explicit formula is total AND identical in both
     SELECT a.pos AS dim_i, b.pos AS dim_j,
-           ROUND(corr(a.val, b.val), 6) AS pearson
+           ROUND(covar_pop(a.val, b.val)
+                 / nullif(stddev_pop(a.val) * stddev_pop(b.val), 0),
+                 6) AS pearson
     FROM dims a JOIN dims b
       ON a.vec_id = b.vec_id AND a.pos < b.pos
     GROUP BY a.pos, b.pos
@@ -249,7 +256,7 @@ def q_embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "vec_id")
         .filter(F.col("dim_i") < F.col("dim_j"))
         .groupBy("dim_i", "dim_j")
-        .agg(_r6(F.corr("vi", "vj")).alias("pearson"))
+        .agg(_r6(corr_nn("vi", "vj")).alias("pearson"))
         .orderBy("dim_i", "dim_j")
     )
 

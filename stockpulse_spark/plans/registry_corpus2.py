@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import corr_nn
 from stockpulse_spark.llmdata.hashing import hex_to_int_sql
 from stockpulse_spark.plans.registry import _r6, _register, _t
 
@@ -36,7 +37,15 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
     SELECT source,
            COUNT(*) AS n_terms,
            ROUND(regr_slope(ln(freq), ln(rnk)), 6) AS zipf_slope,
-           ROUND(regr_r2(ln(freq), ln(rnk)), 6) AS fit_r2
+           -- corr^2 spelled out instead of regr_r2: Postgres/DuckDB
+           -- regr_r2 returns 1.0 when var(y)=0 (every top term at the
+           -- same freq) while Spark's corr is 0/0 there; the explicit
+           -- total form is NULL in both engines, and Spark's ANSI corr
+           -- raise on the same input is avoided (corr_nn twin)
+           ROUND(POWER(covar_pop(ln(freq), ln(rnk))
+                       / nullif(stddev_pop(ln(freq))
+                                * stddev_pop(ln(rnk)), 0), 2), 6)
+             AS fit_r2
     FROM ranked WHERE rnk <= 64
     GROUP BY source ORDER BY source
     """,
@@ -45,8 +54,9 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
     "ln(rank) over the top-64 terms. Natural text fits slope ~ -1; a "
     "flat or cliff-shaped curve marks template spam or boilerplate. "
     "Slope = covar_pop/var_pop and R^2 = corr^2 as single-pass "
-    "aggregates (Spark's regression moments), matching DuckDB's "
-    "regr_slope/regr_r2 definitions exactly. Rank via one window over "
+    "aggregates (Spark's regression moments); R^2 is the explicit "
+    "total corr^2 in BOTH engines (regr_r2 diverges on var(y)=0, "
+    "see the oracle comment). Rank via one window over "
     "the (source, term) frequency table — vocabulary-sized, tiny next "
     "to the token explode that feeds it, which is map-side partial-"
     "aggregated before its one shuffle.",
@@ -77,7 +87,7 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r6(F.try_divide(F.covar_pop(y, x), F.var_pop(x))).alias(
                 "zipf_slope"
             ),
-            _r6(F.pow(F.corr(y, x), F.lit(2.0))).alias("fit_r2"),
+            _r6(F.pow(corr_nn(y, x), F.lit(2.0))).alias("fit_r2"),
         )
         .orderBy("source")
     )

@@ -27,7 +27,12 @@ _BUDGET = 10_000  # global token budget for the sample
     "embedding_label_outliers",
     oracle=f"""
     WITH v AS (
+      -- NULL embeddings are excluded from the gate entirely: a label
+      -- whose vectors are ALL NULL otherwise keeps a NULL-centroid
+      -- row here while Spark's posexplode drops it (found by
+      -- hypothesis in tests/test_property_parity.py)
       SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE embedding IS NOT NULL
     ), cent AS (
       SELECT label, list(mu ORDER BY pos) AS c FROM (
         SELECT v.label, p.pos, ROUND(AVG(v.e[p.pos]), 6) AS mu
@@ -63,8 +68,10 @@ _BUDGET = 10_000  # global token budget for the sample
     "mislabeled and out-of-distribution vectors before training.",
 )
 def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _as_double(F.col("embedding")).alias("e")
+    v = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "label", _as_double(F.col("embedding")).alias("e"))
     )
     cent = (
         v.select("label", F.posexplode("e").alias("pos", "val"))

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from stockpulse_spark.functions.nullsafe import corr_nn
 from stockpulse_spark.plans.registry import _r6, _register, _t
 from stockpulse_spark.plans.registry_risk import (
     _LIQUID_CTE,
@@ -245,13 +246,19 @@ def q_table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT a.user_id AS leader, b.user_id AS follower,
            COUNT(*) AS n_days,
-           ROUND(corr(a.r, b.r), 6) AS leadlag_corr
+           -- total-corr restatement (see functions/nullsafe.py corr_nn):
+           -- NULL on a zero-variance side instead of Spark's ANSI raise
+           ROUND(covar_pop(a.r, b.r)
+                 / nullif(stddev_pop(a.r) * stddev_pop(b.r), 0), 6)
+             AS leadlag_corr
     FROM lrets a
     JOIN lrets b ON b.date = a.date + INTERVAL 1 DAY
                AND a.user_id != b.user_id
     GROUP BY a.user_id, b.user_id
     HAVING COUNT(*) >= 20
-    ORDER BY ABS(ROUND(corr(a.r, b.r), 6)) DESC, leader, follower
+    ORDER BY ABS(ROUND(covar_pop(a.r, b.r)
+                       / nullif(stddev_pop(a.r) * stddev_pop(b.r), 0), 6))
+             DESC NULLS LAST, leader, follower
     LIMIT 15
     """,
     tags=("join", "risk", "agg"),
@@ -266,7 +273,7 @@ def q_leadlag_return_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     rets = _liquid_returns(_daily_returns(spark, sf_dir))
     a = rets.alias("a")
     b = rets.alias("b")
-    corr = F.round(F.corr("a.r", "b.r"), 6)
+    corr = F.round(corr_nn("a.r", "b.r"), 6)
     return (
         a.join(
             b,

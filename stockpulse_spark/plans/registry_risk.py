@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn
+from stockpulse_spark.functions.nullsafe import corr_nn, max_by_nn, min_by_nn
 
 from stockpulse_spark.plans.registry import _r4, _r6, _register, _t
 
@@ -454,11 +454,18 @@ def _liquid_returns(rets: DataFrame, top_n: int = 100) -> DataFrame:
     + """
     SELECT a.user_id AS u1, b.user_id AS u2,
            COUNT(*) AS n_days,
-           ROUND(corr(a.r, b.r), 6) AS corr
+           -- total-corr restatement: Spark's ANSI corr raises on a
+           -- zero-variance side (a flat 20-day series), this form is
+           -- NULL there in both engines (functions/nullsafe.py corr_nn)
+           ROUND(covar_pop(a.r, b.r)
+                 / nullif(stddev_pop(a.r) * stddev_pop(b.r), 0), 6)
+             AS corr
     FROM lrets a JOIN lrets b ON a.date = b.date AND a.user_id < b.user_id
     GROUP BY a.user_id, b.user_id
     HAVING COUNT(*) >= 20
-    ORDER BY ABS(ROUND(corr(a.r, b.r), 6)) DESC, u1, u2
+    ORDER BY ABS(ROUND(covar_pop(a.r, b.r)
+                       / nullif(stddev_pop(a.r) * stddev_pop(b.r), 0), 6))
+             DESC NULLS LAST, u1, u2
     LIMIT 15
     """,
     tags=("join", "risk", "agg"),
@@ -475,7 +482,7 @@ def q_pairwise_return_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     rets = _liquid_returns(_daily_returns(spark, sf_dir))
     a = rets.alias("a")
     b = rets.alias("b")
-    corr = F.round(F.corr("a.r", "b.r"), 6)
+    corr = F.round(corr_nn("a.r", "b.r"), 6)
     return (
         a.join(
             b,

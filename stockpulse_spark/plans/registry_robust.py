@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn
+from stockpulse_spark.functions.nullsafe import corr_nn, max_by_nn, min_by_nn
 
 from stockpulse_spark.plans.registry import _r6, _register, _t
 
@@ -276,7 +276,12 @@ def q_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.event_type, p.k AS lag,
            COUNT(*) AS n_pairs,
-           ROUND(corr(a.n, p.n_prev), 6) AS acf
+           -- total-corr restatement (functions/nullsafe.py corr_nn):
+           -- a constant-count lag window (or a 1-pair group at the
+           -- long lags) is NULL, not Spark's ANSI DIVIDE_BY_ZERO
+           ROUND(covar_pop(a.n, p.n_prev)
+                 / nullif(stddev_pop(a.n) * stddev_pop(p.n_prev), 0), 6)
+             AS acf
     FROM idx a JOIN probe p
       ON a.event_type = p.event_type AND a.rn = p.rn
     GROUP BY a.event_type, p.k
@@ -321,7 +326,7 @@ def q_acf_multilag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "lag")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            _r6(F.corr("n", "n_prev")).alias("acf"),
+            _r6(corr_nn("n", "n_prev")).alias("acf"),
         )
         .orderBy("event_type", "lag")
     )

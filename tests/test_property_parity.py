@@ -157,3 +157,82 @@ def test_random_documents_hash_parity(spark, name, rows):
     finally:
         con.close()
     assert status == "OK", f"{name}: {status} on rows={rows!r}"
+
+
+# --- embeddings: NULL vectors, zero vectors, constant dims, tiny n ---
+#
+# vec_id stays UNIQUE (it is the table's primary key per TESTDATA.md;
+# the knn/topk family is entitled to that contract).  Vector content is
+# a deterministic function of a small seed so hypothesis shrinks over
+# table SHAPE, not 64 floats per row; all values are exact binary
+# fractions (survive the float32 storage round-trip bit-for-bit).
+
+EMB_DIM = 64
+EMB_PALETTE = [0.0, 0.5, -0.25, 1.0, 2.0, -1.5, 0.75, -0.125]
+
+
+def _vec(kind: int):
+    if kind == -2:
+        return None  # NULL vector: NULL cosine/bucket, never a crash
+    if kind == -1:
+        return [0.0] * EMB_DIM  # zero norm: guarded division both sides
+    if kind == 0:
+        return [1.0] * EMB_DIM  # constant vector -> constant dims
+    return [
+        EMB_PALETTE[(kind * 7 + i) % len(EMB_PALETTE)]
+        for i in range(EMB_DIM)
+    ]
+
+
+emb_row = st.tuples(
+    st.integers(min_value=1, max_value=200),  # vec_id (unique, see below)
+    st.integers(min_value=-2, max_value=5),  # vector kind/seed
+    st.integers(min_value=0, max_value=2),  # label
+)
+
+emb_tables = st.lists(
+    emb_row, min_size=3, max_size=30, unique_by=lambda r: r[0]
+)
+
+EMB_QUERIES = (
+    "embedding_quantize_int8",
+    "embedding_dim_correlation",
+    "embedding_knn_classify",
+    "embedding_label_outliers",
+)
+
+
+def _write_embeddings(sf_dir: str, rows) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([v for (v, _, _) in rows], pa.int64()),
+            "embedding": pa.array(
+                [_vec(k) for (_, k, _) in rows],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([l for (_, _, l) in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "embeddings.parquet"))
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=emb_tables)
+def test_random_embeddings_hash_parity(spark, name, rows):
+    sf_dir = tempfile.mkdtemp(prefix="sp_prop_")
+    _write_embeddings(sf_dir, rows)
+    con = duck_con(sf_dir)
+    try:
+        status, *_ = compare(name, spark, con, sf_dir, verbose=False)
+    finally:
+        con.close()
+    assert status == "OK", f"{name}: {status} on rows={rows!r}"

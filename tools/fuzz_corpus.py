@@ -121,6 +121,9 @@ def mutate_embeddings(tbl: pa.Table) -> pa.Table:
         if h < 20:
             # all-zero vector: norm 0 -> cosine must not divide-by-zero
             d["embedding"][i] = [0.0] * dim
+        elif h < 30:
+            # NULL vector: must flow as NULL cosine/bucket, never crash
+            d["embedding"][i] = None
     return pa.table(d, schema=tbl.schema)
 
 
