@@ -20,10 +20,14 @@ from stockpulse_spark.plans.registry import _r4, _register, _t
     "cohort_ltv_monthly",
     oracle="""
     WITH om AS (
+      -- date-less orders have no month on the LTV axis; a NULL m
+      -- would yield NULL cohort/month_index keys whose window
+      -- ORDER BY position differs between engines (NULLS FIRST vs
+      -- NULLS LAST), shearing every cumsum after it
       SELECT o_custkey,
              CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
              o_totalprice
-      FROM orders
+      FROM orders WHERE o_orderdate IS NOT NULL
     ), cohorts AS (
       SELECT o_custkey, MIN(m) AS cohort_month FROM om GROUP BY o_custkey
     ), sizes AS (
@@ -56,10 +60,14 @@ from stockpulse_spark.plans.registry import _r4, _register, _t
     "(the weighted_median_price integer-cumsum discipline).",
 )
 def q_cohort_ltv_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    om = _t(spark, sf_dir, "orders").select(
-        "o_custkey",
-        F.trunc("o_orderdate", "month").alias("m"),
-        "o_totalprice",
+    om = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_custkey",
+            F.trunc("o_orderdate", "month").alias("m"),
+            "o_totalprice",
+        )
     )
     cohorts = om.groupBy("o_custkey").agg(
         F.min("m").alias("cohort_month")

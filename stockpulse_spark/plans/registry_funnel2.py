@@ -96,13 +96,18 @@ def q_funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_orderkey AS okey, MAX(l_shipdate) AS done_ts
       FROM lineitem GROUP BY l_orderkey
     ), deltas AS (
+      -- date-less orders can't enter the scan-line (and a NULL day
+      -- would land at opposite ends of the cumsum ORDER BY: Spark
+      -- NULLS FIRST vs DuckDB NULLS LAST); an all-NULL-shipdate
+      -- order simply never closes
       SELECT CAST(date_trunc('day', o.o_orderdate) AS TIMESTAMP) AS day,
              1 AS delta
-      FROM orders o
+      FROM orders o WHERE o.o_orderdate IS NOT NULL
       UNION ALL
       SELECT CAST(date_trunc('day', s.done_ts) AS TIMESTAMP) AS day,
              -1 AS delta
       FROM ship s JOIN orders o ON o.o_orderkey = s.okey
+      WHERE s.done_ts IS NOT NULL
     ), daily AS (
       SELECT day, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY day
     )
@@ -127,12 +132,13 @@ def q_order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
         F.max("l_shipdate").alias("done_ts")
     )
-    opened = o.select(
+    opened = o.filter(F.col("o_orderdate").isNotNull()).select(
         F.date_trunc("day", "o_orderdate").alias("day"),
         F.lit(1).alias("delta"),
     )
     closed = (
-        ship.join(o, ship.okey == o.o_orderkey)
+        ship.filter(F.col("done_ts").isNotNull())
+        .join(o, ship.okey == o.o_orderkey)
         .select(
             F.date_trunc("day", "done_ts").alias("day"),
             F.lit(-1).alias("delta"),

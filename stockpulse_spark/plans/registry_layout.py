@@ -197,10 +197,14 @@ def q_sliding_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "weighted_median_price",
     oracle="""
     WITH w AS (
+      -- NULL price/weight rows carry no information for an order
+      -- statistic AND would enter the cumsum ORDER BY where Spark
+      -- (NULLS FIRST) and DuckDB (NULLS LAST) disagree — excluded
       SELECT l_returnflag,
              l_extendedprice AS price,
              CAST(l_quantity AS BIGINT) AS wt
       FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
     ), c AS (
       SELECT l_returnflag, price, wt,
              SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY price
@@ -229,7 +233,10 @@ def q_sliding_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    w = li.select(
+    w = li.filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_quantity").isNotNull()
+    ).select(
         "l_returnflag",
         F.col("l_extendedprice").alias("price"),
         F.col("l_quantity").cast("bigint").alias("wt"),

@@ -159,9 +159,12 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gini_revenue_yearly",
     oracle="""
     WITH rev AS (
+      -- unpriced orders carry nothing; an all-NULL customer-year
+      -- would otherwise put a NULL cents into the rank ORDER BY
+      -- where Spark (NULLS FIRST) and DuckDB (NULLS LAST) disagree
       SELECT year(o_orderdate) AS o_year, o_custkey,
              CAST(SUM(round(o_totalprice * 100)) AS BIGINT) AS cents
-      FROM orders GROUP BY 1, 2
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
     ), ranked AS (
       SELECT o_year, cents,
              ROW_NUMBER() OVER (PARTITION BY o_year
@@ -188,7 +191,9 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup shuffle + one per-year rank window.",
 )
 def q_gini_revenue_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     rev = o.groupBy(
         F.year("o_orderdate").alias("o_year"), "o_custkey"
     ).agg(

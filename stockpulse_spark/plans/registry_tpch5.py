@@ -221,6 +221,7 @@ def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct,
            ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate IS NOT NULL
     GROUP BY 1 ORDER BY 1
     """,
     tags=("join", "tpch"),
@@ -234,7 +235,10 @@ def q_promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(p, li.l_partkey == p.p_partkey)
+        # a NULL ship date has no month on the axis (and its Spark
+        # None vs DuckDB NaT cell would shear the driver's string canon)
+        li.filter(F.col("l_shipdate").isNotNull())
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.trunc("l_shipdate", "month").alias("month"))
         .agg(
             _r6(

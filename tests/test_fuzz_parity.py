@@ -42,6 +42,15 @@ FUZZ_PINNED = [
     "pii_redaction_audit",  # coalesced NULL-text injection
     "burst_detection_viterbi",  # NULL-typed events excluded
     "mergeable_weekly_rollup",  # single-observation variance guard
+    # TPC-H-table fuzz wave (NULL measures/keys/dates, -0.0 prices,
+    # duplicate lines planted in lineitem/orders/customer):
+    "weighted_median_price",  # NULL price/wt out of the cumsum order
+    "order_backlog_daily",  # NULL day out of the scan-line cumsum
+    "cohort_ltv_monthly",  # NULL month out of cohort/LTV axes
+    "gini_revenue_yearly",  # NULL cents out of the rank ORDER BY
+    "promo_revenue_monthly",  # None-vs-NaT month cell canon
+    "pricing_summary",  # NULL measures through TPC-H Q1 aggregates
+    "revenue_by_nation",  # star join under NULL keys/prices
 ]
 
 

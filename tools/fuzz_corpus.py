@@ -127,10 +127,81 @@ def mutate_embeddings(tbl: pa.Table) -> pa.Table:
     return pa.table(d, schema=tbl.schema)
 
 
+def mutate_lineitem(tbl: pa.Table) -> pa.Table:
+    """TPC-H data is NOT NULL by spec, but a 100 TB lake ingested from
+    real feeds is not: plant NULL measures, NULL group keys, NULL
+    dates, zero/negative-zero prices, and exact duplicate lines so the
+    warehouse queries are held to the same NULL-ordering / NULL-
+    skipping / signed-zero parity contract as the events table."""
+    d = tbl.to_pydict()
+    n = len(d["l_orderkey"])
+    # exact duplicate of every 61st line (same orderkey/linenumber):
+    # aggregates must agree on the doubled weight in both engines
+    dup_idx = list(range(0, n, 61))
+    for k in d:
+        d[k] = list(d[k]) + [d[k][i] for i in dup_idx]
+    m = len(d["l_orderkey"])
+    for i in range(m):
+        h = ((d["l_orderkey"][i] * 31 + d["l_linenumber"][i])
+             * 2654435761) % 1000
+        if h < 15:
+            d["l_quantity"][i] = None  # NULL measure
+        elif h < 25:
+            d["l_extendedprice"][i] = None
+        elif h < 30:
+            d["l_discount"][i] = None
+        elif h < 35:
+            d["l_discount"][i] = -0.0  # signed zero through revenue math
+        elif h < 40:
+            d["l_extendedprice"][i] = 0.0  # zero price: ratio hazards
+        elif h < 45:
+            d["l_shipdate"][i] = None  # NULL date -> NULL trunc keys
+        if 990 <= h:
+            d["l_returnflag"][i] = None  # NULL group/order key
+        elif 980 <= h < 990:
+            d["l_linestatus"][i] = None
+    return pa.table(d, schema=tbl.schema)
+
+
+def mutate_orders(tbl: pa.Table) -> pa.Table:
+    d = tbl.to_pydict()
+    n = len(d["o_orderkey"])
+    for i in range(n):
+        h = (d["o_orderkey"][i] * 2654435761) % 1000
+        if h < 15:
+            d["o_totalprice"][i] = None
+        elif h < 20:
+            d["o_totalprice"][i] = -0.0
+        elif h < 25:
+            d["o_orderdate"][i] = None
+        if 990 <= h:
+            d["o_orderpriority"][i] = None
+        elif 985 <= h < 990:
+            d["o_orderstatus"][i] = None
+    return pa.table(d, schema=tbl.schema)
+
+
+def mutate_customer(tbl: pa.Table) -> pa.Table:
+    d = tbl.to_pydict()
+    n = len(d["c_custkey"])
+    for i in range(n):
+        h = (d["c_custkey"][i] * 2654435761) % 1000
+        if h < 20:
+            d["c_acctbal"][i] = None
+        elif h < 25:
+            d["c_acctbal"][i] = -0.0
+        if 990 <= h:
+            d["c_mktsegment"][i] = None
+    return pa.table(d, schema=tbl.schema)
+
+
 MUTATORS = {
     "events": mutate_events,
     "documents": mutate_documents,
     "embeddings": mutate_embeddings,
+    "lineitem": mutate_lineitem,
+    "orders": mutate_orders,
+    "customer": mutate_customer,
 }
 
 
