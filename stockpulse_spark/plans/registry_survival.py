@@ -174,8 +174,11 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_year,
            COUNT(*) AS n_customers,
            ROUND(SUM(cents) / 100.0, 2) AS total_revenue,
+           -- nullif: an all-zero-revenue year has no inequality to
+           -- measure — NULL in both engines (Spark ANSI would raise)
            ROUND((2.0 * SUM(rnk * cents) - (COUNT(*) + 1.0) * SUM(cents))
-                 / (COUNT(*) * CAST(SUM(cents) AS DOUBLE)), 6) AS gini
+                 / nullif(COUNT(*) * CAST(SUM(cents) AS DOUBLE), 0.0),
+                 6) AS gini
     FROM ranked
     GROUP BY o_year ORDER BY o_year
     """,
@@ -217,8 +220,10 @@ def q_gini_revenue_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.alias("n_customers"),
             _r2(sx / 100.0).alias("total_revenue"),
             _r6(
-                (2.0 * six - (n + F.lit(1.0)) * sx)
-                / (n * sx.cast("double"))
+                F.try_divide(
+                    2.0 * six - (n + F.lit(1.0)) * sx,
+                    F.nullif(n * sx.cast("double"), F.lit(0.0)),
+                )
             ).alias("gini"),
         )
         .orderBy("o_year")

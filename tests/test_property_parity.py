@@ -236,3 +236,130 @@ def test_random_embeddings_hash_parity(spark, name, rows):
     finally:
         con.close()
     assert status == "OK", f"{name}: {status} on rows={rows!r}"
+
+
+# --- warehouse: random degenerate orders + lineitem ------------------
+#
+# NULL prices/dates/flags, signed zeros, zero prices, month-boundary
+# dates — the TPC-H fuzz-mutator classes, but hypothesis-composed over
+# random table shapes. Primary keys stay unique (o_orderkey and
+# (l_orderkey, l_linenumber) per the TPC-H contract); exact-duplicate-
+# row pressure is the deterministic mutator's job. Money values are
+# exact binary fractions (.25/.5/.125) so no round-boundary ulps.
+
+PRICES = [None, -0.0, 0.0, 1.25, 100.5, 2048.0, 3.75, 977.25]
+DISCOUNTS = [None, 0.0, -0.0, 0.25, 0.5]
+WH_BASE = datetime(2024, 1, 15)
+
+order_row = st.tuples(
+    st.integers(min_value=1, max_value=300),  # o_orderkey (unique)
+    st.integers(min_value=1, max_value=5),  # o_custkey
+    st.sampled_from(["O", "F", None]),  # o_orderstatus
+    st.sampled_from(PRICES),  # o_totalprice
+    st.one_of(  # o_orderdate: NULL or spanning month/year boundaries
+        st.none(), st.integers(min_value=0, max_value=400)
+    ),
+    st.sampled_from(["1-URGENT", "3-MEDIUM", None]),
+)
+
+line_row = st.tuples(
+    st.integers(min_value=1, max_value=300),  # l_orderkey
+    st.integers(min_value=1, max_value=7),  # l_linenumber
+    st.sampled_from([None, 0.0, 1.0, 5.0, 50.0]),  # l_quantity
+    st.sampled_from(PRICES),  # l_extendedprice
+    st.sampled_from(DISCOUNTS),  # l_discount
+    st.sampled_from(["A", "N", "R", None]),  # l_returnflag
+    st.sampled_from(["O", "F"]),  # l_linestatus
+    st.one_of(st.none(), st.integers(min_value=0, max_value=400)),
+)
+
+wh_tables = st.tuples(
+    st.lists(order_row, min_size=2, max_size=25, unique_by=lambda r: r[0]),
+    st.lists(
+        line_row,
+        min_size=2,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+)
+
+WH_QUERIES = (
+    "pricing_summary",
+    "weighted_median_price",
+    "gini_revenue_yearly",
+    "cohort_ltv_monthly",
+    "order_backlog_daily",
+)
+
+
+def _write_warehouse(sf_dir: str, orders, lines) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _d(days):
+        return None if days is None else WH_BASE + timedelta(days=days)
+
+    ot = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in orders], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in orders], pa.int64()),
+            "o_orderstatus": pa.array(
+                [r[2] for r in orders], pa.string()
+            ),
+            "o_totalprice": pa.array(
+                [r[3] for r in orders], pa.float64()
+            ),
+            "o_orderdate": pa.array(
+                [_d(r[4]) for r in orders], pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(
+                [r[5] for r in orders], pa.string()
+            ),
+        }
+    )
+    lt = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in lines], pa.int64()),
+            "l_partkey": pa.array(
+                [r[0] % 20 + 1 for r in lines], pa.int64()
+            ),
+            "l_suppkey": pa.array(
+                [r[0] % 5 + 1 for r in lines], pa.int64()
+            ),
+            "l_linenumber": pa.array([r[1] for r in lines], pa.int32()),
+            "l_quantity": pa.array([r[2] for r in lines], pa.float64()),
+            "l_extendedprice": pa.array(
+                [r[3] for r in lines], pa.float64()
+            ),
+            "l_discount": pa.array([r[4] for r in lines], pa.float64()),
+            "l_tax": pa.array(
+                [0.125 if r[1] % 2 else 0.0 for r in lines], pa.float64()
+            ),
+            "l_returnflag": pa.array([r[5] for r in lines], pa.string()),
+            "l_linestatus": pa.array([r[6] for r in lines], pa.string()),
+            "l_shipdate": pa.array(
+                [_d(r[7]) for r in lines], pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(ot, os.path.join(sf_dir, "orders.parquet"))
+    pq.write_table(lt, os.path.join(sf_dir, "lineitem.parquet"))
+
+
+@pytest.mark.parametrize("name", WH_QUERIES)
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tabs=wh_tables)
+def test_random_warehouse_hash_parity(spark, name, tabs):
+    sf_dir = tempfile.mkdtemp(prefix="sp_prop_")
+    _write_warehouse(sf_dir, *tabs)
+    con = duck_con(sf_dir)
+    try:
+        status, *_ = compare(name, spark, con, sf_dir, verbose=False)
+    finally:
+        con.close()
+    assert status == "OK", f"{name}: {status} on tabs={tabs!r}"
