@@ -195,6 +195,36 @@ def mutate_customer(tbl: pa.Table) -> pa.Table:
     return pa.table(d, schema=tbl.schema)
 
 
+def mutate_part(tbl: pa.Table) -> pa.Table:
+    d = tbl.to_pydict()
+    n = len(d["p_partkey"])
+    for i in range(n):
+        h = (d["p_partkey"][i] * 2654435761) % 1000
+        if h < 15:
+            d["p_retailprice"][i] = None
+        elif h < 20:
+            d["p_retailprice"][i] = -0.0
+        if 990 <= h:
+            d["p_type"][i] = None  # NULL dim attribute through joins
+        elif 985 <= h < 990:
+            d["p_brand"][i] = None
+        elif 980 <= h < 985:
+            d["p_size"][i] = None
+    return pa.table(d, schema=tbl.schema)
+
+
+def mutate_supplier(tbl: pa.Table) -> pa.Table:
+    d = tbl.to_pydict()
+    n = len(d["s_suppkey"])
+    for i in range(n):
+        h = (d["s_suppkey"][i] * 2654435761) % 1000
+        if h < 30:
+            d["s_acctbal"][i] = None
+        elif h < 40:
+            d["s_acctbal"][i] = -0.0
+    return pa.table(d, schema=tbl.schema)
+
+
 MUTATORS = {
     "events": mutate_events,
     "documents": mutate_documents,
@@ -202,6 +232,8 @@ MUTATORS = {
     "lineitem": mutate_lineitem,
     "orders": mutate_orders,
     "customer": mutate_customer,
+    "part": mutate_part,
+    "supplier": mutate_supplier,
 }
 
 
