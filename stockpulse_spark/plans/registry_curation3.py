@@ -229,14 +229,21 @@ def q_doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_wow_growth",
     oracle="""
     WITH weekly AS (
+      -- date-less orders are off the weekly axis; a NULL wk in the
+      -- lag ORDER BY is engine-divergent (and DuckDB's parallel
+      -- window sort places it unstably run-to-run)
+      -- integer-cents snap (the rfm/gini/cohort discipline): a raw
+      -- double week-sum is fold-order nondeterministic in its last
+      -- ulp, which can flip the 4dp round run-to-run
       SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS wk,
-             SUM(o_totalprice) AS revenue,
+             CAST(ROUND(SUM(o_totalprice * 100)) AS BIGINT) AS cents,
              COUNT(*) AS n_orders
-      FROM orders GROUP BY 1
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     )
-    SELECT wk, ROUND(revenue, 4) AS revenue, n_orders,
-           ROUND((revenue - lag(revenue) OVER (ORDER BY wk))
-                 / lag(revenue) OVER (ORDER BY wk), 6) AS wow_growth
+    SELECT wk, ROUND(cents / 100.0, 4) AS revenue, n_orders,
+           ROUND((cents - lag(cents) OVER (ORDER BY wk))
+                 / nullif(1.0 * lag(cents) OVER (ORDER BY wk), 0.0),
+                 6) AS wow_growth
     FROM weekly ORDER BY wk
     """,
     tags=("analytics", "window"),
@@ -248,22 +255,26 @@ def q_doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines (DuckDB returns DATE).",
 )
 def q_revenue_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     weekly = o.groupBy(
         F.date_trunc("week", "o_orderdate").alias("wk")
     ).agg(
-        F.sum("o_totalprice").alias("revenue"),
+        F.round(F.sum(F.col("o_totalprice") * 100))
+        .cast("bigint")
+        .alias("cents"),
         F.count(F.lit(1)).alias("n_orders"),
     )
     w = Window.partitionBy().orderBy("wk")
     return weekly.select(
         "wk",
-        _r4(F.col("revenue")).alias("revenue"),
+        _r4(F.col("cents") / 100.0).alias("revenue"),
         "n_orders",
         _r6(
             F.try_divide(
-                F.col("revenue") - F.lag("revenue").over(w),
-                F.lag("revenue").over(w),
+                F.col("cents") - F.lag("cents").over(w),
+                1.0 * F.lag("cents").over(w),
             )
         ).alias("wow_growth"),
     ).orderBy("wk")

@@ -87,9 +87,13 @@ def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_seasonal_decompose",
     oracle="""
     WITH monthly AS (
+      -- date-less orders have no month on the axis; worse, a NULL m
+      -- in the window ORDER BY is placed UNSTABLY by DuckDB's
+      -- parallel window sort (flips ends run-to-run) and at the
+      -- opposite end by Spark — excluded on both engines
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
              CAST(ROUND(SUM(o_totalprice * 100)) AS BIGINT) AS cents
-      FROM orders GROUP BY 1
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ), trended AS (
       SELECT m, cents,
              CASE WHEN COUNT(*) OVER w = 13
@@ -122,7 +126,9 @@ def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "metadata after one fact shuffle.",
 )
 def q_revenue_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     monthly = o.groupBy(
         F.trunc("o_orderdate", "month").alias("m")
     ).agg(

@@ -24,8 +24,22 @@ def _supplier_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result is |part|x|supplier|-bounded (catalog-sized, far below
     the fact table) so everything downstream can broadcast."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_partkey", "l_suppkey").agg(
-        F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    # priced, quantified lines only: a NULL/zero-qty line carries no
+    # unit cost, and an all-NULL (part,supp) group would put a NULL
+    # unit_cost into the rank ORDER BY where Spark (NULLS FIRST) and
+    # DuckDB (NULLS LAST) disagree
+    return (
+        l.filter(
+            F.col("l_extendedprice").isNotNull()
+            & F.col("l_quantity").isNotNull()
+            & (F.col("l_quantity") != 0)
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.avg(
+                F.col("l_extendedprice") / F.col("l_quantity")
+            ).alias("unit_cost")
+        )
     )
 
 
@@ -33,9 +47,15 @@ def _supplier_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     "min_cost_supplier",
     oracle="""
     WITH ps AS (
+      -- priced, quantified lines only (see _supplier_cost: an
+      -- all-NULL group's NULL unit_cost would shear the rank
+      -- ORDER BY between engines)
       SELECT l_partkey, l_suppkey,
              AVG(l_extendedprice / l_quantity) AS unit_cost
-      FROM lineitem GROUP BY l_partkey, l_suppkey
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_quantity <> 0
+      GROUP BY l_partkey, l_suppkey
     ), ranked AS (
       SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, ps.unit_cost,
              ROW_NUMBER() OVER (PARTITION BY p.p_partkey

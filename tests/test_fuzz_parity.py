@@ -51,6 +51,9 @@ FUZZ_PINNED = [
     "promo_revenue_monthly",  # None-vs-NaT month cell canon
     "pricing_summary",  # NULL measures through TPC-H Q1 aggregates
     "revenue_by_nation",  # star join under NULL keys/prices
+    "min_cost_supplier",  # all-NULL cost group out of the rank order
+    "revenue_seasonal_decompose",  # NULL month: unstable DuckDB window sort
+    "revenue_wow_growth",  # NULL week excluded + integer-cents snap
 ]
 
 
