@@ -121,9 +121,15 @@ def q_cohort_ltv_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY o_custkey
     ), scored AS (
       SELECT o_custkey, monetary,
-             ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+             -- NULLS LAST pinned: a never-dated customer has NULL
+             -- recency, and Spark ASC (NULLS FIRST) vs DuckDB ASC
+             -- (NULLS LAST) would shear every r_score bucket;
+             -- DESC NULLS LAST is the shared default but stated
+             ntile(5) OVER (ORDER BY recency_days ASC NULLS LAST,
+                            o_custkey) AS r_score,
              ntile(5) OVER (ORDER BY frequency DESC, o_custkey)  AS f_score,
-             ntile(5) OVER (ORDER BY monetary DESC, o_custkey)   AS m_score
+             ntile(5) OVER (ORDER BY monetary DESC NULLS LAST,
+                            o_custkey)   AS m_score
       FROM per_cust
     )
     SELECT r_score, f_score, m_score,
@@ -165,13 +171,21 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "monetary",
         F.ntile(5)
-        .over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        .over(
+            Window.orderBy(
+                F.asc_nulls_last("recency_days"), F.asc("o_custkey")
+            )
+        )
         .alias("r_score"),
         F.ntile(5)
         .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
         .alias("f_score"),
         F.ntile(5)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .over(
+            Window.orderBy(
+                F.desc_nulls_last("monetary"), F.asc("o_custkey")
+            )
+        )
         .alias("m_score"),
     )
     return (

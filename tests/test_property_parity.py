@@ -289,12 +289,46 @@ WH_QUERIES = (
     "gini_revenue_yearly",
     "cohort_ltv_monthly",
     "order_backlog_daily",
+    "rfm_segmentation",
+    "revenue_wow_growth",
+    "revenue_seasonal_decompose",
+    "min_cost_supplier",
+    "customer_order_distribution",
+    "top_order_per_customer",
 )
 
 
 def _write_warehouse(sf_dir: str, orders, lines) -> None:
+    import shutil
+
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    # static dims so the star/join queries resolve: real sf0.001
+    # part/supplier/nation/region, plus a tiny customer table with
+    # degenerate balances/segments covering every generated custkey
+    for t in ("part", "supplier", "nation", "region"):
+        shutil.copyfile(
+            f"/root/testdata/sf0.001/{t}.parquet",
+            os.path.join(sf_dir, f"{t}.parquet"),
+        )
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "c_name": pa.array(
+                [f"Customer#{i}" for i in range(1, 6)], pa.string()
+            ),
+            "c_nationkey": pa.array([0, 1, 2, 3, None], pa.int32()),
+            "c_acctbal": pa.array(
+                [None, -0.0, 0.0, 100.5, -3.75], pa.float64()
+            ),
+            "c_mktsegment": pa.array(
+                ["BUILDING", None, "MACHINERY", "BUILDING", "AUTOMOBILE"],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(cust, os.path.join(sf_dir, "customer.parquet"))
 
     def _d(days):
         return None if days is None else WH_BASE + timedelta(days=days)
