@@ -156,8 +156,12 @@ def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     ), dd AS (
       SELECT user_id, day,
-             close / MAX(close) OVER (PARTITION BY user_id ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1.0 AS drawdown
+             -- nullif: a zero running peak (flat-at-zero series) has
+             -- no defined drawdown — NULL in both engines instead of
+             -- Spark's ANSI raise / DuckDB's inf
+             close / nullif(MAX(close) OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+               - 1.0 AS drawdown
       FROM daily
     ), ranked AS (
       SELECT user_id, day AS trough_day, drawdown,
@@ -191,7 +195,13 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = daily.select(
         "user_id",
         "day",
-        (F.col("close") / F.max("close").over(wcum) - 1.0).alias("drawdown"),
+        (
+            F.try_divide(
+                F.col("close"),
+                F.nullif(F.max("close").over(wcum), F.lit(0.0)),
+            )
+            - 1.0
+        ).alias("drawdown"),
     )
     # asc_nulls_last: an all-NULL day has NULL drawdown; Spark's ASC
     # default (NULLS FIRST) would crown it the trough while DuckDB's

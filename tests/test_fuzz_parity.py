@@ -54,6 +54,7 @@ FUZZ_PINNED = [
     "min_cost_supplier",  # all-NULL cost group out of the rank order
     "revenue_seasonal_decompose",  # NULL month: unstable DuckDB window sort
     "revenue_wow_growth",  # NULL week excluded + integer-cents snap
+    "max_drawdown",  # zero running peak: NULL drawdown, not ANSI raise
 ]
 
 
