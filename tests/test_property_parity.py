@@ -29,6 +29,10 @@ from hypothesis import strategies as st
 from stockpulse_spark.plans import REGISTRY
 from tools.parity import compare, duck_con
 
+# per-test example count: 5 keeps the suite CI-cheap; round-close deep
+# hunts run `SP_HYP_EXAMPLES=25 pytest tests/test_property_parity.py`
+_N_EXAMPLES = int(os.environ.get("SP_HYP_EXAMPLES", "5"))
+
 VALUES = [None, -0.0, 0.0, 1.0, 2.5, -3.75, 100.0, 0.25, -0.5]
 TYPES = ["click", "view", None]
 BASE = datetime(2024, 1, 1, 9, 30)
@@ -86,7 +90,7 @@ def _write_events(sf_dir: str, rows) -> None:
 
 @pytest.mark.parametrize("name", QUERIES)
 @settings(
-    max_examples=5,
+    max_examples=_N_EXAMPLES,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -142,7 +146,7 @@ def _write_documents(sf_dir: str, rows) -> None:
 
 @pytest.mark.parametrize("name", DOC_QUERIES)
 @settings(
-    max_examples=5,
+    max_examples=_N_EXAMPLES,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -221,7 +225,7 @@ def _write_embeddings(sf_dir: str, rows) -> None:
 
 @pytest.mark.parametrize("name", EMB_QUERIES)
 @settings(
-    max_examples=5,
+    max_examples=_N_EXAMPLES,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -382,7 +386,7 @@ def _write_warehouse(sf_dir: str, orders, lines) -> None:
 
 @pytest.mark.parametrize("name", WH_QUERIES)
 @settings(
-    max_examples=5,
+    max_examples=_N_EXAMPLES,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
