@@ -54,6 +54,10 @@ QUERIES = (
     "asof_prev_close",
     "returns_volatility",
     "latest_per_user",
+    "sessionize_events",
+    "hourly_p95_by_type",
+    "value_band_islands",
+    "event_transition_matrix",
 )
 
 
@@ -122,7 +126,15 @@ doc_row = st.tuples(
 
 doc_tables = st.lists(doc_row, min_size=2, max_size=25)
 
-DOC_QUERIES = ("doc_text_stats", "doc_dedup_exact", "doc_word_entropy")
+DOC_QUERIES = (
+    "doc_text_stats",
+    "doc_dedup_exact",
+    "doc_word_entropy",
+    "corpus_segment_dedup",
+    "doc_repetition_score",
+    "doc_quality_filter",
+    "tfidf_top_terms",
+)
 
 
 def _write_documents(sf_dir: str, rows) -> None:
