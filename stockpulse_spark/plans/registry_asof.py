@@ -60,6 +60,191 @@ def q_asof_prev_close(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "asof_tolerance_hour_close",
+    oracle="""
+    WITH hb AS (
+      SELECT user_id,
+             date_trunc('hour', ts) + INTERVAL 1 HOUR AS avail_ts,
+             last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) AS hour_close
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id, date_trunc('hour', ts)
+    )
+    SELECT e.event_id, e.user_id, e.ts, e.value,
+           ROUND(CASE WHEN epoch_us(e.ts) - epoch_us(h.avail_ts) <= 7200000000
+                      THEN h.hour_close END, 6) AS prev_hour_close
+    FROM events e
+    ASOF LEFT JOIN hb h ON e.user_id = h.user_id AND e.ts >= h.avail_ts
+    """,
+    tags=("join", "asof"),
+    doc="as-of join WITH TOLERANCE (pandas merge_asof tolerance "
+    "semantics): every event gets the previous completed hour's close "
+    "for its series, but only if that hourly bar closed within 2 "
+    "hours — stale marks across session gaps (nights, weekends) "
+    "surface as NULL instead of silently carrying days-old state. "
+    "Spark side: union-and-fill with the matched bar timestamp "
+    "riding in the fill struct; the distance check is exact integer "
+    "microseconds (unix_micros ↔ epoch_us) on both engines.",
+)
+def q_asof_tolerance_hour_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hb = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(max_by_nn("value", "ts").alias("hour_close"))
+        .select(
+            "user_id",
+            "hour_close",
+            (F.col("h") + F.expr("INTERVAL 1 HOUR")).alias("avail_ts"),
+        )
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts", "value"),
+        hb,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="avail_ts",
+        payload_cols=["hour_close"],
+        tolerance=7200.0,
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "value",
+        _r6(F.col("hour_close")).alias("prev_hour_close"),
+    )
+
+
+@_register(
+    "asof_forward_next_open",
+    oracle="""
+    WITH db AS (
+      SELECT user_id,
+             CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day_start,
+             first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) AS day_open
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT e.event_id, e.user_id, e.ts, e.value,
+           d.day_start AS open_day_start,
+           ROUND(d.day_open, 6) AS next_open
+    FROM events e
+    ASOF LEFT JOIN db d ON e.user_id = d.user_id AND e.ts <= d.day_start
+    """,
+    tags=("join", "asof"),
+    doc="FORWARD as-of join (pandas merge_asof direction='forward', "
+    "DuckDB ASOF with the inequality flipped): every event gets the "
+    "next session's opening value — the earliest daily open stamped "
+    "at or after the event (an event exactly at midnight matches its "
+    "own day, matching DuckDB's inclusive <=). The look-ahead "
+    "attribution join of event-study pipelines. Spark side: same "
+    "single union-and-fill sort as backward, `first` over the "
+    "following frame instead of `last` over the preceding one.",
+)
+def q_asof_forward_next_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    db = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(min_by_nn("value", "ts").alias("day_open"))
+        .select("user_id", "day_open", F.to_timestamp("d").alias("day_start"))
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts", "value"),
+        db,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="day_start",
+        payload_cols=["day_start", "day_open"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("day_start").alias("open_day_start"),
+        _r6(F.col("day_open")).alias("next_open"),
+    )
+
+
+@_register(
+    "asof_nearest_week_anchor",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day_ts,
+             last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) AS day_close
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    wk AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+             ROUND(avg(value), 6) AS week_avg
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id, date_trunc('week', ts)
+    ),
+    b AS (
+      SELECT d.user_id, d.day_ts, d.day_close, w.week_start AS b_ts, w.week_avg AS b_avg
+      FROM daily d ASOF LEFT JOIN wk w
+        ON d.user_id = w.user_id AND d.day_ts >= w.week_start
+    ),
+    f AS (
+      SELECT d.user_id, d.day_ts, w.week_start AS f_ts, w.week_avg AS f_avg
+      FROM daily d ASOF LEFT JOIN wk w
+        ON d.user_id = w.user_id AND d.day_ts <= w.week_start
+    )
+    SELECT b.user_id, b.day_ts, ROUND(b.day_close, 6) AS day_close,
+           CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL OR
+                     abs(epoch_us(b.day_ts) - epoch_us(b.b_ts)) <=
+                     abs(epoch_us(b.day_ts) - epoch_us(f.f_ts)))
+                THEN b.b_ts ELSE f.f_ts END AS anchor_week,
+           ROUND(CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL OR
+                     abs(epoch_us(b.day_ts) - epoch_us(b.b_ts)) <=
+                     abs(epoch_us(b.day_ts) - epoch_us(f.f_ts)))
+                THEN b.b_avg ELSE f.f_avg END, 6) AS anchor_week_avg
+    FROM b JOIN f ON b.user_id = f.user_id AND b.day_ts = f.day_ts
+    """,
+    tags=("join", "asof"),
+    doc="NEAREST as-of join (pandas merge_asof direction='nearest'): "
+    "each per-series daily bar is matched to its closest weekly "
+    "anchor — backward or forward, whichever is nearer in absolute "
+    "time, backward winning exact ties. Spark side evaluates BOTH "
+    "fill directions over ONE window sort (last-over-preceding and "
+    "first-over-following share the exchange) and picks by exact "
+    "integer-microsecond distance; the oracle composes two native "
+    "ASOF joins and re-joins on the (user_id, day) grouped key — "
+    "unique by construction, so the recombination cannot fan out "
+    "even on a fuzzed corpus with duplicate source rows.",
+)
+def q_asof_nearest_week_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clean = ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    daily = (
+        clean.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(max_by_nn("value", "ts").alias("day_close"))
+        .select("user_id", F.to_timestamp("d").alias("day_ts"), "day_close")
+    )
+    wk = (
+        clean.groupBy("user_id", F.date_trunc("week", F.col("ts")).alias("week_start"))
+        .agg(_r6(F.avg("value")).alias("week_avg"))
+    )
+    joined = asof_join(
+        daily,
+        wk,
+        on=["user_id"],
+        left_ts="day_ts",
+        right_ts="week_start",
+        payload_cols=["week_start", "week_avg"],
+        direction="nearest",
+    )
+    return joined.select(
+        "user_id",
+        "day_ts",
+        _r6(F.col("day_close")).alias("day_close"),
+        F.col("week_start").alias("anchor_week"),
+        _r6(F.col("week_avg")).alias("anchor_week_avg"),
+    )
+
+
+@_register(
     "range_join_hour_stats",
     oracle="""
     WITH stats AS (
