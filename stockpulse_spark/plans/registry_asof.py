@@ -287,3 +287,90 @@ def q_range_join_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("hour_low")).alias("hour_low"),
         "hour_n",
     )
+
+
+def _eod_dim(ev: DataFrame) -> DataFrame:
+    """The as-of dimension both asof_prev_close and its streaming twin
+    share: per-series daily closes, available from next midnight."""
+    return (
+        ev.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(max_by_nn("value", "ts").alias("prev_close"))
+        .select(
+            "user_id",
+            "prev_close",
+            (F.to_timestamp("d") + F.expr("INTERVAL 1 DAY")).alias("avail_ts"),
+        )
+    )
+
+
+@_register(
+    "stream_asof_enrich",
+    oracle=None,  # stream-static temporal enrichment — rows-only
+    # check; oracle-anchored transitively via asof_prev_close (driver-
+    # green r01): row-for-row equality asserted in
+    # tests/test_asof_generic.py, and it holds for ANY micro-batch
+    # split because the dimension is static and each left row's fill
+    # is independent of its batch-mates.
+    tags=("streaming", "asof", "join"),
+    doc="streaming as-of enrichment: events replay as a file stream "
+    "and each micro-batch is point-in-time joined (foreachBatch -> "
+    "union-and-fill asof_join) against the static EOD-close dimension "
+    "— the canonical stream-static temporal join Structured Streaming "
+    "has no native operator for. Unlike watermark-dependent ops the "
+    "output is bit-identical to the batch twin under ANY batch "
+    "boundaries (static right side, per-row independent fill), so "
+    "the streaming form inherits asof_prev_close's driver-green "
+    "oracle. At scale the per-batch cost is |batch|+|dim| rows "
+    "through one hash shuffle; a broadcast of the dim's per-key tail "
+    "(latest row per key at stream start) shrinks it further.",
+)
+def q_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    ev_static = _t(spark, sf_dir, "events")  # pins TZ/nanos confs
+    eod = _eod_dim(ev_static)
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    s = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(s.dtypes).get("ts") == "bigint":
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(s.dtypes).get("ts") == "timestamp_ntz":
+        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out_dir = tempfile.mkdtemp(prefix="sp_asof_stream_")
+
+    def enrich(batch_df: DataFrame, _batch_id: int) -> None:
+        res = asof_join(
+            batch_df.select("event_id", "user_id", "ts", "value"),
+            eod,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="avail_ts",
+            payload_cols=["prev_close"],
+        ).select(
+            "event_id", "user_id", "ts", "value",
+            _r6(F.col("prev_close")).alias("prev_close"),
+        )
+        res.write.mode("append").parquet(out_dir)
+
+    q = (
+        s.writeStream.foreachBatch(enrich)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix=f"sp_ckpt_{uuid.uuid4().hex[:8]}_"),
+        )
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_asof_enrich: availableNow run exceeded 300s")
+    return spark.read.parquet(out_dir)

@@ -126,3 +126,26 @@ def test_nearest_single_sort_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Sort ") + plan.count("Sort\n") <= 2  # one sort op (may print twice in AQE reuse)
+
+
+def test_stream_asof_enrich_equals_batch_twin(spark):
+    """The streaming as-of enrichment must emit exactly the batch
+    twin's rows (static dimension + per-row-independent fill => batch
+    boundaries can't matter)."""
+    from stockpulse_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        REGISTRY["stream_asof_enrich"].builder(spark, sf)
+        .toPandas()
+        .sort_values(["event_id", "user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        REGISTRY["asof_prev_close"].builder(spark, sf)
+        .toPandas()
+        .sort_values(["event_id", "user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(exp.columns)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=True)

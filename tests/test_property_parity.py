@@ -52,6 +52,9 @@ QUERIES = (
     "value_rank_family",
     "twap_daily",
     "asof_prev_close",
+    "asof_tolerance_hour_close",
+    "asof_forward_next_open",
+    "asof_nearest_week_anchor",
     "returns_volatility",
     "latest_per_user",
     "sessionize_events",
