@@ -26,11 +26,16 @@ from stockpulse_spark.sources.tables import load_table
 _WINDOW_H = 6
 
 
-def _attrib_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+def _attrib_pairs(
+    clicks: DataFrame, purchases: DataFrame, how: str = "inner"
+) -> DataFrame:
     """Matched (click, purchase) pairs: same user, click at or before
     the purchase, within the attribution window. Identical logic for
     the batch twin and the stream-stream join — the only difference is
-    whether the inputs are static or streaming DataFrames."""
+    whether the inputs are static or streaming DataFrames. `how`
+    flips the same plan to leftOuter for the purchase-preserving
+    variant (registry_streaming5): unmatched purchases surface with
+    NULL click columns."""
     c = clicks.select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_id"),
@@ -50,6 +55,7 @@ def _attrib_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
             F.col("click_ts")
             >= F.col("purchase_ts") - F.expr(f"INTERVAL {_WINDOW_H} HOURS")
         ),
+        how,
     ).select(
         F.col("p_user").alias("user_id"),
         "purchase_id",
