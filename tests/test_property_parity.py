@@ -114,7 +114,11 @@ def test_random_events_hash_parity(spark, name, rows):
     assert status == "OK", f"{name}: {status} on rows={rows!r}"
 
 
-DOC_WORDS = ["alpha", "beta", "the", "naïve", "a|b", "", "中文", "zz"]
+DOC_WORDS = [
+    "alpha", "beta", "the", "naïve", "a|b", "", "中文", "zz",
+    # gopher_quality_rules fodder: symbol words, bullets, ellipses
+    "#tag", "...", "-", "with",
+]
 
 doc_row = st.tuples(
     st.integers(min_value=1, max_value=500),  # doc_id
@@ -137,6 +141,9 @@ DOC_QUERIES = (
     "doc_repetition_score",
     "doc_quality_filter",
     "tfidf_top_terms",
+    "gopher_quality_rules",
+    "duplicate_gram_coverage",
+    "image_phash_near_dup",
 )
 
 
