@@ -37,16 +37,12 @@ _STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _STOPS_SQL = ", ".join(f"'{s}'" for s in _STOPS)
 
 
-@_register(
-    "gopher_quality_rules",
-    oracle=f"""
-    WITH base AS (
-      SELECT doc_id,
-             string_split(text, ' ') AS w,
-             string_split(text, chr(10)) AS ln
-      FROM documents WHERE text IS NOT NULL
-    ), m AS (
-      SELECT doc_id,
+# The gopher metric + keep SQL, shared with the multimodal curation
+# pipeline (registry_multimodal5) so the rule set has exactly one SQL
+# definition too. Expects a CTE `base(..., w, ln)`; `{cols}` is the
+# carried-through column list.
+GOPHER_M_SQL = f"""
+      SELECT {{cols}},
              len(w) AS n_words,
              list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w)
                AS mean_word_len,
@@ -66,6 +62,27 @@ _STOPS_SQL = ", ".join(f"'{s}'" for s in _STOPS)
              len(list_filter([{_STOPS_SQL}],
                              s -> list_contains(w, s))) AS n_stop
       FROM base
+"""
+
+GOPHER_KEEP_SQL = """(n_words BETWEEN 50 AND 100000
+                      AND mean_word_len BETWEEN 3 AND 10
+                      AND symbol_ratio < 0.1
+                      AND bullet_frac < 0.9
+                      AND ellipsis_frac < 0.3
+                      AND alpha_frac > 0.8
+                      AND n_stop >= 2)"""
+
+
+@_register(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS w,
+             string_split(text, chr(10)) AS ln
+      FROM documents WHERE text IS NOT NULL
+    ), m AS (
+      {GOPHER_M_SQL.format(cols="doc_id")}
     )
     SELECT doc_id,
            CAST(n_words AS BIGINT) AS n_words,
@@ -75,13 +92,7 @@ _STOPS_SQL = ", ".join(f"'{s}'" for s in _STOPS)
            ROUND(ellipsis_frac, 6) AS ellipsis_frac,
            ROUND(alpha_frac, 6) AS alpha_frac,
            CAST(n_stop AS BIGINT) AS n_stop,
-           CAST(CASE WHEN n_words BETWEEN 50 AND 100000
-                      AND mean_word_len BETWEEN 3 AND 10
-                      AND symbol_ratio < 0.1
-                      AND bullet_frac < 0.9
-                      AND ellipsis_frac < 0.3
-                      AND alpha_frac > 0.8
-                      AND n_stop >= 2
+           CAST(CASE WHEN {GOPHER_KEEP_SQL}
                 THEN 1 ELSE 0 END AS BIGINT) AS keep
     FROM m ORDER BY doc_id
     """,
@@ -100,9 +111,30 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
+    m = gopher_metrics(d, "doc_id")
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        _r6(F.col("mean_word_len")).alias("mean_word_len"),
+        _r6(F.col("symbol_ratio")).alias("symbol_ratio"),
+        _r6(F.col("bullet_frac")).alias("bullet_frac"),
+        _r6(F.col("ellipsis_frac")).alias("ellipsis_frac"),
+        _r6(F.col("alpha_frac")).alias("alpha_frac"),
+        F.col("n_stop").cast("long").alias("n_stop"),
+        "keep",
+    ).orderBy("doc_id")
+
+
+def gopher_metrics(df: DataFrame, *keep_cols: str) -> DataFrame:
+    """The seven Gopher metric columns (n_words, mean_word_len,
+    symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, n_stop —
+    all UNROUNDED) plus the combined 0/1 `keep` flag, with
+    `keep_cols` carried through.  Shared by gopher_quality_rules and
+    the multimodal curation pipeline so the rule set has exactly one
+    definition."""
     w = F.split("text", " ")
     ln = F.split("text", "\n")
-    base = d.select("doc_id", w.alias("w"), ln.alias("ln"))
+    base = df.select(*keep_cols, w.alias("w"), ln.alias("ln"))
     n_words = F.size("w")
     mean_word_len = (
         F.expr("aggregate(w, 0L, (a, x) -> a + length(x))") * 1.0 / n_words
@@ -144,7 +176,7 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     stops_arr = F.array(*[F.lit(s) for s in _STOPS])
     n_stop = F.size(F.filter(stops_arr, lambda s: F.array_contains("w", s)))
     m = base.select(
-        "doc_id",
+        *keep_cols,
         n_words.alias("n_words"),
         mean_word_len.alias("mean_word_len"),
         symbol_ratio.alias("symbol_ratio"),
@@ -162,17 +194,9 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("alpha_frac") > 0.8)
         & (F.col("n_stop") >= 2)
     )
-    return m.select(
-        "doc_id",
-        F.col("n_words").cast("long").alias("n_words"),
-        _r6(F.col("mean_word_len")).alias("mean_word_len"),
-        _r6(F.col("symbol_ratio")).alias("symbol_ratio"),
-        _r6(F.col("bullet_frac")).alias("bullet_frac"),
-        _r6(F.col("ellipsis_frac")).alias("ellipsis_frac"),
-        _r6(F.col("alpha_frac")).alias("alpha_frac"),
-        F.col("n_stop").cast("long").alias("n_stop"),
-        F.when(keep, 1).otherwise(0).cast("long").alias("keep"),
-    ).orderBy("doc_id")
+    return m.withColumn(
+        "keep", F.when(keep, 1).otherwise(0).cast("long")
+    )
 
 
 @_register(

@@ -144,6 +144,7 @@ DOC_QUERIES = (
     "gopher_quality_rules",
     "duplicate_gram_coverage",
     "image_phash_near_dup",
+    "audio_fingerprint_near_dup",
 )
 
 
