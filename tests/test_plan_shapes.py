@@ -94,6 +94,12 @@ def test_no_python_udfs_in_relational_queries(spark):
             "macd_unbounded_kernel",
             "heikin_ashi_daily",
             "cusum_returns",
+            # round-6 decode-kernel paths: the perceptual/audio
+            # fingerprints and the cross-modal pipeline REALLY decode
+            # PNG/PCM payloads in Arrow kernels by design
+            "image_phash_near_dup",
+            "audio_fingerprint_near_dup",
+            "multimodal_curation_pipeline",
         ):
             continue
         plan = _plan(spark, name)
