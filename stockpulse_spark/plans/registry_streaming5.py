@@ -99,17 +99,23 @@ def q_unattributed_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("purchase_id")
 
 
-def _write_replay_chunks(spark: SparkSession, sf_dir: str) -> str:
-    """Replay harness (not the operator): write click/purchase events
-    as _N_CHUNKS time-ordered parquet files so the file source can be
-    rate-limited to one file per micro-batch. The global-sort ntile is
-    driver-test plumbing only — production streams arrive pre-ordered
-    from the bus. mtimes are pinned strictly increasing so the file
-    source's oldest-first ordering matches chunk order on any
-    filesystem timestamp granularity."""
+def _write_replay_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    types: tuple[str, ...] = ("click", "purchase"),
+) -> str:
+    """Replay harness (not the operator): write the selected event
+    types as _N_CHUNKS time-ordered parquet files so the file source
+    can be rate-limited to one file per micro-batch — the knob that
+    lets the watermark ratchet and deferred-emission semantics
+    (outer-join eviction, event-time timeouts) actually fire. The
+    global-sort ntile is driver-test plumbing only — production
+    streams arrive pre-ordered from the bus. mtimes are pinned
+    strictly increasing so the file source's oldest-first ordering
+    matches chunk order on any filesystem timestamp granularity."""
     watch = tempfile.mkdtemp(prefix="sp_outer_replay_")
     ev = _t(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "purchase")
+        F.col("event_type").isin(*types)
     )
     chunked = ev.withColumn(
         "__c",

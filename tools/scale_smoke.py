@@ -90,6 +90,16 @@ QUERIES = [
     # two shapes whose scaling needs measuring, not asserting
     "minhash_lsh_recall_eval", "ann_recall_eval",
     "shard_assignment_balance", "decontamination_recall_eval",
+    # round 6: cross-doc gram coverage (gram-key shuffle), the two
+    # decoded-payload fingerprint joins (pigeonhole candidate growth
+    # is the thing to measure — synthetic clips cluster, so expect
+    # super-linear pair counts with near-linear per-pair cost), the
+    # cross-modal composition, the distributed global rank, and the
+    # interval anti-join
+    "duplicate_gram_coverage", "image_phash_near_dup",
+    "audio_fingerprint_near_dup", "multimodal_curation_pipeline",
+    "curriculum_order", "unattributed_purchases",
+    "gopher_quality_rules", "source_epoch_plan",
 ]
 
 # SPARK_SMOKE_ONLY=q1,q2 restricts the run (fast iteration on a new
