@@ -1,0 +1,84 @@
+"""Plan-shape pins for the round-6 fifth-wave (curation analytics)
+queries — the 100 TB properties, asserted on the executed plan."""
+
+from __future__ import annotations
+
+from stockpulse_spark.plans import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].builder(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dsir_model_is_broadcast(spark):
+    """The 256-bucket DSIR model must broadcast back onto the token
+    stream (BroadcastHashJoin on b), never shuffle the tokens to the
+    model; no Python anywhere; top-20 is TakeOrdered, not a global
+    sort."""
+    plan = _plan(spark, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cross_source_matrix_no_hash_self_join(spark):
+    """Pairs expand in-row from each hash's collected source set —
+    the plan must contain no sort-merge self-join of the fingerprint
+    table and no cartesian; the per-source totals join broadcasts."""
+    plan = _plan(spark, "cross_source_dup_matrix")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_label_centroid_pair_join_is_metadata_sized(spark):
+    """The non-equi (label_a < label_b) pair join runs AFTER the
+    centroid aggregation, so the broadcast nested-loop is LABELS x
+    LABELS metadata — the aggregates must appear below the join and
+    nothing may cartesian the raw vectors."""
+    plan = _plan(spark, "label_centroid_similarity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # deliberate: 10x10 rows
+    assert "HashAggregate" in plan
+
+
+def test_hard_negative_mining_salted_two_stage(spark):
+    """Anchors broadcast against one corpus scan; the per-anchor
+    top-k must run the salted two-stage form — two partitioned
+    Window nodes — and never a cartesian of the corpus with itself."""
+    plan = _plan(spark, "hard_negative_mining")
+    assert "CartesianProduct" not in plan
+    assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2
+    # the broadcast side is the <=10-row anchor set, not the corpus
+    assert "BroadcastNestedLoopJoin" in plan  # non-equi label filter
+
+
+def test_vocab_coverage_rank_is_range_partitioned(spark):
+    """The vocabulary ranking must come from with_global_rank's
+    range-partitioned prefix-sum, never one Window.orderBy task over
+    a 100M-term vocabulary."""
+    plan = _plan(spark, "vocab_coverage_curve")
+    assert "rangepartitioning" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_packing_report_scan_shaped(spark):
+    """One scan crossed with a 3-row literal: the only join allowed
+    is the broadcast of the context-length literal; no Python, no
+    sort-merge join."""
+    plan = _plan(spark, "packing_efficiency_report")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_token_spectrum_two_aggregates_only(spark):
+    """Term-count shuffle then a 6-group partial agg; the corpus
+    total joins as a 1-row broadcast."""
+    plan = _plan(spark, "token_frequency_spectrum")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan

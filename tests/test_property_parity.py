@@ -145,6 +145,11 @@ DOC_QUERIES = (
     "duplicate_gram_coverage",
     "image_phash_near_dup",
     "audio_fingerprint_near_dup",
+    "dsir_importance_weights",
+    "cross_source_dup_matrix",
+    "vocab_coverage_curve",
+    "packing_efficiency_report",
+    "token_frequency_spectrum",
 )
 
 
@@ -226,6 +231,8 @@ EMB_QUERIES = (
     "embedding_dim_correlation",
     "embedding_knn_classify",
     "embedding_label_outliers",
+    "label_centroid_similarity",
+    "hard_negative_mining",
 )
 
 
