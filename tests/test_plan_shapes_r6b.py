@@ -75,6 +75,28 @@ def test_packing_report_scan_shaped(spark):
     assert "MapInPandas" not in plan
 
 
+def test_pq_assignment_broadcasts_codebook(spark):
+    """The M x K codebook is KBs at any corpus size and must reach
+    the vectors as a broadcast (the crossJoins with the 8-row
+    subspace literal and 16-row codebook are deliberate BNLJ over
+    metadata); no Python, no cartesian, one partial-agg shuffle."""
+    plan = _plan(spark, "pq_codebook_assign")
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_pq_adc_search_is_equi_join_on_codes(spark):
+    """At search time the database side is CODES only: the lookup
+    table must join on (m, code) as a BroadcastHashJoin — the full
+    vectors are touched only for the 50-row-per-query re-rank and
+    the ground-truth scan."""
+    plan = _plan(spark, "pq_adc_recall_eval")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan
+
+
 def test_token_spectrum_two_aggregates_only(spark):
     """Term-count shuffle then a 6-group partial agg; the corpus
     total joins as a 1-row broadcast."""

@@ -233,6 +233,8 @@ EMB_QUERIES = (
     "embedding_label_outliers",
     "label_centroid_similarity",
     "hard_negative_mining",
+    "pq_codebook_assign",
+    "pq_adc_recall_eval",
 )
 
 
