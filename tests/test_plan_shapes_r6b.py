@@ -97,6 +97,16 @@ def test_pq_adc_search_is_equi_join_on_codes(spark):
     assert "MapInPandas" not in plan
 
 
+def test_matryoshka_probe_set_broadcasts(spark):
+    """One corpus scan crossed with the broadcast 10-query x 4-d
+    probe set: the corpus must never be on the broadcast side and
+    nothing may cartesian without a broadcast."""
+    plan = _plan(spark, "matryoshka_truncation_eval")
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # deliberate tiny probes
+
+
 def test_token_spectrum_two_aggregates_only(spark):
     """Term-count shuffle then a 6-group partial agg; the corpus
     total joins as a 1-row broadcast."""

@@ -235,6 +235,7 @@ EMB_QUERIES = (
     "hard_negative_mining",
     "pq_codebook_assign",
     "pq_adc_recall_eval",
+    "matryoshka_truncation_eval",
 )
 
 
