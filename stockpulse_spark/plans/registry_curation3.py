@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from stockpulse_spark.llmdata.hashing import word32_sql
 from stockpulse_spark.llmdata.similarity import _as_double, dot, norm
+from stockpulse_spark.operators.topk import salted_grouped_topk
 from stockpulse_spark.plans.registry import _r4, _r6, _register, _t
 from stockpulse_spark.plans.registry_ml import _DIMS, _d_cos
 
@@ -365,24 +366,14 @@ def q_doc_weighted_sample_by_source(
         "source",
         "n_chars",
         key.alias("samp_key"),
-        (F.expr(word32_sql("CAST(doc_id AS STRING)")) % 16).alias("salt"),
     )
-    w1 = Window.partitionBy("source", "salt").orderBy(
-        F.desc("samp_key"), F.asc("doc_id")
-    )
-    survivors = (
-        keyed.withColumn("rk1", F.row_number().over(w1))
-        .filter(F.col("rk1") <= 5)
-        .drop("salt", "rk1")
-    )
-    w2 = Window.partitionBy("source").orderBy(
-        F.desc("samp_key"), F.asc("doc_id")
-    )
-    return (
-        survivors.withColumn("rk", F.row_number().over(w2))
-        .filter(F.col("rk") <= 5)
-        .orderBy("source", "rk")
-    )
+    return salted_grouped_topk(
+        keyed,
+        ["source"],
+        [F.desc("samp_key"), F.asc("doc_id")],
+        5,
+        F.expr(word32_sql("CAST(doc_id AS STRING)")),
+    ).orderBy("source", "rk")
 
 
 @_register(

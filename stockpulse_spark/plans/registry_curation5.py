@@ -34,12 +34,13 @@ all-zero vector yields NULL cosine, never an ANSI divide.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stockpulse_spark.llmdata.hashing import word32_sql
 from stockpulse_spark.llmdata.similarity import _as_double, dot, norm
 from stockpulse_spark.operators.rank import with_global_rank
+from stockpulse_spark.operators.topk import salted_grouped_topk
 from stockpulse_spark.plans.registry import _r6, _register, _t
 from stockpulse_spark.plans.registry_ml import _DIMS, _D_DOT
 
@@ -428,35 +429,24 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dot(F.col("ae"), F.col("e"))
                 / (norm(F.col("ae")) * norm(F.col("e")))
             ).alias("cos_sim"),
-            (
-                F.expr(word32_sql("CAST(vec_id AS STRING)")) % 16
-            ).alias("salt"),
         )
         .filter(F.col("cos_sim").isNotNull())
     )
-    w1 = Window.partitionBy("anchor_id", "salt").orderBy(
-        F.desc("cos_sim"), F.asc("neg_id")
-    )
-    survivors = (
-        cand.withColumn("rk1", F.row_number().over(w1))
-        .filter(F.col("rk1") <= _K_NEG)
-        .drop("salt", "rk1")
-    )
-    w2 = Window.partitionBy("anchor_id").orderBy(
-        F.desc("cos_sim"), F.asc("neg_id")
+    topk = salted_grouped_topk(
+        cand,
+        ["anchor_id"],
+        [F.desc("cos_sim"), F.asc("neg_id")],
+        _K_NEG,
+        F.expr(word32_sql("CAST(neg_id AS STRING)")),
     )
     return (
-        survivors.withColumn(
-            "rk", F.row_number().over(w2).cast("long")
-        )
-        .filter(F.col("rk") <= _K_NEG)
-        .select(
+        topk.select(
             "anchor_id",
             "anchor_label",
             "neg_id",
             "neg_label",
             "cos_sim",
-            "rk",
+            F.col("rk").cast("long").alias("rk"),
         )
         .orderBy("anchor_id", "rk")
     )

@@ -100,6 +100,15 @@ QUERIES = [
     "audio_fingerprint_near_dup", "multimodal_curation_pipeline",
     "curriculum_order", "unattributed_purchases",
     "gopher_quality_rules", "source_epoch_plan",
+    # round-6 fifth wave: the hashed-unigram model build+apply, the
+    # in-row source-pair expansion, the distributed vocab rank, the
+    # PQ assignment (corpus x MxK broadcast) and its ADC search, and
+    # the prefix-cosine probe sweep — each one scan-shaped by
+    # construction; the smoke verifies none hides a super-linear term
+    "dsir_importance_weights", "cross_source_dup_matrix",
+    "vocab_coverage_curve", "hard_negative_mining",
+    "pq_codebook_assign", "pq_adc_recall_eval",
+    "matryoshka_truncation_eval", "token_frequency_spectrum",
 ]
 
 # SPARK_SMOKE_ONLY=q1,q2 restricts the run (fast iteration on a new
