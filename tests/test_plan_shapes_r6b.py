@@ -107,6 +107,25 @@ def test_matryoshka_probe_set_broadcasts(spark):
     assert "BroadcastNestedLoopJoin" in plan  # deliberate tiny probes
 
 
+def test_quantile_normalize_rank_join_shape(spark):
+    """The rank->value mapping must be an equi-join on the integer
+    target rank, every window partitioned (source key), no cartesian
+    and no Python. (The global-rank side runs through
+    with_global_rank, whose range-partitioned prefix-sum shape is
+    pinned by test_curriculum_order_never_single_task_window and
+    tests/test_rank_property.py; under this query's composition the
+    lazy localCheckpoint prints as an RDD scan, so the range exchange
+    is asserted there, not here.)"""
+    plan = _plan(spark, "quantile_normalize_doclen")
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan
+    # equi hash join on tr = gr (broadcast at test scale, shuffle at
+    # 100 TB — either way an equi-join, never nested-loop on rank)
+    assert "HashJoin [tr" in plan or "SortMergeJoin [tr" in plan
+    # both corpus windows carry the source partition key
+    assert "windowspecdefinition(source" in plan
+
+
 def test_token_spectrum_two_aggregates_only(spark):
     """Term-count shuffle then a 6-group partial agg; the corpus
     total joins as a 1-row broadcast."""

@@ -150,6 +150,8 @@ DOC_QUERIES = (
     "vocab_coverage_curve",
     "packing_efficiency_report",
     "token_frequency_spectrum",
+    "quantile_normalize_doclen",
+    "source_length_calibration",
 )
 
 
