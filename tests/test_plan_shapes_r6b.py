@@ -126,6 +126,27 @@ def test_quantile_normalize_rank_join_shape(spark):
     assert "windowspecdefinition(source" in plan
 
 
+def test_leakage_free_training_set_single_exchange(spark):
+    """No join: labels and features share ONE user_id exchange; the
+    RANGE frames and the lag window must all be partitioned on
+    user_id; no Python, no cartesian."""
+    plan = _plan(spark, "leakage_free_training_set")
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "windowspecdefinition(user_id" in plan
+
+
+def test_join_ivm_terms_are_equi_joins(spark):
+    """Every IVM term joins on the orderkey equi-key — a nested-loop
+    term would silently turn the delta maintenance quadratic."""
+    plan = _plan(spark, "join_ivm_delta_check")
+    assert "CartesianProduct" not in plan
+    # the 1-row certificate broadcast is the only nested-loop allowed
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "MapInPandas" not in plan
+
+
 def test_token_spectrum_two_aggregates_only(spark):
     """Term-count shuffle then a 6-group partial agg; the corpus
     total joins as a 1-row broadcast."""

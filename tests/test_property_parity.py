@@ -34,7 +34,7 @@ from tools.parity import compare, duck_con
 _N_EXAMPLES = int(os.environ.get("SP_HYP_EXAMPLES", "5"))
 
 VALUES = [None, -0.0, 0.0, 1.0, 2.5, -3.75, 100.0, 0.25, -0.5]
-TYPES = ["click", "view", None]
+TYPES = ["click", "view", "purchase", None]
 BASE = datetime(2024, 1, 1, 9, 30)
 
 row = st.tuples(
@@ -61,6 +61,7 @@ QUERIES = (
     "hourly_p95_by_type",
     "value_band_islands",
     "event_transition_matrix",
+    "leakage_free_training_set",
 )
 
 
@@ -323,6 +324,7 @@ wh_tables = st.tuples(
 )
 
 WH_QUERIES = (
+    "join_ivm_delta_check",
     "pricing_summary",
     "weighted_median_price",
     "gini_revenue_yearly",

@@ -109,6 +109,14 @@ QUERIES = [
     "vocab_coverage_curve", "hard_negative_mining",
     "pq_codebook_assign", "pq_adc_recall_eval",
     "matryoshka_truncation_eval", "token_frequency_spectrum",
+    # exact quantile normalization: per-source windows + the
+    # rank->value equi-join against the range-partitioned global
+    # rank — the window-vs-join balance is what to watch at 10x
+    "quantile_normalize_doclen", "packing_efficiency_report",
+    # round-6 sixth wave: the single-exchange point-in-time feature
+    # assembly and the five-term join-IVM certificate (five scans +
+    # five equi-joins — the term that grows is the full join itself)
+    "leakage_free_training_set", "join_ivm_delta_check",
 ]
 
 # SPARK_SMOKE_ONLY=q1,q2 restricts the run (fast iteration on a new
