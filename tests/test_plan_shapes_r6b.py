@@ -147,6 +147,17 @@ def test_join_ivm_terms_are_equi_joins(spark):
     assert "MapInPandas" not in plan
 
 
+def test_salted_join_is_shuffled_hash_on_salted_key(spark):
+    """The technique must actually run: ShuffledHashJoin (not a
+    broadcast that would make the salt a no-op at test scale) with
+    __salt in the join keys."""
+    plan = _plan(spark, "salted_skew_join_stats")
+    assert "ShuffledHashJoin" in plan
+    assert "__salt" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_token_spectrum_two_aggregates_only(spark):
     """Term-count shuffle then a 6-group partial agg; the corpus
     total joins as a 1-row broadcast."""

@@ -62,6 +62,7 @@ QUERIES = (
     "value_band_islands",
     "event_transition_matrix",
     "leakage_free_training_set",
+    "salted_skew_join_stats",
 )
 
 
