@@ -158,6 +158,15 @@ def test_salted_join_is_shuffled_hash_on_salted_key(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_audience_overlap_no_cartesian(spark):
+    """The pair skeleton comes from the user equi-join; estimates
+    attach via broadcasts — nothing may cross the distinct-user
+    table with itself without the user key."""
+    plan = _plan(spark, "audience_overlap_sketch")
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan
+
+
 def test_token_spectrum_two_aggregates_only(spark):
     """Term-count shuffle then a 6-group partial agg; the corpus
     total joins as a 1-row broadcast."""

@@ -63,6 +63,7 @@ QUERIES = (
     "event_transition_matrix",
     "leakage_free_training_set",
     "salted_skew_join_stats",
+    "audience_overlap_sketch",
 )
 
 
