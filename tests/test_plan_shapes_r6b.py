@@ -158,6 +158,17 @@ def test_salted_join_is_shuffled_hash_on_salted_key(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_cdc_chunk_dedup_one_scan_shape(spark):
+    """One scan, per-doc windows, one chunk-hash shuffle: no join of
+    the token table with anything data-sized (the mass total is a
+    1-row broadcast), no Python."""
+    plan = _plan(spark, "content_defined_chunk_dedup")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" not in plan
+    assert "windowspecdefinition(doc_id" in plan
+
+
 def test_audience_overlap_no_cartesian(spark):
     """The pair skeleton comes from the user equi-join; estimates
     attach via broadcasts — nothing may cross the distinct-user

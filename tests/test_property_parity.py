@@ -155,6 +155,7 @@ DOC_QUERIES = (
     "token_frequency_spectrum",
     "quantile_normalize_doclen",
     "source_length_calibration",
+    "content_defined_chunk_dedup",
 )
 
 
