@@ -117,6 +117,7 @@ QUERIES = [
     # assembly and the five-term join-IVM certificate (five scans +
     # five equi-joins — the term that grows is the full join itself)
     "leakage_free_training_set", "join_ivm_delta_check",
+    "audience_overlap_sketch", "content_defined_chunk_dedup",
 ]
 
 # SPARK_SMOKE_ONLY=q1,q2 restricts the run (fast iteration on a new
