@@ -67,3 +67,21 @@ def corr_nn(x: Column | str, y: Column | str) -> Column:
         F.covar_pop(xm, ym),
         F.nullif(F.stddev_pop(xm) * F.stddev_pop(ym), F.lit(0.0)),
     )
+
+
+def nan_nn(x: Column | str) -> Column:
+    """NaN -> NULL for a double measure (a NaN observation is sensor
+    garbage, not a value): the guard that keeps downstream integer
+    snaps (`CAST(round(x*100) AS BIGINT)` raises CAST_OVERFLOW on NaN
+    under Spark ANSI, and a Conversion Error in DuckDB) and DuckDB's
+    STDDEV/VAR family (which RAISES "out of range" on NaN input while
+    Spark returns NaN) total. Oracle twin:
+    `CASE WHEN isnan(x) THEN NULL ELSE x END`.
+
+    Round-7 note: the SPARK_GRAFT_FUZZ_NAN=1 census (ADVICE.md) lists
+    every query still reading the raw measure; apply this helper + the
+    oracle twin there and the NaN class closes like the NULL class
+    did.
+    """
+    x = _c(x)
+    return F.nanvl(x, F.lit(None).cast("double"))

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import nan_nn
 from stockpulse_spark.plans.registry import _r2, _register, _t
 
 _7D_US = 7 * 24 * 3600 * 1_000_000
@@ -33,7 +34,7 @@ _7D_US = 7 * 24 * 3600 * 1_000_000
     WITH ev AS (
       SELECT event_id, user_id, ts, event_type,
              epoch_us(ts) AS us,
-             CASE WHEN value IS NULL THEN NULL
+             CASE WHEN value IS NULL OR isnan(value) THEN NULL
                   ELSE CAST(round(value * 100) AS BIGINT) END AS cents
       FROM events WHERE ts IS NOT NULL
     ), feat AS (
@@ -89,9 +90,11 @@ def q_leakage_free_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts",
             "event_type",
             F.expr("unix_micros(ts)").alias("us"),
+            # nan_nn: a NaN spend is garbage, not money — and the
+            # cents snap would raise CAST_OVERFLOW on it (ANSI)
             F.when(
-                F.col("value").isNotNull(),
-                F.round(F.col("value") * 100).cast("bigint"),
+                nan_nn("value").isNotNull(),
+                F.round(nan_nn("value") * 100).cast("bigint"),
             ).alias("cents"),
         )
     )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import nan_nn
 from stockpulse_spark.llmdata.hashing import word32_sql
 from stockpulse_spark.plans.registry import _register, _t
 
@@ -33,7 +34,7 @@ _SALTS = 8
       FROM events GROUP BY user_id
     ), fact AS (
       SELECT event_id, user_id, event_type,
-             CASE WHEN value IS NULL THEN NULL
+             CASE WHEN value IS NULL OR isnan(value) THEN NULL
                   ELSE CAST(round(value * 100) AS BIGINT) END AS cents
       FROM events
     )
@@ -77,8 +78,8 @@ def q_salted_skew_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         F.when(
-            F.col("value").isNotNull(),
-            F.round(F.col("value") * 100).cast("bigint"),
+            nan_nn("value").isNotNull(),
+            F.round(nan_nn("value") * 100).cast("bigint"),
         ).alias("cents"),
         (
             F.expr(word32_sql("CAST(event_id AS STRING)")) % _SALTS
