@@ -26,7 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn
+from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn, nan_nn
 
 from stockpulse_spark.sources.tables import load_table
 
@@ -236,33 +236,38 @@ WITH bars AS (
   -- HAVING: an hour with no non-NULL price forms no bar (arg_max
   -- skips NULLs, so close IS NULL <=> every value in the bucket was
   -- NULL); a NULL bar inside a recursive kernel (EMA/MACD) would
-  -- poison the rest of the series in one engine and not the other
+  -- poison the rest of the series in one engine and not the other.
+  -- NaN ticks are sensor garbage, not trades: masked like NULL at
+  -- the bar boundary (DuckDB's stddev RAISES on NaN input while
+  -- Spark returns NaN, so a NaN entering any bar would shear every
+  -- downstream moment aggregate between engines).
   SELECT
     user_id,
     date_trunc('hour', ts) AS bucket_start,
-    first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL)     AS open,
-    max(value)             AS high,
-    min(value)             AS low,
-    last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL)     AS close,
+    first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value))     AS open,
+    max(value) FILTER (WHERE NOT isnan(value))             AS high,
+    min(value) FILTER (WHERE NOT isnan(value))             AS low,
+    last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value))     AS close,
     count(*)               AS volume
   FROM events
   GROUP BY user_id, date_trunc('hour', ts)
-  HAVING last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) IS NOT NULL
+  HAVING last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) IS NOT NULL
 )
 """
 
 
 def _hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    v = nan_nn("value")
     return (
         ev.groupBy(
             "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_start")
         )
         .agg(
-            min_by_nn("value", "ts").alias("open"),
-            F.max("value").alias("high"),
-            F.min("value").alias("low"),
-            max_by_nn("value", "ts").alias("close"),
+            min_by_nn(v, "ts").alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            max_by_nn(v, "ts").alias("close"),
             F.count(F.lit(1)).alias("volume"),
         )
         # mirror the oracle's HAVING: no bar for an all-NULL hour
@@ -490,10 +495,13 @@ def q_duplicate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "quality_clean",
     oracle="""
+    -- NOT isnan: a NaN price must not pass a quality gate; pinned
+    -- explicitly because the engines disagree on NaN > 0 (Spark
+    -- false, DuckDB true)
     SELECT event_id, ts, user_id, event_type, value
     FROM events
     WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
-      AND value > 0
+      AND NOT isnan(value) AND value > 0
     """,
     tags=("filter",),
     doc="reference P9 (preprocessing_pipeline.py:124-135): null drop + "
@@ -503,7 +511,9 @@ def q_quality_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    return ev.na.drop(subset=["value", "ts", "user_id"]).filter(F.col("value") > 0)
+    return ev.na.drop(subset=["value", "ts", "user_id"]).filter(
+        ~F.isnan("value") & (F.col("value") > 0)
+    )
 
 
 @_register(
@@ -562,7 +572,7 @@ def q_time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            MAX(ts)            AS latest_ts,
-           last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) AS latest_value,
+           last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS latest_value,
            COUNT(*)           AS n_events
     FROM events
     GROUP BY user_id
@@ -579,7 +589,7 @@ def q_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id")
         .agg(
             F.max("ts").alias("latest_ts"),
-            max_by_nn("value", "ts").alias("latest_value"),
+            max_by_nn(nan_nn("value"), "ts").alias("latest_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("user_id")
@@ -620,13 +630,17 @@ def q_hourly_volume_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "summary_stats",
     oracle="""
+    -- NaN measures are masked like NULL (DuckDB STDDEV raises on
+    -- NaN input; Spark returns NaN) — n still counts every row
     SELECT event_type,
-           ROUND(MIN(value), 6)         AS min_value,
-           ROUND(AVG(value), 6)         AS mean_value,
-           ROUND(MAX(value), 6)         AS max_value,
-           ROUND(STDDEV_SAMP(value), 6) AS std_value,
-           COUNT(*)                     AS n
-    FROM events
+           ROUND(MIN(v), 6)         AS min_value,
+           ROUND(AVG(v), 6)         AS mean_value,
+           ROUND(MAX(v), 6)         AS max_value,
+           ROUND(STDDEV_SAMP(v), 6) AS std_value,
+           COUNT(*)                 AS n
+    FROM (SELECT event_type,
+                 CASE WHEN isnan(value) THEN NULL ELSE value END AS v
+          FROM events)
     GROUP BY event_type
     ORDER BY event_type
     """,
@@ -640,10 +654,10 @@ def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            _r6(F.min("value")).alias("min_value"),
-            _r6(F.avg("value")).alias("mean_value"),
-            _r6(F.max("value")).alias("max_value"),
-            _r6(F.stddev_samp("value")).alias("std_value"),
+            _r6(F.min(nan_nn("value"))).alias("min_value"),
+            _r6(F.avg(nan_nn("value"))).alias("mean_value"),
+            _r6(F.max(nan_nn("value"))).alias("max_value"),
+            _r6(F.stddev_samp(nan_nn("value"))).alias("std_value"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("event_type")
@@ -684,10 +698,10 @@ def q_ohlcv_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(ts AS DATE)   AS date,
-           ROUND(first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL), 6) AS open,
+           ROUND(first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)), 6) AS open,
            ROUND(max(value), 6)         AS high,
            ROUND(min(value), 6)         AS low,
-           ROUND(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL), 6) AS close,
+           ROUND(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)), 6) AS close,
            count(*)                     AS volume
     FROM events
     GROUP BY user_id, CAST(ts AS DATE)
@@ -701,10 +715,10 @@ def q_ohlcv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id", F.to_date("ts").alias("date"))
         .agg(
-            _r6(min_by_nn("value", "ts")).alias("open"),
+            _r6(min_by_nn(nan_nn("value"), "ts")).alias("open"),
             _r6(F.max("value")).alias("high"),
             _r6(F.min("value")).alias("low"),
-            _r6(max_by_nn("value", "ts")).alias("close"),
+            _r6(max_by_nn(nan_nn("value"), "ts")).alias("close"),
             F.count(F.lit(1)).alias("volume"),
         )
         .orderBy("user_id", "date")
@@ -753,7 +767,7 @@ def q_ma5_cma(spark: SparkSession, sf_dir: str) -> DataFrame:
     "eod_ma5_join",
     oracle="""
     WITH eod AS (
-      SELECT user_id, CAST(ts AS DATE) AS date, last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) AS eod_close
+      SELECT user_id, CAST(ts AS DATE) AS date, last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS eod_close
       FROM events GROUP BY user_id, CAST(ts AS DATE)
     ), eod_ma AS (
       SELECT user_id, date,
@@ -774,7 +788,7 @@ def q_ma5_cma(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_eod_ma5_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
     eod = ev.groupBy("user_id", "date").agg(
-        max_by_nn("value", "ts").alias("eod_close")
+        max_by_nn(nan_nn("value"), "ts").alias("eod_close")
     )
     w = Window.partitionBy("user_id").orderBy("date").rowsBetween(-4, 0)
     eod_ma = eod.select(

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn
+from stockpulse_spark.functions.nullsafe import nan_nn, max_by_nn, min_by_nn
 
 from stockpulse_spark.operators.asof import asof_join
 from stockpulse_spark.plans.registry import _r6, _register, _t
@@ -18,7 +18,7 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
     "asof_prev_close",
     oracle="""
     WITH eod AS (
-      SELECT user_id, CAST(ts AS DATE) AS d, last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) AS prev_close,
+      SELECT user_id, CAST(ts AS DATE) AS d, last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS prev_close,
              CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY AS avail_ts
       FROM events GROUP BY user_id, CAST(ts AS DATE)
     )
@@ -39,7 +39,7 @@ def q_asof_prev_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     eod = (
         ev.groupBy("user_id", F.to_date("ts").alias("d"))
-        .agg(max_by_nn("value", "ts").alias("prev_close"))
+        .agg(max_by_nn(nan_nn("value"), "ts").alias("prev_close"))
         .select(
             "user_id",
             "prev_close",
@@ -65,7 +65,7 @@ def q_asof_prev_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hb AS (
       SELECT user_id,
              date_trunc('hour', ts) + INTERVAL 1 HOUR AS avail_ts,
-             last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) AS hour_close
+             last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS hour_close
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
       GROUP BY user_id, date_trunc('hour', ts)
@@ -91,7 +91,7 @@ def q_asof_tolerance_hour_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     hb = (
         ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
-        .agg(max_by_nn("value", "ts").alias("hour_close"))
+        .agg(max_by_nn(nan_nn("value"), "ts").alias("hour_close"))
         .select(
             "user_id",
             "hour_close",
@@ -119,7 +119,7 @@ def q_asof_tolerance_hour_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH db AS (
       SELECT user_id,
              CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day_start,
-             first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) AS day_open
+             first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS day_open
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
       GROUP BY user_id, CAST(ts AS DATE)
@@ -145,7 +145,7 @@ def q_asof_forward_next_open(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = (
         ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .groupBy("user_id", F.to_date("ts").alias("d"))
-        .agg(min_by_nn("value", "ts").alias("day_open"))
+        .agg(min_by_nn(nan_nn("value"), "ts").alias("day_open"))
         .select("user_id", "day_open", F.to_timestamp("d").alias("day_start"))
     )
     joined = asof_join(
@@ -169,7 +169,7 @@ def q_asof_forward_next_open(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day_ts,
-             last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) AS day_close
+             last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS day_close
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
       GROUP BY user_id, CAST(ts AS DATE)
@@ -219,7 +219,7 @@ def q_asof_nearest_week_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
     daily = (
         clean.groupBy("user_id", F.to_date("ts").alias("d"))
-        .agg(max_by_nn("value", "ts").alias("day_close"))
+        .agg(max_by_nn(nan_nn("value"), "ts").alias("day_close"))
         .select("user_id", F.to_timestamp("d").alias("day_ts"), "day_close")
     )
     wk = (
@@ -294,7 +294,7 @@ def _eod_dim(ev: DataFrame) -> DataFrame:
     share: per-series daily closes, available from next midnight."""
     return (
         ev.groupBy("user_id", F.to_date("ts").alias("d"))
-        .agg(max_by_nn("value", "ts").alias("prev_close"))
+        .agg(max_by_nn(nan_nn("value"), "ts").alias("prev_close"))
         .select(
             "user_id",
             "prev_close",

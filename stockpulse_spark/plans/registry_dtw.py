@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn
+from stockpulse_spark.functions.nullsafe import nan_nn, max_by_nn, min_by_nn
 
 from stockpulse_spark.plans.registry import _r6, _register, _t
 
@@ -41,7 +41,7 @@ _INF = 10**15
     oracle=f"""
     WITH RECURSIVE daily AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
-             CAST(round(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) * 100) AS BIGINT) * 2 AS c2
+             CAST(round(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) * 100) AS BIGINT) * 2 AS c2
       FROM events GROUP BY 1, 2
     ), med AS (
       SELECT d, CAST(round(quantile_cont(c2, 0.5)) AS BIGINT) AS m2
@@ -110,7 +110,7 @@ def q_dtw_to_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
     ).agg(
-        (F.round(max_by_nn("value", "ts") * 100).cast("bigint") * 2).alias(
+        (F.round(max_by_nn(nan_nn("value"), "ts") * 100).cast("bigint") * 2).alias(
             "c2"
         )
     )
@@ -172,7 +172,7 @@ _SAX_BP = (-0.6745, 0.0, 0.6745)
     oracle=f"""
     WITH bars AS (
       SELECT user_id, date_trunc('hour', ts) AS h,
-             CAST(round(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) * 100) AS BIGINT) AS cents
+             CAST(round(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) * 100) AS BIGINT) AS cents
       FROM events GROUP BY 1, 2
     ), stats AS (
       SELECT user_id, COUNT(*) AS n, SUM(cents) AS s,
@@ -223,7 +223,7 @@ def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(
-        F.round(max_by_nn("value", "ts") * 100).cast("bigint").alias("cents")
+        F.round(max_by_nn(nan_nn("value"), "ts") * 100).cast("bigint").alias("cents")
     )
     stats = (
         bars.groupBy("user_id")

@@ -20,6 +20,9 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
            ROUND(quantile_cont(value, 0.75), 6) AS p75,
            ROUND(quantile_cont(value, 0.99), 6) AS p99
     FROM events
+    -- COALESCE keeps NULL-value rows (their group must survive);
+    -- NaN rows are excluded: engines disagree on NaN percentiles
+    WHERE COALESCE(NOT isnan(value), TRUE)
     GROUP BY event_type
     ORDER BY event_type
     """,
@@ -30,7 +33,9 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
     "oracle-checkable since sketch implementations differ.",
 )
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(
+        F.coalesce(~F.isnan("value"), F.lit(True))
+    )
     return (
         ev.groupBy("event_type")
         .agg(

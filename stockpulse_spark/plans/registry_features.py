@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import nan_nn
 from stockpulse_spark.plans.registry import _r6, _register, _t
 
 
@@ -29,7 +30,7 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
     oracle="""
     WITH e AS (
       SELECT event_id, event_type,
-             CAST(round(value * 100) AS BIGINT) AS cents
+             CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT) AS cents
       FROM events
     ), g AS (
       SELECT event_type, SUM(cents) AS s, COUNT(*) AS n
@@ -60,7 +61,7 @@ def q_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ev.select(
         "event_id",
         "event_type",
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.round(nan_nn("value") * 100).cast("bigint").alias("cents"),
     )
     g = e.groupBy("event_type").agg(
         F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
@@ -197,7 +198,9 @@ def q_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cut AS (
       SELECT quantile_cont(epoch_us(ts), 0.5) AS mid FROM events
     ), e AS (
-      SELECT e.event_type, e.value,
+      SELECT e.event_type,
+             CASE WHEN isnan(e.value) THEN NULL ELSE e.value END
+               AS value,
              CASE WHEN epoch_us(e.ts) <= c.mid THEN 0 ELSE 1 END AS period
       FROM events e, cut c
     ), edges AS (
@@ -246,7 +249,7 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = ev.agg(F.percentile(us, F.lit(0.5)).alias("mid"))
     e = ev.join(F.broadcast(cut)).select(
         "event_type",
-        "value",
+        nan_nn("value").alias("value"),
         F.when(us <= F.col("mid"), 0).otherwise(1).alias("period"),
     )
     qs = [i / 10.0 for i in range(1, 10)]

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import nan_nn
 from stockpulse_spark.plans.registry import _r6, _register, _t
 
 
@@ -29,7 +30,7 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
              COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE))
                AS n_active_days,
              COUNT(DISTINCT event_type) AS n_types,
-             SUM(CAST(round(value * 100) AS BIGINT)) AS cents,
+             SUM(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS cents,
              SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                AS n_purchases,
              min(ts) AS first_ts, max(ts) AS last_ts
@@ -72,7 +73,7 @@ def q_user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("day", "ts").cast("date")
         ).alias("n_active_days"),
         F.count_distinct("event_type").alias("n_types"),
-        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        F.sum(F.round(nan_nn("value") * 100).cast("bigint")).alias("cents"),
         F.sum(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("n_purchases"),
@@ -249,14 +250,18 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "seasonal_anomaly_rates",
     oracle="""
-    WITH b AS (
+    WITH ev AS (
+      SELECT * REPLACE (CASE WHEN isnan(value) THEN NULL
+                        ELSE value END AS value)
+      FROM events
+    ), b AS (
       SELECT event_type, hour(ts) AS hr,
              quantile_cont(value, 0.5) AS med
-      FROM events GROUP BY 1, 2
+      FROM ev GROUP BY 1, 2
     ), r AS (
       SELECT e.event_type, hour(e.ts) AS hr,
              abs(e.value - b.med) AS adev, e.value
-      FROM events e JOIN b ON e.event_type = b.event_type
+      FROM ev e JOIN b ON e.event_type = b.event_type
                           AND hour(e.ts) = b.hr
     ), m AS (
       SELECT event_type, hr, quantile_cont(adev, 0.5) AS mad
@@ -285,7 +290,7 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identical multisets.",
 )
 def q_seasonal_anomaly_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").withColumn("value", nan_nn("value"))
     b = ev.groupBy("event_type", F.hour("ts").alias("hr")).agg(
         F.percentile("value", F.lit(0.5)).alias("med")
     )

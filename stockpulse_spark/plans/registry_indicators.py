@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn
+from stockpulse_spark.functions.nullsafe import nan_nn, max_by_nn, min_by_nn
 
 from stockpulse_spark.functions.ema import add_macd_auto
 from stockpulse_spark.plans.registry import (
@@ -297,7 +297,7 @@ def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returns_volatility",
     oracle="""
     WITH daily AS (
-      SELECT user_id, CAST(ts AS DATE) AS date, last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) AS close
+      SELECT user_id, CAST(ts AS DATE) AS date, last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS close
       FROM events GROUP BY user_id, CAST(ts AS DATE)
     ), r AS (
       SELECT user_id, date, close,
@@ -319,7 +319,7 @@ def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_returns_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy("user_id", F.to_date("ts").alias("date")).agg(
-        max_by_nn("value", "ts").alias("close")
+        max_by_nn(nan_nn("value"), "ts").alias("close")
     )
     w0 = Window.partitionBy("user_id").orderBy("date")
     prev = F.lag("close", 1).over(w0)

@@ -657,11 +657,13 @@ _S_RISE = "least(s.psar + s.af * (s.ep - s.psar), s.p1l, s.p2l)"
 _S_FALL = "greatest(s.psar + s.af * (s.ep - s.psar), s.p1h, s.p2h)"
 _PSAR_ORACLE = f"""
 WITH RECURSIVE bars AS (
-  -- HAVING mirrors _BARS_CTE's no-empty-bar contract
+  -- HAVING mirrors _BARS_CTE's no-empty-bar contract (incl. the
+  -- NaN mask: NaN ticks are not trades)
   SELECT user_id, date_trunc('hour', ts) AS bucket_start,
-         max(value) AS high, min(value) AS low
+         max(value) FILTER (WHERE NOT isnan(value)) AS high,
+         min(value) FILTER (WHERE NOT isnan(value)) AS low
   FROM events GROUP BY user_id, date_trunc('hour', ts)
-  HAVING max(value) IS NOT NULL
+  HAVING max(value) FILTER (WHERE NOT isnan(value)) IS NOT NULL
 ), b AS (
   SELECT user_id, bucket_start, high, low,
          CAST(row_number() OVER (PARTITION BY user_id ORDER BY bucket_start) AS INTEGER) AS rn

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stockpulse_spark.llmdata.hashing import hex_to_int_sql
+from stockpulse_spark.functions.nullsafe import nan_nn
 from stockpulse_spark.plans.registry import _r6, _register, _t
 
 _B = 100  # bootstrap replicates
@@ -55,7 +56,7 @@ def _pois_case(u: str) -> str:
     WITH reps AS (
       SELECT e.event_type, b.b,
              {_pois_case(hex_to_int_sql("md5(CAST(e.event_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR))"))} AS w,
-             CAST(round(e.value * 100) AS BIGINT) AS cents
+             CAST(round((CASE WHEN isnan(e.value) THEN NULL ELSE e.value END) * 100) AS BIGINT) AS cents
       FROM events e
       CROSS JOIN (SELECT unnest(range(0, {_B})) AS b) b
     ), rm AS (
@@ -98,7 +99,7 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = ev.select(
         "event_type",
         "event_id",
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.round(nan_nn("value") * 100).cast("bigint").alias("cents"),
         F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b"),
     ).withColumn("w", F.expr(_pois_case(u)))
     rm = (
@@ -228,8 +229,9 @@ def q_segment_type_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conformal_interval_coverage",
     oracle=f"""
     WITH e AS (
-      SELECT event_type, hour(ts) AS hr, value,
-             CAST(round(value * 100) AS BIGINT) AS cents,
+      SELECT event_type, hour(ts) AS hr,
+             CASE WHEN isnan(value) THEN NULL ELSE value END AS value,
+             CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT) AS cents,
              {hex_to_int_sql("md5(CAST(event_id AS VARCHAR))", 8)} % 2
                AS split
       FROM events
@@ -281,8 +283,8 @@ def q_conformal_interval_coverage(
     e = ev.select(
         "event_type",
         F.hour("ts").alias("hr"),
-        "value",
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        nan_nn("value").alias("value"),
+        F.round(nan_nn("value") * 100).cast("bigint").alias("cents"),
         split,
     )
     model = (

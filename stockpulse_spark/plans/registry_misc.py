@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn
+from stockpulse_spark.functions.nullsafe import nan_nn, max_by_nn, min_by_nn
 
 from stockpulse_spark.operators.dedup import new_keys_only
 from stockpulse_spark.plans.registry import _r4, _r6, _register, _t
@@ -41,9 +41,9 @@ def q_new_keys_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            MAX(ts)                       AS latest_ts,
-           ROUND(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL), 6)  AS latest_value,
+           ROUND(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)), 6)  AS latest_value,
            ROUND(AVG(value), 6)          AS mean_value,
-           ROUND(100.0 * (last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) - AVG(value)) / AVG(value), 6) AS pct_vs_mean,
+           ROUND(100.0 * (last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) - AVG(value)) / AVG(value), 6) AS pct_vs_mean,
            COUNT(*)                      AS n_events
     FROM events
     GROUP BY user_id
@@ -54,7 +54,7 @@ def q_new_keys_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_live_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    last_v = max_by_nn("value", "ts")
+    last_v = max_by_nn(nan_nn("value"), "ts")
     return ev.groupBy("user_id").agg(
         F.max("ts").alias("latest_ts"),
         _r6(last_v).alias("latest_value"),
@@ -71,10 +71,10 @@ def q_live_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(date_trunc('week', ts) AS DATE) AS week_start,
-           ROUND(first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL), 6)  AS open,
+           ROUND(first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)), 6)  AS open,
            ROUND(max(value), 6)          AS high,
            ROUND(min(value), 6)          AS low,
-           ROUND(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL), 6)  AS close,
+           ROUND(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)), 6)  AS close,
            count(*)                      AS volume
     FROM events
     GROUP BY user_id, CAST(date_trunc('week', ts) AS DATE)
@@ -88,10 +88,10 @@ def q_ohlcv_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("week_start")
     ).agg(
-        _r6(min_by_nn("value", "ts")).alias("open"),
+        _r6(min_by_nn(nan_nn("value"), "ts")).alias("open"),
         _r6(F.max("value")).alias("high"),
         _r6(F.min("value")).alias("low"),
-        _r6(max_by_nn("value", "ts")).alias("close"),
+        _r6(max_by_nn(nan_nn("value"), "ts")).alias("close"),
         F.count(F.lit(1)).alias("volume"),
     )
 

@@ -139,8 +139,10 @@ def q_kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
            COUNT(*) AS n,
-           ROUND(quantile_cont(value, 0.95), 6) AS p95,
-           ROUND(quantile_cont(value, 0.99), 6) AS p99
+           ROUND(quantile_cont(CASE WHEN isnan(value) THEN NULL
+                               ELSE value END, 0.95), 6) AS p95,
+           ROUND(quantile_cont(CASE WHEN isnan(value) THEN NULL
+                               ELSE value END, 0.99), 6) AS p99
     FROM events
     GROUP BY event_type, hour(ts)
     ORDER BY event_type, hour_of_day
@@ -159,8 +161,16 @@ def q_hourly_p95_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type", F.hour("ts").cast("int").alias("hour_of_day"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _r6(F.expr("percentile(value, 0.95)")).alias("p95"),
-            _r6(F.expr("percentile(value, 0.99)")).alias("p99"),
+            _r6(
+                F.expr(
+                    "percentile(nanvl(value, cast(null as double)), 0.95)"
+                )
+            ).alias("p95"),
+            _r6(
+                F.expr(
+                    "percentile(nanvl(value, cast(null as double)), 0.99)"
+                )
+            ).alias("p99"),
         )
         .orderBy("event_type", "hour_of_day")
     )
@@ -228,19 +238,22 @@ def q_doc_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- row; o/h/l/c are unaffected because arg_min/arg_max/min/max
     -- skip NULLs anyway.
     WITH he AS (
-      SELECT user_id, date_trunc('hour', ts) AS h, COUNT(value) AS nv
+      -- nv counts REAL prices: NULL and NaN ticks alike form no bar
+      -- (the _BARS_CTE NaN-mask contract)
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             COUNT(CASE WHEN NOT isnan(value) THEN value END) AS nv
       FROM events GROUP BY 1, 2
     )
     SELECT e.user_id, CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day,
-           ROUND(first(e.value ORDER BY e.ts, e.value) FILTER (WHERE e.value IS NOT NULL), 6) AS open,
-           ROUND(max(e.value), 6)           AS high,
-           ROUND(min(e.value), 6)           AS low,
-           ROUND(last(e.value ORDER BY e.ts, e.value) FILTER (WHERE e.value IS NOT NULL), 6) AS close,
+           ROUND(first(e.value ORDER BY e.ts, e.value) FILTER (WHERE e.value IS NOT NULL AND NOT isnan(e.value)), 6) AS open,
+           ROUND(max(e.value) FILTER (WHERE NOT isnan(e.value)), 6)           AS high,
+           ROUND(min(e.value) FILTER (WHERE NOT isnan(e.value)), 6)           AS low,
+           ROUND(last(e.value ORDER BY e.ts, e.value) FILTER (WHERE e.value IS NOT NULL AND NOT isnan(e.value)), 6) AS close,
            COUNT(*) FILTER (WHERE he.nv > 0) AS volume
     FROM events e
     JOIN he ON e.user_id = he.user_id AND date_trunc('hour', e.ts) = he.h
     GROUP BY e.user_id, date_trunc('day', e.ts)
-    HAVING COUNT(e.value) > 0
+    HAVING COUNT(CASE WHEN NOT isnan(e.value) THEN e.value END) > 0
     ORDER BY e.user_id, day
     """,
     tags=("agg", "resample", "rollup"),

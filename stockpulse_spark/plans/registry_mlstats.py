@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import nan_nn
 from stockpulse_spark.plans.registry import _r6, _register, _t
 
 
@@ -157,11 +158,16 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "trimmed_stats_by_type",
     oracle="""
-    WITH b AS (
+    WITH ev AS (
+      -- NaN measures masked like NULL (nan_nn contract)
+      SELECT * REPLACE (CASE WHEN isnan(value) THEN NULL
+                        ELSE value END AS value)
+      FROM events
+    ), b AS (
       SELECT event_type,
              quantile_cont(value, 0.05) AS p05,
              quantile_cont(value, 0.95) AS p95
-      FROM events GROUP BY event_type
+      FROM ev GROUP BY event_type
     )
     SELECT e.event_type,
            COUNT(*) AS n,
@@ -171,7 +177,7 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(AVG(LEAST(GREATEST(e.value, b.p05), b.p95)), 6)
              AS mean_winsorized,
            ROUND(b.p05, 6) AS p05, ROUND(b.p95, 6) AS p95
-    FROM events e JOIN b USING (event_type)
+    FROM ev e JOIN b USING (event_type)
     GROUP BY e.event_type, b.p05, b.p95
     ORDER BY e.event_type
     """,
@@ -187,7 +193,7 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "single-pass 100 TB variant.",
 )
 def q_trimmed_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").withColumn("value", nan_nn("value"))
     b = ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.05)).alias("p05"),
         F.percentile("value", F.lit(0.95)).alias("p95"),
@@ -232,11 +238,11 @@ def q_trimmed_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (
       SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
              COUNT(*) AS n,
-             SUM(CAST(round(value * 100) AS BIGINT)) AS s,
-             SUM(CAST(round(value * 100) AS BIGINT)
-                 * CAST(round(value * 100) AS BIGINT)) AS s2,
-             MIN(CAST(round(value * 100) AS BIGINT)) AS mn,
-             MAX(CAST(round(value * 100) AS BIGINT)) AS mx
+             SUM(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS s,
+             SUM(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)
+                 * CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS s2,
+             MIN(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS mn,
+             MAX(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS mx
       FROM events GROUP BY 1, 2
     )
     SELECT event_type, week, n,
@@ -265,7 +271,7 @@ def q_trimmed_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_mergeable_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
+    cents = F.round(nan_nn("value") * 100).cast("bigint")
     daily = ev.groupBy(
         "event_type",
         F.date_trunc("day", "ts").alias("day"),
@@ -311,9 +317,9 @@ def q_mergeable_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT event_type, hour(ts) AS hr,
              COUNT(*) AS n_g,
-             SUM(CAST(round(value * 100) AS BIGINT)) AS s_g,
-             SUM(CAST(round(value * 100) AS BIGINT)
-                 * CAST(round(value * 100) AS BIGINT)) AS s2_g
+             SUM(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS s_g,
+             SUM(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)
+                 * CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS s2_g
       FROM events GROUP BY 1, 2
     ), parts AS (
       SELECT event_type, COUNT(*) AS k,
@@ -341,7 +347,7 @@ def q_mergeable_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_anova_hour_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
+    cents = F.round(nan_nn("value") * 100).cast("bigint")
     g = ev.groupBy("event_type", F.hour("ts").alias("hr")).agg(
         F.count(F.lit(1)).alias("n_g"),
         F.sum(cents).alias("s_g"),

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import nan_nn
 from stockpulse_spark.plans.registry import _r4, _r6, _register, _t
 
 
@@ -115,13 +116,18 @@ def q_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "value_mad_outliers",
     oracle="""
-    WITH med AS (
+    WITH ev AS (
+      -- NaN measures masked like NULL (nan_nn contract)
+      SELECT * REPLACE (CASE WHEN isnan(value) THEN NULL
+                        ELSE value END AS value)
+      FROM events
+    ), med AS (
       SELECT event_type, quantile_cont(value, 0.5) AS med
-      FROM events GROUP BY event_type
+      FROM ev GROUP BY event_type
     ), dev AS (
       SELECT e.event_type, e.value, m.med,
              abs(e.value - m.med) AS adev
-      FROM events e JOIN med m USING (event_type)
+      FROM ev e JOIN med m USING (event_type)
     ), mad AS (
       SELECT event_type, quantile_cont(adev, 0.5) AS mad
       FROM dev GROUP BY event_type
@@ -147,7 +153,7 @@ def q_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value_percentiles_approx does.",
 )
 def q_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").withColumn("value", nan_nn("value"))
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn
+from stockpulse_spark.functions.nullsafe import nan_nn, max_by_nn, min_by_nn
 
 from stockpulse_spark.plans.registry import (
     _BARS_CTE,
@@ -152,7 +152,7 @@ def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) AS close
+             last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS close
       FROM events GROUP BY 1, 2
     ), dd AS (
       SELECT user_id, day,
@@ -186,7 +186,7 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
-    ).agg(max_by_nn("value", "ts").alias("close"))
+    ).agg(max_by_nn(nan_nn("value"), "ts").alias("close"))
     wcum = (
         Window.partitionBy("user_id")
         .orderBy("day")

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stockpulse_spark.functions.nullsafe import corr_nn, max_by_nn, min_by_nn
+from stockpulse_spark.functions.nullsafe import nan_nn, corr_nn, max_by_nn, min_by_nn
 
 from stockpulse_spark.plans.registry import _r4, _r6, _register, _t
 
@@ -31,12 +31,12 @@ WITH daily AS (
   -- inside a recursive series (EMA/Heikin-Ashi) would poison every
   -- later row in one engine and not the other
   SELECT user_id, CAST(ts AS DATE) AS date,
-         first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) AS open,
-         max(value)         AS high,
-         min(value)         AS low,
-         last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) AS close
+         first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS open,
+         max(value) FILTER (WHERE NOT isnan(value))         AS high,
+         min(value) FILTER (WHERE NOT isnan(value))         AS low,
+         last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS close
   FROM events GROUP BY user_id, CAST(ts AS DATE)
-  HAVING last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) IS NOT NULL
+  HAVING last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) IS NOT NULL
 )
 """
 
@@ -48,10 +48,10 @@ def _daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id", F.to_date("ts").alias("date"))
         .agg(
-            min_by_nn("value", "ts").alias("open"),
-            F.max("value").alias("high"),
-            F.min("value").alias("low"),
-            max_by_nn("value", "ts").alias("close"),
+            min_by_nn(nan_nn("value"), "ts").alias("open"),
+            F.max(nan_nn("value")).alias("high"),
+            F.min(nan_nn("value")).alias("low"),
+            max_by_nn(nan_nn("value"), "ts").alias("close"),
         )
         # mirror the oracle's HAVING: no bar for an all-NULL day
         .filter(F.col("close").isNotNull())

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stockpulse_spark.functions.nullsafe import corr_nn, max_by_nn, min_by_nn
+from stockpulse_spark.functions.nullsafe import nan_nn, corr_nn, max_by_nn, min_by_nn
 
 from stockpulse_spark.plans.registry import _r6, _register, _t
 
@@ -34,9 +34,9 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
       -- HAVING: an all-NULL day has no close and contributes neither
       -- a pair slope nor a residual (mirrored on the Spark side)
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
-             last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) AS close
+             last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS close
       FROM events GROUP BY 1, 2
-      HAVING last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) IS NOT NULL
+      HAVING last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) IS NOT NULL
     ), dn AS (
       SELECT user_id, close,
              date_diff('day', DATE '1970-01-01', d) AS t
@@ -85,7 +85,7 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(
             "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
         )
-        .agg(max_by_nn("value", "ts").alias("close"))
+        .agg(max_by_nn(nan_nn("value"), "ts").alias("close"))
         .filter(F.col("close").isNotNull())
     )
     dn = daily.select(
@@ -137,7 +137,7 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH bars AS (
       SELECT user_id, date_trunc('hour', ts) AS bucket_start,
-             CAST(round(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) * 100) AS BIGINT) AS cents
+             CAST(round(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) * 100) AS BIGINT) AS cents
       FROM events GROUP BY 1, 2
     ), pre AS (
       SELECT user_id, bucket_start,
@@ -192,7 +192,7 @@ def q_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("bucket_start")
     ).agg(
-        F.round(max_by_nn("value", "ts") * 100)
+        F.round(max_by_nn(nan_nn("value"), "ts") * 100)
         .cast("bigint")
         .alias("cents")
     )
@@ -337,7 +337,7 @@ def q_acf_multilag(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE daily AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
-             CAST(round(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL) * 100) AS BIGINT) AS cents
+             CAST(round(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) * 100) AS BIGINT) AS cents
       FROM events GROUP BY 1, 2
     ), ua AS (
       SELECT user_id,
@@ -408,7 +408,7 @@ def q_isotonic_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
     ).agg(
-        F.round(max_by_nn("value", "ts") * 100).cast("bigint").alias("cents")
+        F.round(max_by_nn(nan_nn("value"), "ts") * 100).cast("bigint").alias("cents")
     )
     g = daily.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("d", "cents"))).alias("s")

@@ -13,20 +13,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import nan_nn
 from stockpulse_spark.plans.registry import _r6, _register, _t
 
 
 @_register(
     "seasonal_profile",
     oracle="""
-    WITH cells AS (
+    WITH ev AS (
+      -- NaN measures masked like NULL (engine contract; see
+      -- nullsafe.nan_nn) — COUNT(*) still counts every row
+      SELECT * REPLACE (CASE WHEN isnan(value) THEN NULL
+                        ELSE value END AS value)
+      FROM events
+    ), cells AS (
       SELECT event_type, isodow(ts) AS dow, hour(ts) AS hod,
              COUNT(*) AS n, AVG(value) AS cell_mean
-      FROM events GROUP BY 1, 2, 3
+      FROM ev GROUP BY 1, 2, 3
     ), tot AS (
       SELECT event_type, AVG(value) AS grand_mean,
              var_pop(value) AS total_var, COUNT(*) AS n_total
-      FROM events GROUP BY 1
+      FROM ev GROUP BY 1
     ), between_var AS (
       SELECT c.event_type,
              SUM(c.n * (c.cell_mean - t.grand_mean)
@@ -63,7 +70,7 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
     "+1 == DuckDB isodow).",
 )
 def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").withColumn("value", nan_nn("value"))
     cells = ev.groupBy(
         "event_type",
         (F.weekday("ts") + 1).alias("dow"),

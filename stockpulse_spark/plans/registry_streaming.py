@@ -16,7 +16,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn
+from stockpulse_spark.functions.nullsafe import nan_nn, max_by_nn, min_by_nn
 
 from stockpulse_spark.plans.registry import _register, _t
 from stockpulse_spark.sources.tables import load_table
@@ -59,7 +59,7 @@ def q_stream_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         deduped.groupBy("user_id", F.window("ts", "1 hour").alias("w"))
         .agg(
-            F.round(min_by_nn("value", "ts") * 1e6).alias("__o"),
+            F.round(min_by_nn(nan_nn("value"), "ts") * 1e6).alias("__o"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
             F.count(F.lit(1)).alias("volume"),
@@ -226,7 +226,7 @@ def q_session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), agg AS (
       SELECT date_trunc('hour', ts) AS bucket_start,
              user_id,
-             ROUND(first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL), 6) AS open,
+             ROUND(first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)), 6) AS open,
              MAX(value) AS high,
              MIN(value) AS low,
              COUNT(*) AS volume
@@ -255,7 +255,7 @@ def q_stream_dedup_hourly_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         dd.groupBy("user_id", F.window("ts", "1 hour").alias("w"))
         .agg(
-            (F.round(min_by_nn("value", "ts") * 1e6) / 1e6).alias("open"),
+            (F.round(min_by_nn(nan_nn("value"), "ts") * 1e6) / 1e6).alias("open"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
             F.count(F.lit(1)).alias("volume"),

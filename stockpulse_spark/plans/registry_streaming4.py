@@ -25,6 +25,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import nan_nn
 from stockpulse_spark.plans.registry import _r6, _register, _t
 from stockpulse_spark.sources.tables import load_table
 
@@ -32,7 +33,7 @@ from stockpulse_spark.sources.tables import load_table
 def _weekly_states(df: DataFrame) -> DataFrame:
     """Shared weekly-state aggregation (stream and batch sides):
     integer-cents power sums per (Monday-aligned 7-day window, type)."""
-    cents = F.round(F.col("value") * 100).cast("bigint")
+    cents = F.round(nan_nn("value") * 100).cast("bigint")
     return (
         df.groupBy(
             # epoch day 0 is a Thursday; startTime '4 days' aligns the
@@ -124,11 +125,11 @@ def q_stream_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_ts,
              COUNT(*) AS n,
-             SUM(CAST(round(value * 100) AS BIGINT)) AS s,
-             SUM(CAST(round(value * 100) AS BIGINT)
-                 * CAST(round(value * 100) AS BIGINT)) AS s2,
-             MIN(CAST(round(value * 100) AS BIGINT)) AS mn,
-             MAX(CAST(round(value * 100) AS BIGINT)) AS mx
+             SUM(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS s,
+             SUM(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)
+                 * CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS s2,
+             MIN(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS mn,
+             MAX(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS mx
       FROM events GROUP BY 1, 2
     ), wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS wm FROM events)
     SELECT CAST(week_ts AS DATE) AS week, event_type, n,

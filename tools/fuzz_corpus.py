@@ -80,16 +80,15 @@ def mutate_events(tbl: pa.Table) -> pa.Table:
         #    irreducible 1-ulp ambiguity, not a query bug.
         elif h < 40:
             d["value"][i] = float(eid % 3)
-        # 4b) OPT-IN NaN class (SPARK_GRAFT_FUZZ_NAN=1): planted on a
-        #     disjoint hash slice. OFF by default — the engines agree
-        #     on NaN ordering and sum-poisoning, but every
-        #     CAST(round(x*100) AS BIGINT) cents snap raises under
-        #     Spark ANSI and DuckDB alike, so turning this on is the
-        #     round-7 census tool, not part of the green gate yet.
+        # 4b) NaN measures (~0.5%): part of the standard gate since
+        #     the round-6 NaN campaign closed all 42 divergences (the
+        #     nan_nn contract: NaN ticks mask like NULL at every
+        #     measure read, cents snap, bar boundary, and moment
+        #     aggregate). SPARK_GRAFT_FUZZ_NAN=0 isolates the class.
         elif 40 <= h < 45:
             import os as _os  # local: the -0.0 branch shadows `os`
 
-            if _os.environ.get("SPARK_GRAFT_FUZZ_NAN", "0") == "1":
+            if _os.environ.get("SPARK_GRAFT_FUZZ_NAN", "1") != "0":
                 d["value"][i] = float("nan")
         # 5) NULL event_type on ~1%
         if 990 <= h:
