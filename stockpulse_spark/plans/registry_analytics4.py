@@ -211,6 +211,7 @@ _N_DIMS_CORR = 8
     oracle=f"""
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE embedding IS NULL OR len(list_filter(embedding, x -> isnan(x))) = 0
     ), dims AS (
       SELECT vec_id, p.pos - 1 AS pos, e[p.pos] AS val
       FROM v, (SELECT unnest(range(1, {_N_DIMS_CORR + 1})) AS pos) p
@@ -240,7 +241,10 @@ _N_DIMS_CORR = 8
     "in both engines (no per-cell re-scan).",
 )
 def q_embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _t(spark, sf_dir, "embeddings").select(
+    v = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNull()
+        | ~F.exists("embedding", lambda x: F.isnan(x))
+    ).select(
         "vec_id",
         F.slice(F.col("embedding").cast("array<double>"), 1, _N_DIMS_CORR)
         .alias("e"),

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import nan_nn
 from stockpulse_spark.plans.registry import _r4, _r6, _register, _t
 
 
@@ -28,7 +29,7 @@ from stockpulse_spark.plans.registry import _r4, _r6, _register, _t
     oracle="""
     WITH snap_a AS (
       SELECT o_orderkey,
-             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+             CAST(ROUND((CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END) * 100) AS BIGINT) AS cents
       FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
     ), snap_b AS (
       SELECT o_orderkey,
@@ -36,7 +37,7 @@ from stockpulse_spark.plans.registry import _r4, _r6, _register, _t
                           THEN cents // 20 ELSE 0 END AS cents
       FROM (
         SELECT o_orderkey,
-               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+               CAST(ROUND((CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END) * 100) AS BIGINT) AS cents
         FROM orders
         WHERE o_orderdate < TIMESTAMP '2001-01-01'
           AND o_orderkey % 11 != 0
@@ -67,7 +68,7 @@ from stockpulse_spark.plans.registry import _r4, _r6, _register, _t
 )
 def q_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cents = F.round(nan_nn("o_totalprice") * 100).cast("bigint")
     snap_a = o.filter(
         F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp")
     ).select("o_orderkey", cents.alias("cents"))

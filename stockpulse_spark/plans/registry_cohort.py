@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import nan_nn
 from stockpulse_spark.plans.registry import _r4, _register, _t
 
 
@@ -36,7 +37,7 @@ from stockpulse_spark.plans.registry import _r4, _register, _t
     ), rev AS (
       SELECT c.cohort_month,
              datediff('month', c.cohort_month, o.m) AS month_index,
-             CAST(ROUND(SUM(o.o_totalprice * 100)) AS BIGINT) AS rev_cents
+             CAST(ROUND(SUM((CASE WHEN isnan(o.o_totalprice) THEN NULL ELSE o.o_totalprice END) * 100)) AS BIGINT) AS rev_cents
       FROM om o JOIN cohorts c ON o.o_custkey = c.o_custkey
       GROUP BY c.cohort_month, datediff('month', c.cohort_month, o.m)
     )
@@ -84,7 +85,7 @@ def q_cohort_ltv_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("month_index"),
         )
         .agg(
-            F.round(F.sum(F.col("o_totalprice") * 100))
+            F.round(F.sum(nan_nn("o_totalprice") * 100))
             .cast("bigint")
             .alias("rev_cents")
         )
@@ -117,7 +118,7 @@ def q_cohort_ltv_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
              datediff('day', MAX(o_orderdate),
                       (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
              COUNT(*) AS frequency,
-             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary
+             SUM(CAST(round((CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END) * 100) AS BIGINT)) AS monetary
       FROM orders GROUP BY o_custkey
     ), scored AS (
       SELECT o_custkey, monetary,
@@ -163,7 +164,7 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             # boundaries at sf0.1 AND can reorder m_score ties —
             # exact integer cents make both deterministic
             F.sum(
-                F.round(F.col("o_totalprice") * 100).cast("bigint")
+                F.round(nan_nn("o_totalprice") * 100).cast("bigint")
             ).alias("monetary"),
         )
     )

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import nan_nn
 from stockpulse_spark.plans.registry import _r4, _r6, _register, _t
 
 
@@ -92,7 +93,7 @@ def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- parallel window sort (flips ends run-to-run) and at the
       -- opposite end by Spark — excluded on both engines
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
-             CAST(ROUND(SUM(o_totalprice * 100)) AS BIGINT) AS cents
+             CAST(ROUND(SUM((CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END) * 100)) AS BIGINT) AS cents
       FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ), trended AS (
       SELECT m, cents,
@@ -132,7 +133,7 @@ def q_revenue_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = o.groupBy(
         F.trunc("o_orderdate", "month").alias("m")
     ).agg(
-        F.round(F.sum(F.col("o_totalprice") * 100))
+        F.round(F.sum(nan_nn("o_totalprice") * 100))
         .cast("bigint")
         .alias("cents")
     )

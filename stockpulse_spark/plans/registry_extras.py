@@ -317,7 +317,10 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_quantize_int8",
     oracle="""
     WITH v AS (
+      -- any-NaN vectors are corrupt and excluded (NULL rows kept:
+      -- their scale/q8 stay NULL as before)
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE embedding IS NULL OR len(list_filter(embedding, x -> isnan(x))) = 0
     ), s AS (
       SELECT vec_id, e,
              list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
@@ -349,7 +352,10 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Column expressions, narrow (no shuffle).",
 )
 def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNull()
+        | ~F.exists("embedding", lambda x: F.isnan(x))
+    ).select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     )
     scale = (

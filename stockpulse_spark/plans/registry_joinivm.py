@@ -22,6 +22,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import nan_nn
 from stockpulse_spark.plans.registry import _register, _t
 
 # deterministic split predicates (any key-stable predicate works; mod
@@ -30,7 +31,7 @@ _O_DELTA = "o_orderkey % 7 = 0"
 _L_DELTA = "l_orderkey % 10 = 0"
 
 _CENTS = (
-    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    "CAST(round((CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END) * 100) AS BIGINT)"
 )
 
 
@@ -87,7 +88,7 @@ def q_join_ivm_delta_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         F.when(
             F.col("l_extendedprice").isNotNull(),
-            F.round(F.col("l_extendedprice") * 100).cast("bigint"),
+            F.round(nan_nn("l_extendedprice") * 100).cast("bigint"),
         ).alias("cents"),
     )
     o_delta = F.expr(_O_DELTA)

@@ -205,6 +205,7 @@ def q_sliding_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(l_quantity AS BIGINT) AS wt
       FROM lineitem
       WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND NOT isnan(l_extendedprice)
     ), c AS (
       SELECT l_returnflag, price, wt,
              SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY price
@@ -236,6 +237,7 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = li.filter(
         F.col("l_extendedprice").isNotNull()
         & F.col("l_quantity").isNotNull()
+        & ~F.isnan("l_extendedprice")
     ).select(
         "l_returnflag",
         F.col("l_extendedprice").alias("price"),

@@ -49,6 +49,7 @@ def _d_cos(a: str, b: str) -> str:
     oracle=f"""
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE embedding IS NULL OR len(list_filter(embedding, x -> isnan(x))) = 0
     ), c0 AS (
       SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < {_K}
     ), a1 AS (
@@ -91,6 +92,10 @@ def _d_cos(a: str, b: str) -> str:
 def q_kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = (
         _t(spark, sf_dir, "embeddings")
+        .filter(
+            F.col("embedding").isNull()
+        | ~F.exists("embedding", lambda x: F.isnan(x))
+        )
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", _as_double(F.col("embedding")).alias("e"))
     )

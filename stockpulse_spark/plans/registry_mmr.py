@@ -49,6 +49,7 @@ def _d_mmr_step(prev: str, sel_ids: str) -> str:
     oracle=f"""
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE embedding IS NULL OR len(list_filter(embedding, x -> isnan(x))) = 0
     ), q AS (
       SELECT e FROM v WHERE vec_id = 0
     ), cand AS (
@@ -85,7 +86,10 @@ def _d_mmr_step(prev: str, sel_ids: str) -> str:
     "greedy argmax chain stays deterministic across engines.",
 )
 def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _t(spark, sf_dir, "embeddings").select(
+    v = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNull()
+        | ~F.exists("embedding", lambda x: F.isnan(x))
+    ).select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     )
     q = v.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))

@@ -52,9 +52,15 @@ _S_SUBD2 = (
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # any-NaN vectors are corrupt uploads: excluded like NULL vectors
+    # (a NaN element would poison every subspace distance and crash
+    # the micro-quantizing integer cast in both engines)
     return (
         _t(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())
+        .filter(
+            F.col("embedding").isNotNull()
+            & ~F.exists("embedding", lambda x: F.isnan(x))
+        )
         .select("vec_id", _as_double(F.col("embedding")).alias("e"))
     )
 
@@ -66,6 +72,7 @@ _ASSIGN_CTE = f"""
     v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
       WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> isnan(x))) = 0
     ), cb AS (
       SELECT vec_id AS code, e AS c FROM v WHERE vec_id < {_K}
     ), cand AS (

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import nan_nn
 from stockpulse_spark.plans.registry import _r6, _register, _t
 
 
@@ -86,7 +87,8 @@ def q_user_cohort_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH o AS (
       SELECT o_orderdate AS d, COUNT(*) AS n_orders,
-             ROUND(SUM(o_totalprice), 2) AS order_value
+             ROUND(SUM(CASE WHEN isnan(o_totalprice) THEN NULL
+                       ELSE o_totalprice END), 2) AS order_value
       FROM orders GROUP BY o_orderdate
     ), s AS (
       SELECT l_shipdate AS d, COUNT(*) AS n_shipments
@@ -109,7 +111,7 @@ def q_daily_order_ship_reconciliation(spark: SparkSession, sf_dir: str) -> DataF
     lineitem = _t(spark, sf_dir, "lineitem")
     o = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        (F.round(F.sum("o_totalprice") * 100) / 100).alias("order_value"),
+        (F.round(F.sum(nan_nn("o_totalprice")) * 100) / 100).alias("order_value"),
     )
     s = lineitem.groupBy(F.col("l_shipdate").alias("d")).agg(
         F.count(F.lit(1)).alias("n_shipments")

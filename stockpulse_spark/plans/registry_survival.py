@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import nan_nn
 from stockpulse_spark.plans.registry import _r2, _r6, _register, _t
 
 # censoring rule: a customer whose last order falls within this many
@@ -163,8 +164,10 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- would otherwise put a NULL cents into the rank ORDER BY
       -- where Spark (NULLS FIRST) and DuckDB (NULLS LAST) disagree
       SELECT year(o_orderdate) AS o_year, o_custkey,
-             CAST(SUM(round(o_totalprice * 100)) AS BIGINT) AS cents
-      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+             CAST(SUM(round((CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END) * 100)) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+      GROUP BY 1, 2
     ), ranked AS (
       SELECT o_year, cents,
              ROW_NUMBER() OVER (PARTITION BY o_year
@@ -195,12 +198,12 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_gini_revenue_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(
-        F.col("o_totalprice").isNotNull()
+        F.col("o_totalprice").isNotNull() & ~F.isnan("o_totalprice")
     )
     rev = o.groupBy(
         F.year("o_orderdate").alias("o_year"), "o_custkey"
     ).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100))
+        F.sum(F.round(nan_nn("o_totalprice") * 100))
         .cast("bigint")
         .alias("cents")
     )

@@ -52,6 +52,12 @@ UNICODE_TEXT = (
 )
 
 
+def _nan_on() -> bool:
+    """The NaN class is part of the standard gate (round-6 campaign);
+    SPARK_GRAFT_FUZZ_NAN=0 isolates it for bisecting."""
+    return os.environ.get("SPARK_GRAFT_FUZZ_NAN", "1") != "0"
+
+
 def mutate_events(tbl: pa.Table) -> pa.Table:
     d = tbl.to_pydict()
     n = len(d["event_id"])
@@ -134,6 +140,12 @@ def mutate_embeddings(tbl: pa.Table) -> pa.Table:
         elif h < 30:
             # NULL vector: must flow as NULL cosine/bucket, never crash
             d["embedding"][i] = None
+        elif h < 35 and _nan_on():
+            # one NaN element: folds/norms go NaN — both engines must
+            # route it identically (rank positions, guards)
+            v = list(d["embedding"][i])
+            v[vid % dim] = float("nan")
+            d["embedding"][i] = v
     return pa.table(d, schema=tbl.schema)
 
 
@@ -166,6 +178,8 @@ def mutate_lineitem(tbl: pa.Table) -> pa.Table:
             d["l_extendedprice"][i] = 0.0  # zero price: ratio hazards
         elif h < 45:
             d["l_shipdate"][i] = None  # NULL date -> NULL trunc keys
+        elif h < 48 and _nan_on():
+            d["l_extendedprice"][i] = float("nan")  # NaN money
         if 990 <= h:
             d["l_returnflag"][i] = None  # NULL group/order key
         elif 980 <= h < 990:
@@ -184,6 +198,8 @@ def mutate_orders(tbl: pa.Table) -> pa.Table:
             d["o_totalprice"][i] = -0.0
         elif h < 25:
             d["o_orderdate"][i] = None
+        elif h < 28 and _nan_on():
+            d["o_totalprice"][i] = float("nan")
         if 990 <= h:
             d["o_orderpriority"][i] = None
         elif 985 <= h < 990:
@@ -200,6 +216,8 @@ def mutate_customer(tbl: pa.Table) -> pa.Table:
             d["c_acctbal"][i] = None
         elif h < 25:
             d["c_acctbal"][i] = -0.0
+        elif h < 28 and _nan_on():
+            d["c_acctbal"][i] = float("nan")
         if 990 <= h:
             d["c_mktsegment"][i] = None
     return pa.table(d, schema=tbl.schema)
