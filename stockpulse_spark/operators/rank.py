@@ -26,14 +26,24 @@ def with_global_rank(
 ) -> DataFrame:
     """Append a 1-based dense global row number ordered by
     `order_cols` (callers must make the order total — include a
-    tiebreak key).
+    tiebreak key).  A ``-`` prefix on a name orders that key
+    DESC NULLS LAST (matching DuckDB's DESC default) — prefer it over
+    negating a numeric key, which silently flips NaN placement
+    (``-NaN`` is still NaN, so negation sends NaN from rank 1 to
+    rank N).
 
-    Ordering is pinned ASC NULLS LAST in both the range partitioner
-    and the per-partition window: Spark's default is NULLS FIRST but
-    the DuckDB oracles (`ROW_NUMBER() ... ORDER BY`) default to NULLS
-    LAST, and the two subtrees must agree with each other regardless.
+    Ordering is pinned NULLS LAST for both directions in both the
+    range partitioner and the per-partition window: Spark's ASC
+    default is NULLS FIRST but the DuckDB oracles
+    (`ROW_NUMBER() ... ORDER BY`) default to NULLS LAST, and the two
+    subtrees must agree with each other regardless.
     """
-    ordering = [F.col(c).asc_nulls_last() for c in order_cols]
+    ordering = [
+        F.col(c[1:]).desc_nulls_last()
+        if c.startswith("-")
+        else F.col(c).asc_nulls_last()
+        for c in order_cols
+    ]
     part = (
         df.repartitionByRange(
             df.sparkSession.sparkContext.defaultParallelism, *ordering

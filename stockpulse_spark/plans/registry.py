@@ -116,63 +116,66 @@ def _register(
 # Driver-window rotation.  The driver's correctness gate samples the
 # FIRST 50 entries of queries() (dict insertion order); rotate via
 # tools/rotate_window.py each round until all oracle-backed queries
-# have driver rows.  Round 6 (113 never-checked remaining) leads with
-# the 7 streaming batch twins — so every rows-only streaming query
-# (T2/T6 semantics, SURVEY §2.8) is anchored by a driver-green twin —
-# then the new SRP-ANN recall certificate, then never-driver-checked
-# queries in registration order.  All 50 are first-time names; none
-# of round 5's 50 repeat.
+# have driver rows.  Round 7 (93 never-checked remaining after r06)
+# leads with `abandoned_views_batch` — the last streaming batch twin
+# without a driver row, closing the "every stateful streaming op has
+# a driver-hashed batch certificate" contract (VERDICT r06 item 7) —
+# then never-driver-checked queries in registration order, including
+# the two single-task-window fixes landed this round
+# (rfm_segmentation, pairwise_return_corr) so their reshaped plans
+# are driver-verified, not just locally parity-checked.  All 50 are
+# first-time names; none of round 6's 50 repeat.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    "purchase_attribution_batch",
-    "sliding_windows_batch",
-    "up_streak_batch",
-    "dedup_keys_batch",
-    "weekly_rollup_closed_batch",
-    "kalman_events_batch",
-    "enriched_segment_counts_batch",
-    "srp_ann_recall_certificate",
-    "small_quantity_revenue",
-    "sql_weekly_active_users",
-    "rsi_wilder",
-    "williams_r",
-    "mfi14",
-    "cci20",
-    "adx14",
-    "donchian20",
-    "keltner20",
-    "ichimoku",
-    "psar",
-    "value_rank_family",
-    "user_cohort_set_ops",
-    "rolling_1h_time_window",
-    "props_json_stats",
-    "window_offsets",
-    "salted_event_type_stats",
-    "local_supplier_revenue",
-    "cube_order_stats",
-    "event_funnel",
-    "weekly_retention",
-    "min_cost_supplier",
-    "important_parts",
-    "top_supplier_revenue",
-    "bloom_prefilter_semi_join",
-    "orders_merge_upsert",
-    "value_band_islands",
-    "value_histogram",
-    "scd2_point_in_time_join",
-    "rolling_corr20",
-    "cross_sectional_zscore",
-    "doc_fluency_filter",
-    "grouping_sets_revenue",
-    "unpivot_ohlc",
-    "twap_daily",
-    "max_drawdown",
-    "hourly_p95_by_type",
-    "ohlcv_daily_from_hourly",
-    "revenue_concentration",
-    "rolling_outliers",
-    "benford_first_digit",
-    "nation_trade_flows",
+    "abandoned_views_batch",
+    "asof_tolerance_hour_close",
+    "asof_forward_next_open",
+    "asof_nearest_week_anchor",
+    "nation_market_share",
+    "source_mixture_temperature",
+    "seasonal_profile",
+    "value_ntile_features",
+    "event_transition_matrix",
+    "revenue_wow_growth",
+    "zorder_clustering_stats",
+    "sliding_7d_active_users",
+    "funnel_conversion_latency",
+    "copurchase_pairs",
+    "rolling_beta20",
+    "hourly_count_autocorr",
+    "session_paths_topk",
+    "revenue_waterfall_monthly",
+    "shipping_priority",
+    "returned_item_report",
+    "profit_by_nation_year",
+    "promo_revenue_monthly",
+    "supplier_count_by_part",
+    "excess_quantity_suppliers",
+    "forecast_revenue_change",
+    "customer_order_distribution",
+    "waiting_suppliers",
+    "sharpe_sortino",
+    "var_cvar_95",
+    "rolling_skew_kurt20",
+    "pivot_points_daily",
+    "pairwise_return_corr",
+    "copurchase_triangles",
+    "heikin_ashi_daily",
+    "cusum_returns",
+    "table_profile_orders",
+    "leadlag_return_corr",
+    "cohort_ltv_monthly",
+    "rfm_segmentation",
+    "basket_affinity_lift",
+    "audio_features",
+    "media_resize",
+    "audio_silence_segments",
+    "revenue_seasonal_decompose",
+    "holt_linear_trend",
+    "holt_winters_additive",
+    "snapshot_diff_cdc",
+    "interpolate_linear_gaps",
+    "kalman_local_level",
+    "ewma_volatility",
 )
 
 

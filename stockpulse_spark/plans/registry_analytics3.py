@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.operators.rank import with_global_rank
 from stockpulse_spark.plans.registry import _hourly_bars, _r6, _register, _t
 
 _PCTS = (1, 5, 20)
@@ -45,20 +46,30 @@ _PCTS = (1, 5, 20)
     "(one row per threshold), deliberately NOT a running cumulative "
     "sum — plain SUM is order-free in both engines so the usual "
     "cumulative-float-association trap never arises. One customer "
-    "agg shuffle + one global rank of the catalog-sized result.",
+    "agg shuffle (pinned with localCheckpoint so the totals pass and "
+    "the rank pass share it); the global rank is distributed "
+    "(operators/rank.py::with_global_rank — range repartition + "
+    "prefix-sum, never a single-task sort of the customer frame) and "
+    "the two scalars broadcast back — nothing customer-sized ever "
+    "crosses one task.",
 )
 def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
-    wall = Window.partitionBy()
-    ranked = rev.select(
-        "revenue",
-        F.row_number()
-        .over(Window.partitionBy().orderBy(F.col("revenue").desc(), "o_custkey"))
-        .alias("rnk"),
-        F.count(F.lit(1)).over(wall).alias("n_total"),
-        F.sum("revenue").over(wall).alias("total_rev"),
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+        .localCheckpoint(eager=False)
     )
+    totals = rev.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("revenue").alias("total_rev"),
+    )
+    # "-revenue" = DESC NULLS LAST, identical (incl. NaN placement) to
+    # the oracle's ORDER BY revenue DESC under DuckDB's nulls-last
+    # default
+    ranked = with_global_rank(
+        rev, "-revenue", "o_custkey", rank_col="rnk"
+    ).crossJoin(F.broadcast(totals))
     pcts = spark.range(1).select(
         F.explode(F.array(*[F.lit(p) for p in _PCTS])).alias("pct")
     )

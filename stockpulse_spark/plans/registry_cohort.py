@@ -10,10 +10,11 @@ reference's blind spot.)"""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stockpulse_spark.functions.nullsafe import nan_nn
+from stockpulse_spark.operators.rank import with_global_rank
 from stockpulse_spark.plans.registry import _r4, _register, _t
 
 
@@ -143,10 +144,13 @@ def q_cohort_ltv_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="RFM segmentation: recency/frequency/monetary quintiles per "
     "customer (ntile with full custkey tie-break so the buckets are "
     "deterministic on both engines), rolled up to segment counts and "
-    "average spend. One fact shuffle to customer grain; the ntile "
-    "windows run on the customer-sized table. At 10^9 customers the "
-    "global ntile would become a percentile-cut join (same pattern "
-    "as value_ntile_features' documented scale path).",
+    "average spend. One fact shuffle to customer grain; each quintile "
+    "is a distributed global rank (operators/rank.py::with_global_rank"
+    " — range repartition + per-partition row_number + broadcast "
+    "prefix-sum) plus closed-form ntile arithmetic, so NO unbounded "
+    "frame ever crosses a single WindowExec task: at 10^9 customers "
+    "the three rank passes are three range shuffles of the "
+    "customer-grain table, not three single-task sorts.",
 )
 def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -168,26 +172,53 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("monetary"),
         )
     )
-    scored = per_cust.select(
-        "o_custkey",
-        "monetary",
-        F.ntile(5)
-        .over(
-            Window.orderBy(
-                F.asc_nulls_last("recency_days"), F.asc("o_custkey")
+    # Descending orderings re-expressed as ascending on the negated
+    # key (with_global_rank pins ASC NULLS LAST, matching the
+    # oracle's DESC NULLS LAST after negation — nulls stay null).
+    keyed = per_cust.withColumns(
+        {
+            "__negf": -F.col("frequency"),
+            "__negm": -F.col("monetary"),
+        }
+    ).localCheckpoint(eager=False)  # totals + 3 rank passes share it
+    ranked = with_global_rank(
+        keyed, "recency_days", "o_custkey", rank_col="__rr"
+    )
+    ranked = with_global_rank(ranked, "__negf", "o_custkey", rank_col="__fr")
+    ranked = with_global_rank(ranked, "__negm", "o_custkey", rank_col="__mr")
+    total = keyed.agg(F.count(F.lit(1)).alias("__n"))
+
+    def _ntile5(rank_col: str) -> Column:
+        # SQL NTILE(5) over N rows: the first N%5 buckets hold
+        # ceil(N/5) rows, the rest floor(N/5) — closed form from the
+        # global rank; ceil(a/b) = (a+b-1) div b in exact integer
+        # arithmetic (the when() guards the q=0 divisor: with N<5
+        # every rank falls in the first branch).
+        q, r, k = F.col("__q"), F.col("__r"), F.col(rank_col)
+        return (
+            F.when(k <= r * (q + F.lit(1)), F.expr(f"({rank_col} + __q) div (__q + 1)"))
+            .otherwise(
+                r
+                + F.expr(
+                    f"({rank_col} - __r * (__q + 1) + __q - 1)"
+                    " div greatest(__q, 1)"
+                )
             )
+            .cast("int")
         )
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(
-            Window.orderBy(
-                F.desc_nulls_last("monetary"), F.asc("o_custkey")
-            )
+
+    scored = (
+        ranked.join(F.broadcast(total))
+        .withColumns(
+            {"__q": F.expr("__n div 5"), "__r": F.col("__n") % 5}
         )
-        .alias("m_score"),
+        .select(
+            "o_custkey",
+            "monetary",
+            _ntile5("__rr").alias("r_score"),
+            _ntile5("__fr").alias("f_score"),
+            _ntile5("__mr").alias("m_score"),
+        )
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")

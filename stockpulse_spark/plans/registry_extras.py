@@ -430,7 +430,13 @@ def q_corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = toks.groupBy("term").agg(
         F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df")
     )
-    ranked = stats.select(
+    # orderBy().limit(k) plans as TakeOrderedAndProject — each task
+    # keeps a k-row heap, the driver merges 32 heaps.  The earlier
+    # row_number() form funneled EVERY distinct term (billions at
+    # 100 TB) through one WindowExec task.  The rank window below
+    # runs on the 20 surviving rows only — metadata-sized.
+    top = stats.orderBy(F.desc("tf"), F.asc("term")).limit(20)
+    return top.select(
         F.row_number()
         .over(Window.orderBy(F.col("tf").desc(), "term"))
         .cast("int")
@@ -439,7 +445,6 @@ def q_corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tf",
         "df",
     )
-    return ranked.filter(F.col("rank") <= 20)
 
 
 @_register(

@@ -432,16 +432,14 @@ def _liquid_returns(rets: DataFrame, top_n: int = 100) -> DataFrame:
     expansion — the stage that keeps pair screens bounded at ANY
     series cardinality. Integer sort key (n_days) with a full user_id
     tie-break so both engines elect the identical set."""
+    # orderBy().limit(N) plans as TakeOrderedAndProject (per-task
+    # top-N heaps, driver merge) — the earlier row_number() window
+    # moved every distinct user through ONE task before keeping 100.
     liquid = (
         rets.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_days"))
-        .select(
-            "user_id",
-            F.row_number()
-            .over(Window.orderBy(F.desc("n_days"), F.asc("user_id")))
-            .alias("lr"),
-        )
-        .filter(F.col("lr") <= top_n)
+        .orderBy(F.desc("n_days"), F.asc("user_id"))
+        .limit(top_n)
         .select("user_id")
     )
     return rets.join(F.broadcast(liquid), "user_id")

@@ -134,13 +134,13 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "suppliers) exceeds a global-scalar threshold — 2x the mean part "
     "value rather than Q11's fixed fraction of the total, so the "
     "selectivity is scale-invariant (a fixed fraction selects nothing "
-    "once the part catalog grows 10x). The global-scalar threshold is "
-    "an empty-partition window AVG over the per-part aggregate — NOT "
-    "a scalar subquery, which Spark would plan as a second full "
-    "scan+shuffle of the fact table (verified: the subquery form "
-    "scans lineitem twice). The window's single-partition exchange "
-    "moves only the catalog-sized aggregate (|parts| rows), so the "
-    "fact table is scanned and shuffled exactly once.",
+    "once the part catalog grows 10x). The per-part aggregate is "
+    "pinned with ONE localCheckpoint so the fact table is scanned and "
+    "shuffled exactly once (a scalar subquery would rescan it — "
+    "verified: that form scans lineitem twice); the threshold is then "
+    "a distributed partial-AVG over the pinned frame broadcast back "
+    "as one row, so the catalog-sized aggregate never funnels "
+    "through a single-partition window task.",
 )
 def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
@@ -151,10 +151,11 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
         .agg(F.sum("l_extendedprice").alias("part_value"))
+        .localCheckpoint(eager=False)
     )
-    cut = (F.avg("part_value").over(Window.partitionBy()) * 2.0).alias("__cut")
+    cut = pv.agg((F.avg("part_value") * 2.0).alias("__cut"))
     return (
-        pv.select("l_partkey", "part_value", cut)
+        pv.crossJoin(F.broadcast(cut))
         .filter(F.col("part_value") > F.col("__cut"))
         .select("l_partkey", _r4(F.col("part_value")).alias("part_value"))
         .orderBy(F.col("part_value").desc(), "l_partkey")

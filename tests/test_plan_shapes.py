@@ -420,6 +420,97 @@ def test_ann_recall_eval_broadcasts_query_side(spark):
     assert "CartesianProduct" not in plan
 
 
+#: Queries whose single-partition-fed Window is over a frame whose
+#: cardinality is BOUNDED independent of corpus size — the only case
+#: where funneling through one task is acceptable.  Every entry
+#: documents the bound; anything NOT listed that plans a Window over
+#: an `Exchange SinglePartition` fails the sweep below (the round-6
+#: audit found three such plans over customer/term/user grains — this
+#: gate keeps the class closed).
+BOUNDED_GLOBAL_WINDOWS = {
+    "training_data_pipeline_v2": "per-source token totals (|sources|)",
+    "doc_unigram_logprob": "unigram-vocab normalizer; the lp table is "
+    "broadcast right after, so it is broadcast-sized by construction",
+    "doc_fluency_filter": "same unigram-vocab normalizer (x2)",
+    "benford_first_digit": "9-row first-digit frame",
+    "source_sampling_weights": "per-source share frame (|sources|)",
+    "source_mixture_temperature": "per-source share frame (|sources|)",
+    "doc_token_budget_sample": "per-source quota frame (|sources|)",
+    "revenue_wow_growth": "weekly calendar frame",
+    "order_backlog_daily": "daily calendar frame",
+    "peak_concurrent_sessions_daily": "daily calendar frame",
+    "embedding_power_iteration": "embedding-dim-sized frame",
+    "revenue_seasonal_decompose": "monthly calendar frame",
+    "bpe_first_merge_stats": "adjacent-char-pair vocab (charset^2)",
+    "source_epoch_plan": "source x epoch frame",
+    "shard_assignment_balance": "16-row shard-balance frame",
+}
+
+
+def test_no_unbounded_single_partition_windows(spark):
+    """Sweep EVERY batch plan: a Window fed by an Exchange
+    SinglePartition moves its whole input frame through one task —
+    the pattern that dies first at 100x data.  Allowed only when the
+    frame is provably metadata-sized (BOUNDED_GLOBAL_WINDOWS, each
+    with the bound stated) or is with_global_rank's own prefix-sum
+    over the |partitions|-row offsets frame (recognized by its __pid
+    ordering key).  rfm_segmentation / corpus_top_terms /
+    pairwise_return_corr / revenue_concentration / important_parts
+    were rebuilt in round 7 to pass this; the gate turns the
+    WindowExec warning into a hard regression failure."""
+    import re
+
+    window_re = re.compile(r"\bWindow(?:Exec)?\s*\[|\sWindow \[")
+    violations = []
+    for name in REGISTRY:
+        plan = _plan(spark, name)
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if not window_re.search(line):
+                continue
+            if "__pid" in line:  # with_global_rank prefix-sum offsets
+                continue
+            fed_single = any(
+                "Exchange SinglePartition" in lines[j]
+                for j in range(i + 1, min(i + 4, len(lines)))
+            )
+            if fed_single and name not in BOUNDED_GLOBAL_WINDOWS:
+                violations.append((name, line.strip()[:100]))
+    assert not violations, violations
+
+
+def test_revenue_concentration_rank_is_distributed(spark):
+    """The customer-grain rank must ride the range-partitioned
+    prefix-sum machinery, never a single-task sort."""
+    plan = _plan(spark, "revenue_concentration")
+    assert "Exchange rangepartitioning" in plan
+
+
+def test_rfm_rank_is_distributed(spark):
+    """Three quintiles = three with_global_rank passes (the inner two
+    sit behind checkpoint boundaries, so the visible plan shows the
+    outermost: a __pid-partitioned row_number, never an ntile over an
+    unpartitioned window) + closed-form ntile arithmetic."""
+    plan = _plan(spark, "rfm_segmentation")
+    assert "ntile" not in plan
+    assert "__pid" in plan  # rank machinery engaged
+    assert "div" in plan  # closed-form quintile arithmetic
+
+
+def test_corpus_top_terms_take_ordered(spark):
+    """Top-20 terms must plan as TakeOrderedAndProject (per-task
+    heaps), not a global row_number sort of the term vocabulary."""
+    plan = _plan(spark, "corpus_top_terms")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_liquid_prune_take_ordered(spark):
+    """pairwise_return_corr's top-100 activity prune must be a
+    TakeOrdered, not a global row_number over every user."""
+    plan = _plan(spark, "pairwise_return_corr")
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_shard_assignment_single_shuffle(spark):
     """One partial-agg exchange on the shard key; the 16-row balance
     window is post-aggregation (driver-scale, single partition is
