@@ -138,6 +138,15 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    # host-drift normalization: every query reported as a multiple of
+    # this run's pricing_summary (the steadiest scan+agg in the set) —
+    # round-over-round comparisons divide out host speed, so a real
+    # plan regression shows as a ratio shift even when absolute times
+    # moved with the machine (round-6's 16.1s-vs-13.4s dispute was
+    # pure host factor and should have been settleable from the
+    # artifact alone)
+    calib = timings.get("pricing_summary") or min(timings.values())
+    ratios = {n: round(t / calib, 3) for n, t in timings.items()}
     print(
         json.dumps(
             {
@@ -147,6 +156,8 @@ def main() -> None:
                 "queries": timings,
                 "spread": spreads,
                 "median": medians,
+                "ratio_to_pricing_summary": ratios,
+                "calibration_query": "pricing_summary",
                 "skew_queries": skew_timings,
                 "skew_ratio": {
                     n: round(skew_timings[n] / timings[n], 3) for n in skew_timings

@@ -456,3 +456,53 @@ def exact_jaccard_pairs_inverted(
             ).alias("jaccard"),
         )
     )
+
+
+def capped_band_pairs(
+    fp: DataFrame,
+    band_cols: tuple[str, ...],
+    cap: int,
+    id_col: str = "vid",
+) -> DataFrame:
+    """Pigeonhole candidate pairs from per-item band values, with the
+    same boilerplate guard MinHash-LSH carries (`bucket_cap` above):
+    for EACH band, buckets holding more than `cap` items are excluded
+    from that band's equality join — a bucket that hot contributes
+    B^2/2 pairs on exactly the hottest key (the quadratic blow-up a
+    degenerate corpus plants), and its members still pair through
+    their other bands.  The over-cap set is bounded by the band-value
+    space (<= 256 keys for 8-bit bands), so it broadcasts as an
+    anti-join; nothing corpus-sized is re-shuffled to enforce the cap.
+
+    Output: (vid_1, vid_2, x0..x{k-1}, y0..y{k-1}) — both sides'
+    band values, deduplicated across bands, vid_1 < vid_2.
+    """
+    x_names = [f"x{i}" for i in range(len(band_cols))]
+    y_names = [f"y{i}" for i in range(len(band_cols))]
+    out: DataFrame | None = None
+    for col in band_cols:
+        hot = (
+            fp.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > cap)
+            .select(col)
+        )
+        ok = fp.join(F.broadcast(hot), [col], "left_anti")
+        a = ok.select(
+            F.col(id_col).alias("vid_1"),
+            *[F.col(c).alias(x) for c, x in zip(band_cols, x_names)],
+            F.col(col).alias("__k"),
+        )
+        b = ok.select(
+            F.col(id_col).alias("vid_2"),
+            *[F.col(c).alias(y) for c, y in zip(band_cols, y_names)],
+            F.col(col).alias("__k"),
+        )
+        j = (
+            a.join(b, "__k")
+            .filter(F.col("vid_1") < F.col("vid_2"))
+            .drop("__k")
+        )
+        out = j if out is None else out.unionAll(j)
+    assert out is not None
+    return out.distinct()

@@ -38,8 +38,10 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
 def q_asof_prev_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     eod = (
-        ev.groupBy("user_id", F.to_date("ts").alias("d"))
-        .agg(max_by_nn(nan_nn("value"), "ts").alias("prev_close"))
+        # NaN mask hoisted to one projection (see _hourly_bars note)
+        ev.withColumn("__v", nan_nn("value"))
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(max_by_nn("__v", "ts").alias("prev_close"))
         .select(
             "user_id",
             "prev_close",

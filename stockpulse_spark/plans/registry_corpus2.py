@@ -560,12 +560,17 @@ def q_source_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and the 5-gram-hash detector (decontamination_overlap's exact "
     "machinery) is scored per cohort. The boundary is the point: "
     "verbatim and 10-word spans must flag at 1.0 (any >=5-word "
-    "contiguous overlap survives shingling), the 4-word span at 0.0 "
-    "(structurally invisible to 5-gram hashing — the detector's "
-    "documented blind spot, why production stacks pair it with the "
-    "bloom funnel + fuzzy tiers), and clean_train shows the organic "
-    "false-positive base rate. Same join shape and scale posture as "
-    "decontamination_overlap (broadcast benchmark gram set).",
+    "contiguous overlap survives shingling), the 4-word span at "
+    "EXACTLY 0.0 — an asserted contract "
+    "(tests/test_llmdata.py::test_decontamination_recall_boundary "
+    "pins all four cohort rates), not a documented gap: 4-word "
+    "overlaps are deliberately out of scope because a 4-gram band "
+    "would ~1.25x the gram volume and flag mostly idiom-level "
+    "collocations (false-positive noise), while real sub-5-word "
+    "contamination is what the fuzzy MinHash tier exists to catch. "
+    "clean_train shows the organic false-positive base rate. Same "
+    "join shape and scale posture as decontamination_overlap "
+    "(broadcast benchmark gram set).",
 )
 def q_decontamination_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (

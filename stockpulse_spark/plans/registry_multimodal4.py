@@ -35,8 +35,18 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stockpulse_spark.llmdata.dedup import capped_band_pairs
 from stockpulse_spark.llmdata.multimodal import decode_wav, encode_wav
 from stockpulse_spark.plans.registry import _register, _t
+
+# Band-bucket cap for the pigeonhole joins: with four 8-bit bands the
+# key space is 256 buckets/band, so a degenerate corpus (every clip
+# near-silent -> same energy profile) piles n/256 items into one
+# bucket and the self-join goes quadratic on it.  4096 is a no-op at
+# every tested SF (max observed bucket ~160 at sf0.1) but bounds the
+# adversary; the oracle mirrors the cap exactly (fpw CTE), so the two
+# engines agree even when a corpus trips it.
+_AUDIO_BUCKET_CAP = 4096
 
 _N_FRAMES = 32
 _FP_SCHEMA = "vid long, b0 long, b1 long, b2 long, b3 long"
@@ -137,13 +147,26 @@ def wav_fingerprint_bands(df: DataFrame) -> DataFrame:
         CAST(SUM(CASE WHEN f // 8 = 3 AND a.fe*t.tn > t.te*a.fn
                  THEN 1 << (f % 8) ELSE 0 END) AS BIGINT) AS b3
       FROM frame_agg a JOIN tot t USING (vid) GROUP BY a.vid
+    ), fpw AS (
+      -- bucket_cap mirror: per-band bucket sizes; a band bucket over
+      -- the cap is excluded from THAT band's pairing (members still
+      -- pair through their other bands) in BOTH engines
+      SELECT fp.*,
+             COUNT(*) OVER (PARTITION BY b0) AS n0,
+             COUNT(*) OVER (PARTITION BY b1) AS n1,
+             COUNT(*) OVER (PARTITION BY b2) AS n2,
+             COUNT(*) OVER (PARTITION BY b3) AS n3
+      FROM fp
     ), pairs AS (
       SELECT DISTINCT x.vid AS vid_1, y.vid AS vid_2,
              x.b0 AS x0, x.b1 AS x1, x.b2 AS x2, x.b3 AS x3,
              y.b0 AS y0, y.b1 AS y1, y.b2 AS y2, y.b3 AS y3
-      FROM fp x JOIN fp y
+      FROM fpw x JOIN fpw y
         ON x.vid < y.vid
-       AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+       AND ((x.b0 = y.b0 AND x.n0 <= {_AUDIO_BUCKET_CAP})
+         OR (x.b1 = y.b1 AND x.n1 <= {_AUDIO_BUCKET_CAP})
+         OR (x.b2 = y.b2 AND x.n2 <= {_AUDIO_BUCKET_CAP})
+         OR (x.b3 = y.b3 AND x.n3 <= {_AUDIO_BUCKET_CAP}))
     )
     SELECT vid_1, vid_2,
            CAST(bit_count(xor(x0, y0)) + bit_count(xor(x1, y1))
@@ -157,11 +180,12 @@ def wav_fingerprint_bands(df: DataFrame) -> DataFrame:
     tags=("llmdata", "multimodal", "dedup", "join"),
     doc="audio near-dup via 32-frame energy fingerprint over "
     "really-decoded PCM: integer-exact bits as four 8-bit bands, "
-    "pigeonhole band-equality joins, exact popcount verify <= 3. "
-    "Each doc's clip is paired with a planted +8-amplitude "
-    "re-encode twin — the near-dup a byte-hash misses. Oracle "
-    "integrates the generator's closed form; agreement proves the "
-    "RIFF encode/decode/fingerprint round-trip lossless.",
+    "pigeonhole band-equality joins (bucket-capped — see "
+    "capped_band_pairs), exact popcount verify <= 3. Each doc's clip "
+    "is paired with a planted +8-amplitude re-encode twin — the "
+    "near-dup a byte-hash misses. Oracle integrates the generator's "
+    "closed form; agreement proves the RIFF "
+    "encode/decode/fingerprint round-trip lossless.",
 )
 def q_audio_fingerprint_near_dup(
     spark: SparkSession, sf_dir: str
@@ -175,33 +199,7 @@ def q_audio_fingerprint_near_dup(
     fp = wav_fingerprint_bands(_attach_wav_variants(ids)).filter(
         F.col("b0").isNotNull()
     )
-
-    def band_join(col: str) -> DataFrame:
-        a = fp.select(
-            F.col("vid").alias("vid_1"),
-            F.col("b0").alias("x0"), F.col("b1").alias("x1"),
-            F.col("b2").alias("x2"), F.col("b3").alias("x3"),
-            F.col(col).alias("__k"),
-        )
-        b = fp.select(
-            F.col("vid").alias("vid_2"),
-            F.col("b0").alias("y0"), F.col("b1").alias("y1"),
-            F.col("b2").alias("y2"), F.col("b3").alias("y3"),
-            F.col(col).alias("__k"),
-        )
-        return (
-            a.join(b, "__k")
-            .filter(F.col("vid_1") < F.col("vid_2"))
-            .drop("__k")
-        )
-
-    pairs = (
-        band_join("b0")
-        .unionAll(band_join("b1"))
-        .unionAll(band_join("b2"))
-        .unionAll(band_join("b3"))
-        .distinct()
-    )
+    pairs = capped_band_pairs(fp, ("b0", "b1", "b2", "b3"), _AUDIO_BUCKET_CAP)
     hamming = (
         F.bit_count(F.expr("x0 ^ y0"))
         + F.bit_count(F.expr("x1 ^ y1"))

@@ -91,28 +91,50 @@ _ASSIGN_CTE = f"""
 """
 
 
-def _spark_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, m, code, d2_micro) — Spark mirror of _ASSIGN_CTE."""
-    v = _vecs(spark, sf_dir)
-    cb = v.filter(F.col("vec_id") < _K).select(
+def _codebook(v: DataFrame) -> DataFrame:
+    """K codewords per subspace: subslices of the first K vectors
+    (the deterministic trained-k-means stand-in) — M x K rows, KBs at
+    any corpus size, always broadcast."""
+    return v.filter(F.col("vec_id") < _K).select(
         F.col("vec_id").alias("code"), F.col("e").alias("c")
     )
+
+
+def _subspace_dist(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cb: DataFrame,
+    out_col: str,
+) -> DataFrame:
+    """(id, m, code, out_col): micro-quantized subspace L2 between
+    every row's m-th subvector and every codeword — the ONE
+    codebook-distance construction both PQ queries ride (assignment
+    `cand` side and the per-query ADC lookup table differ only in
+    which frame feeds it)."""
+    spark = df.sparkSession
     ms = spark.range(_M).select(F.col("id").cast("int").alias("m"))
-    cand = (
-        v.crossJoin(F.broadcast(ms))
+    return (
+        df.crossJoin(F.broadcast(ms))
         .crossJoin(F.broadcast(cb))
         .select(
-            "vec_id",
+            id_col,
             "m",
             "code",
             F.round(
-                F.expr(_S_SUBD2.format(a="e", b="c", m="m", s=_SUB))
+                F.expr(_S_SUBD2.format(a=vec_col, b="c", m="m", s=_SUB))
                 * 1_000_000
             )
             .cast("bigint")
-            .alias("d2_micro"),
+            .alias(out_col),
         )
     )
+
+
+def _spark_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, code, d2_micro) — Spark mirror of _ASSIGN_CTE."""
+    v = _vecs(spark, sf_dir)
+    cand = _subspace_dist(v, "vec_id", "e", _codebook(v), "d2_micro")
     w = Window.partitionBy("vec_id", "m").orderBy("d2_micro", "code")
     return (
         cand.withColumn("rk", F.row_number().over(w))
@@ -240,28 +262,10 @@ def q_pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pq_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vecs(spark, sf_dir)
     codes = _spark_assign(spark, sf_dir)
-    cb = v.filter(F.col("vec_id") < _K).select(
-        F.col("vec_id").alias("code"), F.col("e").alias("c")
-    )
     q = v.filter(F.col("vec_id") < _NQ).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
-    ms = spark.range(_M).select(F.col("id").cast("int").alias("m"))
-    lut = (
-        q.crossJoin(F.broadcast(ms))
-        .crossJoin(F.broadcast(cb))
-        .select(
-            "query_id",
-            "m",
-            "code",
-            F.round(
-                F.expr(_S_SUBD2.format(a="qe", b="c", m="m", s=_SUB))
-                * 1_000_000
-            )
-            .cast("bigint")
-            .alias("q_d2_micro"),
-        )
-    )
+    lut = _subspace_dist(q, "query_id", "qe", _codebook(v), "q_d2_micro")
     adc = (
         codes.drop("d2_micro")
         .join(F.broadcast(lut), ["m", "code"])

@@ -683,3 +683,32 @@ def test_decontamination_recall_survives_planted_id_collision(
     assert rows["clean_train"]["flag_rate"] == 0.0, (
         "planted-id collision cross-flagged the clean doc"
     )
+
+
+def test_capped_band_pairs_drops_hot_bucket_only(spark):
+    """The band-bucket cap must drop ONLY the over-cap band's
+    contribution: items in a hot bucket still pair through their
+    other bands; fully-hot pairs disappear."""
+    from stockpulse_spark.llmdata.dedup import capped_band_pairs
+
+    # b0: items 1..4 share bucket 9 (hot, > cap=3); b1: only 1,2 share
+    rows = [
+        (1, 9, 100),
+        (2, 9, 100),
+        (3, 9, 101),
+        (4, 9, 102),
+    ]
+    fp = spark.createDataFrame(rows, "vid long, b0 int, b1 int")
+    got = {
+        (r["vid_1"], r["vid_2"])
+        for r in capped_band_pairs(fp, ("b0", "b1"), cap=3).collect()
+    }
+    # bucket b0=9 holds 4 > cap -> its 6 pairs are dropped; the b1
+    # bucket 100 (size 2 <= cap) still pairs (1, 2)
+    assert got == {(1, 2)}
+    # cap high enough -> all 6 b0 pairs return
+    got_all = {
+        (r["vid_1"], r["vid_2"])
+        for r in capped_band_pairs(fp, ("b0", "b1"), cap=10).collect()
+    }
+    assert len(got_all) == 6
