@@ -145,8 +145,11 @@ def main() -> None:
     # moved with the machine (round-6's 16.1s-vs-13.4s dispute was
     # pure host factor and should have been settleable from the
     # artifact alone)
-    calib = timings.get("pricing_summary") or min(timings.values())
-    ratios = {n: round(t / calib, 3) for n, t in timings.items()}
+    # ratios use MEDIANS: the min of a sub-second calibration query
+    # swings 2x with background load, which would poison every ratio;
+    # medians of 5 runs are stable enough to compare across rounds
+    calib = medians.get("pricing_summary") or min(medians.values())
+    ratios = {n: round(t / calib, 3) for n, t in medians.items()}
     print(
         json.dumps(
             {

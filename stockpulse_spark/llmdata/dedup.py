@@ -476,7 +476,14 @@ def capped_band_pairs(
 
     Output: (vid_1, vid_2, x0..x{k-1}, y0..y{k-1}) — both sides'
     band values, deduplicated across bands, vid_1 < vid_2.
+
+    `fp` is pinned with one localCheckpoint (same policy as
+    with_global_rank): the plan references it 3x per band — count,
+    left, right — and fingerprint frames come from decode kernels
+    whose recompute is the expensive part (unpinned, the audio query
+    re-ran its Arrow decode 12x: 32 scans in the plan audit).
     """
+    fp = fp.localCheckpoint(eager=False)
     x_names = [f"x{i}" for i in range(len(band_cols))]
     y_names = [f"y{i}" for i in range(len(band_cols))]
     out: DataFrame | None = None

@@ -129,40 +129,54 @@ def asof_join(
         d = F.abs(F.unix_micros(F.col("__ts")) - F.unix_micros(p["__rts"]))
         return F.when(d <= F.lit(tol_us), p)
 
-    if direction == "backward":
-        chosen = within_tol(
-            F.last("__p", ignorenulls=True).over(
+    if direction in ("backward", "forward"):
+        if direction == "backward":
+            cand = F.last("__p", ignorenulls=True).over(
                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
-        )
-    elif direction == "forward":
-        chosen = within_tol(
-            F.first("__p", ignorenulls=True).over(
+        else:
+            cand = F.first("__p", ignorenulls=True).over(
                 w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
             )
+        # Stage the candidate ONCE: within_tol references it twice
+        # (distance + value) and Catalyst does not dedup identical
+        # window expressions.
+        staged = merged.select(
+            *lcols, "__side", "__ts", cand.alias("__cand")
         )
+        chosen = within_tol(F.col("__cand"))
+        # A NULL left timestamp matches nothing in either engine.
+        chosen = F.when(F.col("__ts").isNotNull(), chosen)
+        filled = staged.select(*lcols, "__side", chosen.alias("__p"))
     else:
-        # Both frames read the SAME window sort: one shuffle, one sort.
-        bwd = within_tol(
-            F.last("__p", ignorenulls=True).over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            )
+        # Both frames read the SAME window sort: one shuffle, one
+        # sort.  The candidates are PROJECTED ONCE before the pick —
+        # referencing the window expressions inline in the distance
+        # comparison would evaluate each first/last three times
+        # (Catalyst does not dedup identical window expressions).
+        staged = merged.select(
+            *lcols,
+            "__side",
+            "__ts",
+            within_tol(
+                F.last("__p", ignorenulls=True).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+            ).alias("__bwd"),
+            within_tol(
+                F.first("__p", ignorenulls=True).over(
+                    w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+                )
+            ).alias("__fwd"),
         )
-        fwd = within_tol(
-            F.first("__p", ignorenulls=True).over(
-                w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-            )
-        )
+        bwd, fwd = F.col("__bwd"), F.col("__fwd")
         d_b = F.abs(F.unix_micros(F.col("__ts")) - F.unix_micros(bwd["__rts"]))
         d_f = F.abs(F.unix_micros(F.col("__ts")) - F.unix_micros(fwd["__rts"]))
         chosen = F.when(
             bwd.isNotNull() & (fwd.isNull() | (d_b <= d_f)), bwd
         ).otherwise(fwd)
-
-    # A NULL left timestamp matches nothing in either engine.
-    chosen = F.when(F.col("__ts").isNotNull(), chosen)
-
-    filled = merged.select(*lcols, "__side", chosen.alias("__p"))
+        chosen = F.when(F.col("__ts").isNotNull(), chosen)
+        filled = staged.select(*lcols, "__side", chosen.alias("__p"))
     out = (
         filled.filter(F.col("__side") == 1)
         .select(*lcols, *[F.col(f"__p.{c}").alias(c) for c in payload_cols],

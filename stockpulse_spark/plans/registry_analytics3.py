@@ -129,13 +129,23 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rolling_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = _hourly_bars(spark, sf_dir).select("user_id", "bucket_start", "close")
     w = Window.partitionBy("user_id").orderBy("bucket_start").rowsBetween(-19, 0)
-    sd = F.stddev_samp("close").over(w)
+    # two-select shape: stddev named once (Catalyst does not dedup
+    # identical window expressions — inline it appeared twice)
+    b = bars.select(
+        "user_id",
+        "bucket_start",
+        "close",
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.avg("close").over(w).alias("__avg"),
+        F.stddev_samp("close").over(w).alias("__sd"),
+    )
+    sd = F.col("__sd")
     z = F.when(
-        (F.count(F.lit(1)).over(w) >= 20) & (sd > 0),
-        (F.col("close") - F.avg("close").over(w)) / sd,
+        (F.col("__n") >= 20) & (sd > 0),
+        (F.col("close") - F.col("__avg")) / sd,
     )
     return (
-        bars.select(
+        b.select(
             "user_id",
             "bucket_start",
             _r6(F.col("close")).alias("close"),

@@ -77,15 +77,22 @@ def q_rolling_beta20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket_start")
         .rowsBetween(-19, 0)
     )
-    enough = F.count(F.lit(1)).over(w) >= 20
-    beta = F.covar_pop("close", "mkt").over(w) / F.nullif(
-        F.var_pop("mkt").over(w), F.lit(0.0)
+    # two-select shape (see williams_r): the co-moments feed both
+    # beta and alpha — naming them computes 5 window aggregates not 8
+    mm = m.select(
+        "user_id",
+        "bucket_start",
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.covar_pop("close", "mkt").over(w).alias("__cov"),
+        F.var_pop("mkt").over(w).alias("__var"),
+        F.avg("close").over(w).alias("__avgc"),
+        F.avg("mkt").over(w).alias("__avgm"),
     )
+    enough = F.col("__n") >= 20
+    beta = F.col("__cov") / F.nullif(F.col("__var"), F.lit(0.0))
     # alpha from 6dp-rounded pieces — see the oracle comment
-    alpha = _r6(F.avg("close").over(w)) - _r6(beta) * _r6(
-        F.avg("mkt").over(w)
-    )
-    return m.select(
+    alpha = _r6(F.col("__avgc")) - _r6(beta) * _r6(F.col("__avgm"))
+    return mm.select(
         "user_id",
         "bucket_start",
         _r6(F.when(enough, beta)).alias("beta20"),

@@ -497,13 +497,20 @@ def q_source_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pow(F.col("n_docs") * 1.0 / F.col("n"), F.lit(0.7)).alias("p_temp"),
     )
     w = Window.partitionBy()
-    p_mix = F.col("p_temp") / F.sum("p_temp").over(w)
-    return scaled.select(
+    # window sum named once — p_mix is referenced twice below and
+    # Catalyst does not dedup identical window expressions
+    mixed = scaled.select(
+        "source",
+        "n_docs",
+        "p_raw",
+        (F.col("p_temp") / F.sum("p_temp").over(w)).alias("__pmix"),
+    )
+    return mixed.select(
         "source",
         "n_docs",
         _r6(F.col("p_raw")).alias("p_raw"),
-        _r6(p_mix).alias("p_mixture"),
-        _r6(p_mix / F.col("p_raw")).alias("upsample_factor"),
+        _r6(F.col("__pmix")).alias("p_mixture"),
+        _r6(F.col("__pmix") / F.col("p_raw")).alias("upsample_factor"),
     ).orderBy("source")
 
 

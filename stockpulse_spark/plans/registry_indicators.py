@@ -54,10 +54,21 @@ _W = "PARTITION BY user_id ORDER BY bucket_start"
 def q_bollinger20(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = _hourly_bars(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("bucket_start").rowsBetween(-19, 0)
-    full = F.count("close").over(w) >= 20
-    mid = F.when(full, F.avg("close").over(w))
-    sd = F.when(full, F.stddev_samp("close").over(w))
-    return bars.select(
+    # two-select shape (functions/indicators.py convention): repeating
+    # mid/sd inline puts 10 window-function instances in the Window
+    # node (Catalyst does NOT dedup identical window expressions);
+    # naming them first computes 3
+    b = bars.select(
+        "user_id",
+        "bucket_start",
+        "close",
+        F.count("close").over(w).alias("__n"),
+        F.avg("close").over(w).alias("__avg"),
+        F.stddev_samp("close").over(w).alias("__sd"),
+    )
+    mid = F.when(F.col("__n") >= 20, F.col("__avg"))
+    sd = F.when(F.col("__n") >= 20, F.col("__sd"))
+    return b.select(
         "user_id",
         "bucket_start",
         _r6(F.col("close")).alias("close"),
@@ -217,12 +228,22 @@ def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = _hourly_bars(spark, sf_dir)
     wb = Window.partitionBy("user_id").orderBy("bucket_start")
     w = wb.rowsBetween(-13, 0)
-    lo, hi = F.min("low").over(w), F.max("high").over(w)
+    # two-select shape (see williams_r): LL/HH each appear 2-3x in
+    # the %K formula; naming them computes 3 frame aggregates not 6
+    b = bars.select(
+        "user_id",
+        "bucket_start",
+        "close",
+        F.count("low").over(w).alias("__n"),
+        F.min("low").over(w).alias("__lo"),
+        F.max("high").over(w).alias("__hi"),
+    )
+    lo, hi = F.col("__lo"), F.col("__hi")
     k = F.when(
-        (F.count("low").over(w) >= 14) & (hi != lo),
+        (F.col("__n") >= 14) & (hi != lo),
         100.0 * (F.col("close") - lo) / (hi - lo),
     )
-    kd = bars.select("user_id", "bucket_start", k.alias("stoch_k"))
+    kd = b.select("user_id", "bucket_start", k.alias("stoch_k"))
     w3 = wb.rowsBetween(-2, 0)
     d = F.when(F.count("stoch_k").over(w3) >= 3, F.avg("stoch_k").over(w3))
     return kd.select(
@@ -250,8 +271,15 @@ def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_roc_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = _hourly_bars(spark, sf_dir)
     wb = Window.partitionBy("user_id").orderBy("bucket_start")
-    prev = F.lag("close", 10).over(wb)
-    return bars.select(
+    # two-select shape: one lag evaluation instead of three
+    b = bars.select(
+        "user_id",
+        "bucket_start",
+        "close",
+        F.lag("close", 10).over(wb).alias("__prev"),
+    )
+    prev = F.col("__prev")
+    return b.select(
         "user_id",
         "bucket_start",
         _r6(F.col("close")).alias("close"),

@@ -172,12 +172,23 @@ def q_rsi_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = _hourly_bars(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("bucket_start").rowsBetween(-13, 0)
-    hh, ll = F.max("high").over(w), F.min("low").over(w)
+    # two-select shape: HH/LL each appear 3x in the formula and
+    # Catalyst does not dedup identical window expressions — naming
+    # them first computes 3 frame aggregates instead of 6
+    b = bars.select(
+        "user_id",
+        "bucket_start",
+        "close",
+        F.count("low").over(w).alias("__n"),
+        F.max("high").over(w).alias("__hh"),
+        F.min("low").over(w).alias("__ll"),
+    )
+    hh, ll = F.col("__hh"), F.col("__ll")
     wr = F.when(
-        (F.count("low").over(w) >= 14) & (hh != ll),
+        (F.col("__n") >= 14) & (hh != ll),
         -100.0 * (hh - F.col("close")) / (hh - ll),
     )
-    return bars.select("user_id", "bucket_start", _r6(wr).alias("williams_r"))
+    return b.select("user_id", "bucket_start", _r6(wr).alias("williams_r"))
 
 
 @_register(
@@ -459,10 +470,18 @@ def q_adx14(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_donchian20(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = _hourly_bars(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("bucket_start").rowsBetween(-19, 0)
-    full = F.count(F.lit(1)).over(w) >= 20
-    hi = F.when(full, F.max("high").over(w))
-    lo = F.when(full, F.min("low").over(w))
-    return bars.select(
+    # two-select shape (see williams_r): 3 window aggregates, not 8
+    b = bars.select(
+        "user_id",
+        "bucket_start",
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.max("high").over(w).alias("__hi"),
+        F.min("low").over(w).alias("__lo"),
+    )
+    full = F.col("__n") >= 20
+    hi = F.when(full, F.col("__hi"))
+    lo = F.when(full, F.col("__lo"))
+    return b.select(
         "user_id",
         "bucket_start",
         _r6(hi).alias("dc_upper"),

@@ -88,15 +88,20 @@ def q_source_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
     )
     w0 = Window.partitionBy()
-    share = F.col("n_tokens") * 1.0 / F.sum("n_tokens").over(w0)
-    raw = per_src.select(
+    # corpus-total window sum named once (feeds share AND budget)
+    tot = per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_tokens").over(w0).alias("__tot"),
+    )
+    share = F.col("n_tokens") * 1.0 / F.col("__tot")
+    raw = tot.select(
         "source",
         "n_docs",
         "n_tokens",
         F.pow(share, _ALPHA).alias("pw"),
-        (F.lit(_BUDGET_EPOCHS) * F.sum("n_tokens").over(w0)).alias(
-            "budget"
-        ),
+        (F.lit(_BUDGET_EPOCHS) * F.col("__tot")).alias("budget"),
     )
     shares = raw.select(
         "source",

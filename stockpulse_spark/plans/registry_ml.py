@@ -221,9 +221,13 @@ def q_doc_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     wn = Window.partitionBy("doc_id")
-    p = (F.col("tf") / F.sum("tf").over(wn)).alias("p")
+    # window sum named once (doc total feeds both n_tokens and p)
+    t2 = tf.select(
+        "doc_id", "tf", F.sum("tf").over(wn).alias("n_tokens")
+    )
+    p = (F.col("tf") / F.col("n_tokens")).alias("p")
     return (
-        tf.select("doc_id", F.sum("tf").over(wn).alias("n_tokens"), p)
+        t2.select("doc_id", "n_tokens", p)
         .groupBy("doc_id", "n_tokens")
         .agg(
             _r6(-F.sum(F.col("p") * F.log("p")) + 0.0).alias("word_entropy")

@@ -479,6 +479,43 @@ def test_no_unbounded_single_partition_windows(spark):
     assert not violations, violations
 
 
+def test_no_duplicated_window_aggregates(spark):
+    """Catalyst does NOT deduplicate identical window expressions: a
+    formula that references `avg(x).over(w)` three times evaluates
+    the frame aggregate three times per row (measured: bollinger20
+    carried 10 window-function instances for 3 distinct aggregates,
+    ~40% of its window-stage CPU).  The fix is the two-select shape —
+    name each window aggregate once, derive in a second projection.
+    This sweep fails any plan whose Window node evaluates the same
+    (function, frame) pair more than once; lag/lead are exempt
+    (O(1) per row, duplicates are noise not frame re-scans)."""
+    import re
+    from collections import Counter
+
+    offenders = []
+    for name in REGISTRY:
+        plan = _plan(spark, name)
+        for line in plan.splitlines():
+            if "Window [" not in line:
+                continue
+            keys = []
+            for m in re.finditer(
+                r"(\w+)\(([^)]*)\) windowspecdefinition", line
+            ):
+                if m.group(1) in ("lag", "lead"):
+                    continue
+                seg = line[m.start() : m.start() + 400]
+                fr = seg.find("specifiedwindowframe")
+                keys.append(
+                    seg[: m.end() - m.start()]
+                    + (seg[fr : fr + 80] if fr >= 0 else "")
+                )
+            dups = [k for k, v in Counter(keys).items() if v > 1]
+            if dups:
+                offenders.append((name, dups[0][:80]))
+    assert not offenders, offenders
+
+
 def test_revenue_concentration_rank_is_distributed(spark):
     """The customer-grain rank must ride the range-partitioned
     prefix-sum machinery, never a single-task sort."""

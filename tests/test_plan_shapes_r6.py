@@ -52,7 +52,14 @@ def test_audio_fingerprint_equi_joins_only(spark):
     plan = _plan(spark, "audio_fingerprint_near_dup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "MapInPandas" in plan  # the real RIFF/PCM decode kernel
+    # round 7: capped_band_pairs pins the fingerprint frame with a
+    # localCheckpoint (the decode kernel would otherwise re-run 12x —
+    # once per band x count/left/right), so the RIFF/PCM MapInPandas
+    # kernel sits BEHIND the checkpoint boundary in this plan string;
+    # the boundary scan is what must be present, and the kernel
+    # itself is pinned by test_llmdata's audio tests.
+    assert "Scan ExistingRDD" in plan
+    assert "MapInPandas" not in plan  # all pair work reads the pin
 
 
 def test_curriculum_order_never_single_task_window(spark):
