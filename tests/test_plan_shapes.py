@@ -17,6 +17,20 @@ def _plan(spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+#: one plan-string build per registry query, shared by the three
+#: whole-registry sweep tests below (each sweep re-planning all 292
+#: queries would triple the suite's slowest fixture at no coverage
+#: gain)
+_PLAN_CACHE: dict[str, str] = {}
+
+
+def _all_plans(spark) -> dict[str, str]:
+    if not _PLAN_CACHE:
+        for name in REGISTRY:
+            _PLAN_CACHE[name] = _plan(spark, name)
+    return _PLAN_CACHE
+
+
 def test_pricing_summary_pushdown_and_pruning(spark):
     plan = _plan(spark, "pricing_summary")
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
@@ -102,7 +116,7 @@ def test_no_python_udfs_in_relational_queries(spark):
             "multimodal_curation_pipeline",
         ):
             continue
-        plan = _plan(spark, name)
+        plan = _all_plans(spark)[name]
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "FlatMapGroupsInPandas" not in plan, name
@@ -463,7 +477,7 @@ def test_no_unbounded_single_partition_windows(spark):
     window_re = re.compile(r"\bWindow(?:Exec)?\s*\[|\sWindow \[")
     violations = []
     for name in REGISTRY:
-        plan = _plan(spark, name)
+        plan = _all_plans(spark)[name]
         lines = plan.splitlines()
         for i, line in enumerate(lines):
             if not window_re.search(line):
@@ -494,7 +508,7 @@ def test_no_duplicated_window_aggregates(spark):
 
     offenders = []
     for name in REGISTRY:
-        plan = _plan(spark, name)
+        plan = _all_plans(spark)[name]
         for line in plan.splitlines():
             if "Window [" not in line:
                 continue

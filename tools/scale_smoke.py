@@ -118,6 +118,14 @@ QUERIES = [
     # five equi-joins — the term that grows is the full join itself)
     "leakage_free_training_set", "join_ivm_delta_check",
     "audience_overlap_sketch", "content_defined_chunk_dedup",
+    # round 7: the de-single-tasked global order statistics (three
+    # distributed rank passes + closed-form ntile; TakeOrdered top-k;
+    # broadcast scalar cuts) and the window-dedup'd indicators — the
+    # shapes whose 10x ratio proves the rewrite removed the
+    # single-task term rather than hiding it
+    "rfm_segmentation", "revenue_concentration", "corpus_top_terms",
+    "important_parts", "bollinger20", "williams_r",
+    "stochastic_14_3", "rolling_beta20",
 ]
 
 # SPARK_SMOKE_ONLY=q1,q2 restricts the run (fast iteration on a new
