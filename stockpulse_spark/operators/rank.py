@@ -17,7 +17,7 @@ boundary choice; only the physical shape changes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -77,4 +77,121 @@ def with_global_rank(
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(rank_col, F.col("__offset") + F.col("__lrk"))
         .drop("__pid", "__lrk", "__offset")
+    )
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integer division on BIGINT columns: subtracting the
+    modulus first makes the dividend exactly divisible, so the double
+    division is exact (quotient is representable) and the cast back
+    is safe — no `div` expr string, no float-boundary flips."""
+    return ((a - a % b) / b).cast("long")
+
+
+def ntile_from_rank(rank: Column, total: Column, k: int) -> Column:
+    """SQL ``NTILE(k)`` computed in closed form from a 1-based global
+    rank and the frame's total row count — the distributed companion
+    to :func:`with_global_rank`: ``ntile(k) OVER (ORDER BY ...)``
+    funnels the whole frame through ONE WindowExec task, while
+    ``ntile_from_rank(with_global_rank(df, ...), total, k)`` is pure
+    per-row arithmetic over the range-partitioned rank.
+
+    Semantics (pinned by tests/test_rank_property.py against Spark's
+    own ntile): with N rows, the first ``N % k`` buckets hold
+    ``ceil(N/k)`` rows, the rest ``floor(N/k)``; ``ceil(a/b)`` is
+    ``(a+b-1) div b`` in exact integer arithmetic.  The ``when``
+    guards the q=0 divisor (N < k: every rank falls in the first
+    branch)."""
+    q = _idiv(total, F.lit(k))
+    r = total % k
+    cut = r * (q + F.lit(1))
+    return (
+        F.when(rank <= cut, _idiv(rank + q, q + F.lit(1)))
+        .otherwise(
+            r + _idiv(rank - cut + q - F.lit(1), F.greatest(q, F.lit(1)))
+        )
+        .cast("int")
+    )
+
+
+def with_grouped_global_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    *order_cols: str,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Per-group 1-based row number ordered by `order_cols` WITHIN
+    each `group_cols` group — the grouped companion to
+    :func:`with_global_rank`.
+
+    ``row_number() OVER (PARTITION BY g ORDER BY ...)`` parallelism is
+    capped at the number of DISTINCT GROUPS: five event types means
+    five tasks each sorting a fifth of the table, however large it
+    grows.  Here the range partitioner orders by (group, order...), so
+    a group's rows are contiguous across the partition sequence and
+    a row's in-group rank is (group rows in earlier partitions) + its
+    local (pid, group) row_number — the same prefix-sum decomposition,
+    with the offsets window partitioned BY GROUP over the
+    |partitions| x |groups| counts frame (metadata-sized).  Order
+    keys accept the same ``-`` DESC NULLS LAST prefix; ordering is
+    NULLS LAST throughout, matching the DuckDB oracles.
+    """
+    g_ordering = [F.col(c).asc_nulls_last() for c in group_cols]
+    ordering = [
+        F.col(c[1:]).desc_nulls_last()
+        if c.startswith("-")
+        else F.col(c).asc_nulls_last()
+        for c in order_cols
+    ]
+    part = (
+        df.repartitionByRange(
+            df.sparkSession.sparkContext.defaultParallelism,
+            *g_ordering,
+            *ordering,
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    local = part.withColumn(
+        "__lrk",
+        F.row_number().over(
+            Window.partitionBy("__pid", *group_cols).orderBy(*ordering)
+        ),
+    )
+    offsets = (
+        part.groupBy("__pid", *group_cols)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.partitionBy(*group_cols)
+                    .orderBy("__pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(
+            F.col("__pid").alias("__o_pid"),
+            *[F.col(c).alias(f"__o_{c}") for c in group_cols],
+            "__offset",
+        )
+    )
+    # eqNullSafe on the group keys: a NULL group (fuzz corpora plant
+    # NULL keys) is a real group to groupBy/row_number but would drop
+    # out of a plain equi-join
+    cond = F.col("__pid") == F.col("__o_pid")
+    for c in group_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__o_{c}"))
+    return (
+        local.join(F.broadcast(offsets), cond)
+        .withColumn(rank_col, F.col("__offset") + F.col("__lrk"))
+        .drop(
+            "__pid",
+            "__lrk",
+            "__offset",
+            "__o_pid",
+            *[f"__o_{c}" for c in group_cols],
+        )
     )

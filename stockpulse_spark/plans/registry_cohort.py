@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stockpulse_spark.functions.nullsafe import nan_nn
-from stockpulse_spark.operators.rank import with_global_rank
+from stockpulse_spark.operators.rank import ntile_from_rank, with_global_rank
 from stockpulse_spark.plans.registry import _r4, _register, _t
 
 
@@ -187,38 +187,13 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_global_rank(ranked, "__negf", "o_custkey", rank_col="__fr")
     ranked = with_global_rank(ranked, "__negm", "o_custkey", rank_col="__mr")
     total = keyed.agg(F.count(F.lit(1)).alias("__n"))
-
-    def _ntile5(rank_col: str) -> Column:
-        # SQL NTILE(5) over N rows: the first N%5 buckets hold
-        # ceil(N/5) rows, the rest floor(N/5) — closed form from the
-        # global rank; ceil(a/b) = (a+b-1) div b in exact integer
-        # arithmetic (the when() guards the q=0 divisor: with N<5
-        # every rank falls in the first branch).
-        q, r, k = F.col("__q"), F.col("__r"), F.col(rank_col)
-        return (
-            F.when(k <= r * (q + F.lit(1)), F.expr(f"({rank_col} + __q) div (__q + 1)"))
-            .otherwise(
-                r
-                + F.expr(
-                    f"({rank_col} - __r * (__q + 1) + __q - 1)"
-                    " div greatest(__q, 1)"
-                )
-            )
-            .cast("int")
-        )
-
-    scored = (
-        ranked.join(F.broadcast(total))
-        .withColumns(
-            {"__q": F.expr("__n div 5"), "__r": F.col("__n") % 5}
-        )
-        .select(
-            "o_custkey",
-            "monetary",
-            _ntile5("__rr").alias("r_score"),
-            _ntile5("__fr").alias("f_score"),
-            _ntile5("__mr").alias("m_score"),
-        )
+    n = F.col("__n")
+    scored = ranked.join(F.broadcast(total)).select(
+        "o_custkey",
+        "monetary",
+        ntile_from_rank(F.col("__rr"), n, 5).alias("r_score"),
+        ntile_from_rank(F.col("__fr"), n, 5).alias("f_score"),
+        ntile_from_rank(F.col("__mr"), n, 5).alias("m_score"),
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")

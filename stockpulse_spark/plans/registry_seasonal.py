@@ -14,6 +14,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stockpulse_spark.functions.nullsafe import nan_nn
+from stockpulse_spark.operators.rank import (
+    ntile_from_rank,
+    with_grouped_global_rank,
+)
 from stockpulse_spark.plans.registry import _r6, _register, _t
 
 
@@ -131,22 +135,32 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t GROUP BY 1, 2 ORDER BY 1, 2
     """,
     tags=("analytics", "window"),
-    doc="Equal-frequency binning (decile features): ntile(10) per "
-    "event type over a fully-specified order (value, event_id — ties "
-    "broken by key so both engines assign identical buckets), then "
-    "per-bin stats. The one sort shuffles on event_type; at 100 TB "
-    "swap exact ntile for approx_percentile cut points computed once "
-    "and joined broadcast — the registered approx twin family "
-    "(value_percentiles_approx) is that path.",
+    doc="Equal-frequency binning (decile features): exact ntile(10) "
+    "per event type over a fully-specified order (value, event_id — "
+    "ties broken by key so both engines assign identical buckets), "
+    "then per-bin stats. A plain ntile() OVER (PARTITION BY "
+    "event_type) caps parallelism at |event types| (5 tasks each "
+    "sorting a fifth of the table at ANY scale); instead the decile "
+    "comes from operators/rank.py::with_grouped_global_rank — one "
+    "range repartition on (type, value, id) with a per-group "
+    "prefix-sum, every partition a task — plus the closed-form "
+    "ntile_from_rank arithmetic against broadcast per-type totals. "
+    "The approx twin (value_percentiles_approx) remains the "
+    "single-pass sketch path when exactness is negotiable.",
 )
 def q_value_ntile_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    # asc_nulls_last: mirror DuckDB's NULLS LAST default
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc_nulls_last(), "event_id"
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ranked = with_grouped_global_rank(
+        ev, ["event_type"], "value", "event_id", rank_col="__rnk"
     )
-    t = ev.select(
-        "event_type", "value", F.ntile(10).over(w).alias("decile")
+    totals = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n"))
+    t = ranked.join(
+        F.broadcast(totals).withColumnRenamed("event_type", "__t_type"),
+        F.col("event_type").eqNullSafe(F.col("__t_type")),
+    ).select(
+        "event_type",
+        "value",
+        ntile_from_rank(F.col("__rnk"), F.col("__n"), 10).alias("decile"),
     )
     return (
         t.groupBy("event_type", "decile")

