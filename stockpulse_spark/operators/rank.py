@@ -195,3 +195,92 @@ def with_grouped_global_rank(
             *[f"__o_{c}" for c in group_cols],
         )
     )
+
+
+def with_grouped_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "run_sum",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Per-group running SUM of `value_col` in `order_cols` order —
+    the prefix-sum companion to :func:`with_grouped_global_rank`, for
+    the token-packing / budget-sampling cumsums that a plain
+    ``SUM() OVER (PARTITION BY source ORDER BY ...)`` computes with
+    parallelism capped at |groups|.
+
+    Same decomposition: range partition on (group, order) so groups
+    are contiguous; a row's running sum is (sum of its group's values
+    in earlier partitions) + its local running sum.  The offsets
+    frame is |partitions| x |groups| rows; its join back is
+    null-safe (NULL groups are real groups).  NULL values are skipped
+    like SQL SUM, and the result is coalesced to 0 when no prior row
+    exists (the ``coalesce(sum OVER, 0)`` idiom every call site
+    used); `inclusive=False` gives the exclusive prefix
+    (ROWS ... AND -1).  Ties on the full order key must be identical
+    rows (or carry a tiebreak) for cross-engine determinism — the
+    same contract the single-window form already had."""
+    g_ordering = [F.col(c).asc_nulls_last() for c in group_cols]
+    ordering = [
+        F.col(c[1:]).desc_nulls_last()
+        if c.startswith("-")
+        else F.col(c).asc_nulls_last()
+        for c in order_cols
+    ]
+    part = (
+        df.repartitionByRange(
+            df.sparkSession.sparkContext.defaultParallelism,
+            *g_ordering,
+            *ordering,
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    upper = 0 if inclusive else -1
+    local = part.withColumn(
+        "__lsum",
+        F.coalesce(
+            F.sum(value_col).over(
+                Window.partitionBy("__pid", *group_cols)
+                .orderBy(*ordering)
+                .rowsBetween(Window.unboundedPreceding, upper)
+            ),
+            F.lit(0),
+        ),
+    )
+    offsets = (
+        part.groupBy("__pid", *group_cols)
+        .agg(F.sum(value_col).alias("__psum"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__psum").over(
+                    Window.partitionBy(*group_cols)
+                    .orderBy("__pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(
+            F.col("__pid").alias("__o_pid"),
+            *[F.col(c).alias(f"__o_{c}") for c in group_cols],
+            "__offset",
+        )
+    )
+    cond = F.col("__pid") == F.col("__o_pid")
+    for c in group_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__o_{c}"))
+    return (
+        local.join(F.broadcast(offsets), cond)
+        .withColumn(out_col, F.col("__offset") + F.col("__lsum"))
+        .drop(
+            "__pid",
+            "__lsum",
+            "__offset",
+            "__o_pid",
+            *[f"__o_{c}" for c in group_cols],
+        )
+    )

@@ -26,7 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stockpulse_spark.operators.rank import with_global_rank
+from stockpulse_spark.operators.rank import (
+    with_global_rank,
+    with_grouped_global_rank,
+)
 from stockpulse_spark.plans.registry import _r6, _register, _t
 
 _TOK_FILTER = "text IS NOT NULL AND text <> ''"
@@ -92,15 +95,17 @@ def _doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _doclen(spark, sf_dir)
-    ws = Window.partitionBy("source").orderBy("wc", "doc_id")
-    wn = Window.partitionBy("source")
-    s = d.select(
-        "doc_id",
-        "source",
-        "wc",
-        F.row_number().over(ws).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    # within-source rank + count via the grouped prefix machinery —
+    # the plain source-partitioned window caps parallelism at
+    # |sources| (operators/rank.py::with_grouped_global_rank)
+    ranked = with_grouped_global_rank(
+        d, ["source"], "wc", "doc_id", rank_col="rn"
     )
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    s = ranked.join(
+        F.broadcast(counts).withColumnRenamed("source", "__c_src"),
+        F.col("source").eqNullSafe(F.col("__c_src")),
+    ).drop("__c_src")
     pr = s.select(
         "doc_id",
         "source",

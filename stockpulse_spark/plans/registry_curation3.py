@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from stockpulse_spark.llmdata.hashing import word32_sql
 from stockpulse_spark.llmdata.similarity import _as_double, dot, norm
+from stockpulse_spark.operators.rank import with_grouped_running_sum
 from stockpulse_spark.operators.topk import salted_grouped_topk
 from stockpulse_spark.functions.nullsafe import nan_nn
 from stockpulse_spark.plans.registry import _r4, _r6, _register, _t
@@ -199,14 +200,21 @@ def q_doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quota"
         ),
     )
-    wc = (
-        Window.partitionBy("source")
-        .orderBy(F.md5("text"), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = d.select(
-        "source", "doc_id", F.sum(toks).over(wc).alias("ctoks")
-    )
+    # grouped prefix cumsum (operators/rank.py): the plain per-source
+    # window caps parallelism at |sources|
+    cum = with_grouped_running_sum(
+        d.select(
+            "source",
+            "doc_id",
+            toks.alias("__tk"),
+            F.md5("text").alias("__ord"),
+        ),
+        ["source"],
+        ["__ord", "doc_id"],
+        "__tk",
+        out_col="ctoks",
+        inclusive=True,
+    ).select("source", "doc_id", "ctoks")
     in_budget = F.when(F.col("ctoks") <= F.col("quota"), F.col("ctoks"))
     return (
         cum.join(F.broadcast(quota), "source")

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stockpulse_spark.llmdata.hashing import word32_sql
+from stockpulse_spark.operators.rank import with_grouped_running_sum
 from stockpulse_spark.plans.registry import _r6, _register, _t
 
 # chunking parameters: 32-word chunks, 8-word overlap → stride 24
@@ -93,22 +94,26 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"{_PACK_BUDGET}-token budget): exclusive running token count per "
     "source stream → pack_id = cum/budget, offset = cum%budget — the "
     "standard streaming packer that wastes at most one document "
-    "boundary per pack. One window sort per source partition; integer "
-    "arithmetic end-to-end so the oracle is bit-exact. At 100 TB the "
-    "per-source ordering is the only sort, and it shards by source.",
+    "boundary per pack. Integer arithmetic end-to-end so the oracle "
+    "is bit-exact. The exclusive cumsum rides "
+    "operators/rank.py::with_grouped_running_sum (range repartition "
+    "on (source, doc_id) + per-group prefix offsets): a plain "
+    "SUM OVER (PARTITION BY source) caps parallelism at |sources| — "
+    "~20 tasks each sorting a twentieth of a 100 TB corpus — while "
+    "the grouped prefix form keeps every partition a task.",
 )
 def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     toks = d.select(
         "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
-    win = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    c = toks.withColumn(
-        "cum_before", F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    c = with_grouped_running_sum(
+        toks,
+        ["source"],
+        ["doc_id"],
+        "n_tokens",
+        out_col="cum_before",
+        inclusive=False,
     )
     return c.select(
         "doc_id",
@@ -323,13 +328,13 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
-    win = (
-        Window.partitionBy("source")
-        .orderBy("doc_id", "chunk_idx")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    packed = chunks.withColumn(
-        "cum_before", F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    packed = with_grouped_running_sum(
+        chunks,
+        ["source"],
+        ["doc_id", "chunk_idx"],
+        "n_tokens",
+        out_col="cum_before",
+        inclusive=False,
     )
     return packed.select(
         "doc_id",
@@ -515,12 +520,22 @@ def q_training_data_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("quota"),
     )
-    wc = (
-        Window.partitionBy("source")
-        .orderBy(F.md5("text"), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # both cumsums ride the grouped prefix decomposition — a plain
+    # SUM OVER (PARTITION BY source) caps parallelism at |sources|
+    cum = with_grouped_running_sum(
+        clean.select(
+            "doc_id",
+            "source",
+            "text",
+            toks.alias("__tk"),
+            F.md5("text").alias("__ord"),
+        ),
+        ["source"],
+        ["__ord", "doc_id"],
+        "__tk",
+        out_col="ctoks",
+        inclusive=True,
     )
-    cum = clean.withColumn("ctoks", F.sum(toks).over(wc))
     sampled = (
         cum.join(F.broadcast(quota), "source")
         .filter(F.col("ctoks") <= F.col("quota"))
@@ -541,13 +556,13 @@ def q_training_data_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
-    win = (
-        Window.partitionBy("source")
-        .orderBy("doc_id", "chunk_idx")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    packed = chunks.withColumn(
-        "cum_before", F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    packed = with_grouped_running_sum(
+        chunks,
+        ["source"],
+        ["doc_id", "chunk_idx"],
+        "n_tokens",
+        out_col="cum_before",
+        inclusive=False,
     )
     return packed.select(
         "doc_id",

@@ -10,6 +10,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stockpulse_spark.functions.nullsafe import nan_nn
+from stockpulse_spark.operators.rank import (
+    ntile_from_rank,
+    with_grouped_global_rank,
+)
 from stockpulse_spark.plans.registry import _r6, _register, _t
 
 
@@ -30,23 +34,68 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
     "quartile assignment, percent_rank, cume_dist, rank, dense_rank "
     "per event_type ordered by (value, event_id) — the tiebreak makes "
     "every function deterministic so both engines agree bit-for-bit. "
-    "One hash exchange + one sort per partition at any scale.",
+    "The whole family is DERIVED from the grouped distributed row "
+    "number (operators/rank.py::with_grouped_global_rank — a plain "
+    "PARTITION BY event_type window caps parallelism at |types|): "
+    "rank = min row_number over the (type, value, id) tie group, "
+    "cume_dist = (rank + ties - 1)/N, percent_rank = (rank-1)/(N-1) "
+    "(0 for a 1-row group, the SQL definition), dense_rank = the "
+    "grouped row number of the DISTINCT tie-key table, ntile = the "
+    "closed-form arithmetic. The tie join is a co-partitioned "
+    "shuffle join on the near-unique tie key, never a broadcast of "
+    "anything event-sized.",
 )
 def q_value_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    # asc_nulls_last: Spark ASC is NULLS FIRST, DuckDB ORDER BY default
-    # is NULLS LAST — NULL values must rank last on both engines
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc_nulls_last(), "event_id"
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    # asc_nulls_last everywhere: Spark ASC is NULLS FIRST, DuckDB
+    # ORDER BY default is NULLS LAST — NULL values must rank last on
+    # both engines (with_grouped_global_rank pins this)
+    rn = with_grouped_global_rank(
+        ev, ["event_type"], "value", "event_id", rank_col="__rn"
     )
-    return ev.select(
+    # tie groups: duplicate (type, value, id) rows (fuzz plants full-
+    # row duplicates) share rank/cume; min/count over the tie key
+    ties = rn.groupBy("event_type", "value", "event_id").agg(
+        F.min("__rn").alias("__minrn"), F.count(F.lit(1)).alias("__tn")
+    )
+    # dense_rank = row number of the DISTINCT tie key within its group
+    dties = with_grouped_global_rank(
+        ties, ["event_type"], "value", "event_id", rank_col="__dr"
+    )
+    totals = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n"))
+    cond = (
+        F.col("l.event_type").eqNullSafe(F.col("r.event_type"))
+        & F.col("l.value").eqNullSafe(F.col("r.value"))
+        & F.col("l.event_id").eqNullSafe(F.col("r.event_id"))
+    )
+    joined = (
+        rn.alias("l")
+        .join(dties.alias("r"), cond)
+        .select(
+            F.col("l.event_id").alias("event_id"),
+            F.col("l.event_type").alias("event_type"),
+            "__rn",
+            "__minrn",
+            "__tn",
+            "__dr",
+        )
+        .join(
+            F.broadcast(totals).withColumnRenamed("event_type", "__t"),
+            F.col("event_type").eqNullSafe(F.col("__t")),
+        )
+    )
+    n = F.col("__n")
+    pct = F.when(n == 1, F.lit(0.0)).otherwise(
+        (F.col("__minrn") - 1) / (n - 1)
+    )
+    return joined.select(
         "event_id",
         "event_type",
-        F.ntile(4).over(w).alias("quartile"),
-        _r6(F.percent_rank().over(w)).alias("pct_rank"),
-        _r6(F.cume_dist().over(w)).alias("cume"),
-        F.rank().over(w).cast("long").alias("rnk"),
-        F.dense_rank().over(w).cast("long").alias("drnk"),
+        ntile_from_rank(F.col("__rn"), n, 4).alias("quartile"),
+        _r6(pct).alias("pct_rank"),
+        _r6((F.col("__minrn") + F.col("__tn") - 1) / n).alias("cume"),
+        F.col("__minrn").cast("long").alias("rnk"),
+        F.col("__dr").cast("long").alias("drnk"),
     )
 
 

@@ -168,10 +168,20 @@ def test_doc_chunking_is_narrow(spark):
     assert "Exchange" not in plan
 
 
-def test_pack_sequences_single_exchange(spark):
-    """Packing needs exactly one shuffle: the per-source window sort."""
+def test_pack_sequences_grouped_prefix_shape(spark):
+    """Round 7: the packer's exclusive cumsum rides
+    with_grouped_running_sum — the visible plan is the __pid-grouped
+    window over the checkpoint-pinned range partitioning plus the
+    broadcast offsets join; the old per-source window (parallelism
+    capped at |sources|) must be gone."""
     plan = _plan(spark, "doc_pack_sequences")
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert "__pid" in plan  # grouped prefix machinery engaged
+    assert "BroadcastHashJoin" in plan  # offsets join back
+    # 3 hash exchanges, all over the checkpoint-pinned frame: the
+    # (pid, source) local window, the offsets partial-agg (map-side
+    # combined — shuffle bytes ≈ |partitions| x |sources|), and the
+    # offsets frame's per-source prefix window
+    assert plan.count("Exchange hashpartitioning") == 3
 
 
 def test_q5_join_tree_broadcasts_dims(spark):

@@ -161,3 +161,52 @@ def test_grouped_global_rank_matches_window_row_number(spark, rows):
         ).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),
+            st.sampled_from([0, 1, 2, 5, None]),  # NULL values skipped
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    st.booleans(),
+)
+def test_grouped_running_sum_matches_window(spark, rows, inclusive):
+    """with_grouped_running_sum must equal coalesce(SUM() OVER
+    (PARTITION BY g ORDER BY id ROWS UNBOUNDED PRECEDING .. 0|-1), 0)
+    for any data — NULL groups, NULL values, either frame bound."""
+    from pyspark.sql import functions as F
+
+    from stockpulse_spark.operators.rank import with_grouped_running_sum
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)],
+        "id long, g string, v long",
+    )
+    got = {
+        r["id"]: r["cs"]
+        for r in with_grouped_running_sum(
+            df, ["g"], ["id"], "v", out_col="cs", inclusive=inclusive
+        ).collect()
+    }
+    upper = 0 if inclusive else -1
+    w = (
+        Window.partitionBy("g")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    want = {
+        r["id"]: r["cs"]
+        for r in df.select(
+            "id", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("cs")
+        ).collect()
+    }
+    assert got == want
