@@ -126,6 +126,11 @@ QUERIES = [
     "rfm_segmentation", "revenue_concentration", "corpus_top_terms",
     "important_parts", "bollinger20", "williams_r",
     "stochastic_14_3", "rolling_beta20",
+    # round-7 second wave: the group-capped windows migrated to the
+    # grouped prefix decomposition — ratios prove the |groups|-task
+    # ceiling is gone, not moved
+    "doc_pack_sequences", "value_rank_family", "value_ntile_features",
+    "doc_token_budget_sample",
 ]
 
 # SPARK_SMOKE_ONLY=q1,q2 restricts the run (fast iteration on a new
