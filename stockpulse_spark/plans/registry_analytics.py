@@ -78,6 +78,8 @@ def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(o_totalprice), 2) AS total_value
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    -- HAVING: empty-table contract, see rollup_revenue
+    HAVING COUNT(*) > 0
     """,
     tags=("agg", "cube"),
     doc="CUBE over (status, priority): all four grouping combinations "
@@ -109,10 +111,14 @@ def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_click_after_view,
       COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
         AS n_purchase_after_click,
+      -- NULLIF: an empty funnel stage is a NULL rate on BOTH engines
+      -- (unguarded, Spark ANSI raises DIVIDE_BY_ZERO and DuckDB
+      -- yields NaN — the empty-corpus sweep caught the crash)
       ROUND(COUNT(CASE WHEN t_click > t_view THEN 1 END)
-            / CAST(COUNT(t_view) AS DOUBLE), 6) AS view_to_click,
+            / CAST(NULLIF(COUNT(t_view), 0) AS DOUBLE), 6) AS view_to_click,
       ROUND(COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
-            / CAST(COUNT(CASE WHEN t_click > t_view THEN 1 END) AS DOUBLE), 6)
+            / CAST(NULLIF(COUNT(CASE WHEN t_click > t_view THEN 1 END), 0)
+                   AS DOUBLE), 6)
         AS click_to_purchase
     FROM firsts
     """,
@@ -122,7 +128,9 @@ def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped pass over events, no self-joins — the naive formulation "
     "is a 3-way self-join), then strict time-ordering between steps "
     "and conversion rates. NULL comparisons drop users missing a "
-    "step, exactly as both engines define three-valued logic.",
+    "step, exactly as both engines define three-valued logic; an "
+    "empty stage yields NULL rates rather than a raise (Spark) or "
+    "NaN (DuckDB).",
 )
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -144,7 +152,7 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.round(
                 F.count(F.when(clicked, 1))
-                / F.count("t_view").cast("double")
+                / F.nullif(F.count("t_view").cast("double"), F.lit(0.0))
                 * 1e6
             )
             / 1e6
@@ -152,7 +160,9 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.round(
                 F.count(F.when(purchased, 1))
-                / F.count(F.when(clicked, 1)).cast("double")
+                / F.nullif(
+                    F.count(F.when(clicked, 1)).cast("double"), F.lit(0.0)
+                )
                 * 1e6
             )
             / 1e6

@@ -63,7 +63,9 @@ _DATE_LO, _DATE_HI = "1990-01-01", "2005-12-31"
     )
     SELECT rule, CAST(n AS BIGINT) AS n_checked,
            CAST(violations AS BIGINT) AS n_violations,
-           violations = 0 AS passed
+           -- COALESCE: zero rows checked is a vacuous PASS on both
+           -- engines, not a NULL boolean (empty-corpus sweep)
+           COALESCE(violations, 0) = 0 AS passed
     FROM rules ORDER BY rule
     """,
     tags=("quality", "warehouse", "agg"),
@@ -141,5 +143,5 @@ def q_dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule",
         F.col("n").alias("n_checked"),
         F.col("violations").alias("n_violations"),
-        (F.col("violations") == 0).alias("passed"),
+        (F.coalesce(F.col("violations"), F.lit(0)) == 0).alias("passed"),
     ).orderBy("rule")

@@ -675,8 +675,11 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_hit,
            ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
                  * 1.0 / COUNT(*), 6) AS recall_at_10,
-           2 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-             >= COUNT(*) AS meets_gate
+           -- COALESCE: zero queries -> gate FAILS (no evidence is
+           -- not a pass), and both engines agree instead of emitting
+           -- a NULL boolean (empty-corpus sweep)
+           COALESCE(2 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             >= COUNT(*), FALSE) AS meets_gate
     FROM exact_top e
     LEFT JOIN approx_top a
       ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
@@ -714,5 +717,7 @@ def q_srp_ann_recall_certificate(
         "n_exact",
         "n_hit",
         _r6(F.col("n_hit") * 1.0 / F.col("n_exact")).alias("recall_at_10"),
-        (2 * F.col("n_hit") >= F.col("n_exact")).alias("meets_gate"),
+        F.coalesce(
+            2 * F.col("n_hit") >= F.col("n_exact"), F.lit(False)
+        ).alias("meets_gate"),
     )

@@ -126,6 +126,11 @@ def q_global_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    -- only populated groups are reported: on EMPTY input ANSI/DuckDB
+    -- emits the () grand-total row while Spark's rollup emits none —
+    -- the HAVING (a no-op on any non-empty input, every real group
+    -- has >=1 row) pins the shared empty-table contract
+    HAVING COUNT(*) > 0
     """,
     tags=("agg", "rollup"),
     doc="hierarchical subtotals via ROLLUP — not in the reference "

@@ -34,6 +34,8 @@ from stockpulse_spark.plans.registry import (
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    -- HAVING: empty-table contract, see rollup_revenue
+    HAVING COUNT(*) > 0
     ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
     tags=("agg", "groupingsets"),
@@ -55,6 +57,7 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS revenue
         FROM __li_gsets
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        HAVING COUNT(*) > 0
         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """)
 

@@ -119,3 +119,44 @@ def test_signzero_canon_kills_negative_zero():
     ).fetchone()
     assert str(raw) == "-0.0"
     assert str(canon) == "0.0"
+
+
+# one per empty-corpus hazard class (tools/empty_corpus.py docstring
+# lists the classes; the full empty sweep is a round-close activity)
+EMPTY_PINNED = [
+    "event_funnel",  # NULLIF: empty stage is NULL, not ANSI raise/NaN
+    "rollup_revenue",  # populated-groups-only ROLLUP contract
+    "cube_order_stats",  # same for CUBE
+    "grouping_sets_revenue",  # same for GROUPING SETS
+    "srp_ann_recall_certificate",  # zero-query gate COALESCEs FALSE
+    "dq_expectation_suite",  # zero-rows-checked is a vacuous pass
+    "pricing_summary",  # plain grouped agg: empty in, empty out
+    "ma5_cma",  # window family over an empty bar table
+    "doc_minhash_lsh",  # LSH machinery over an empty corpus
+    "rfm_segmentation",  # grouped-rank machinery over zero customers
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("empty_sf")
+    subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "tools" / "empty_corpus.py"),
+            str(dst),
+        ],
+        check=True,
+        capture_output=True,
+    )
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", EMPTY_PINNED)
+def test_empty_corpus_parity_pinned(spark, empty_dir, name):
+    con = duck_con(empty_dir)
+    try:
+        status, *_ = compare(name, spark, con, empty_dir, verbose=False)
+    finally:
+        con.close()
+    assert status == "OK", f"{name} on empty corpus: {status}"
