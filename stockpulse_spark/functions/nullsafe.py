@@ -69,19 +69,31 @@ def corr_nn(x: Column | str, y: Column | str) -> Column:
     )
 
 
-def nan_nn(x: Column | str) -> Column:
-    """NaN -> NULL for a double measure (a NaN observation is sensor
-    garbage, not a value): the guard that keeps downstream integer
-    snaps (`CAST(round(x*100) AS BIGINT)` raises CAST_OVERFLOW on NaN
-    under Spark ANSI, and a Conversion Error in DuckDB) and DuckDB's
-    STDDEV/VAR family (which RAISES "out of range" on NaN input while
-    Spark returns NaN) total. Oracle twin:
-    `CASE WHEN isnan(x) THEN NULL ELSE x END`.
+def not_finite(x: Column | str) -> Column:
+    """True where x is NaN or ±Infinity, FALSE where x is NULL — an
+    exact drop-in for `F.isnan` (which is also false on NULL) with
+    the infinity arms added. Oracle twin: `NOT isfinite(x)` guarded
+    the same way its call sites guard NULL."""
+    x = _c(x)
+    return F.coalesce(
+        F.isnan(x) | (F.abs(x) == float("inf")), F.lit(False)
+    )
 
-    Round-7 note: the SPARK_GRAFT_FUZZ_NAN=1 census (ADVICE.md) lists
-    every query still reading the raw measure; apply this helper + the
-    oracle twin there and the NaN class closes like the NULL class
-    did.
+
+def nan_nn(x: Column | str) -> Column:
+    """Non-finite -> NULL for a double measure (a NaN or ±Infinity
+    observation is sensor garbage, not a value — an upstream divide
+    emits both): the guard that keeps downstream integer snaps
+    (`CAST(round(x*100) AS BIGINT)` raises CAST_OVERFLOW on NaN AND
+    on Infinity under Spark ANSI, and a Conversion Error in DuckDB)
+    and DuckDB's STDDEV/VAR family (which RAISES "out of range" on
+    any non-finite input while Spark returns NaN) total. Oracle twin:
+    `CASE WHEN NOT isfinite(x) THEN NULL ELSE x END`.
+
+    History: round 6 closed the NaN class (42 -> 0 divergences);
+    round 7's SPARK_GRAFT_FUZZ_INF census found 33 more from ±inf —
+    widening the mask from nanvl to NOT-finite closed them with the
+    same one-boundary fix.
     """
     x = _c(x)
-    return F.nanvl(x, F.lit(None).cast("double"))
+    return F.when(~not_finite(x), x)

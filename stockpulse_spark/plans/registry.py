@@ -26,7 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn, nan_nn
+from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn, nan_nn, not_finite
 
 from stockpulse_spark.sources.tables import load_table
 
@@ -247,14 +247,14 @@ WITH bars AS (
   SELECT
     user_id,
     date_trunc('hour', ts) AS bucket_start,
-    first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value))     AS open,
-    max(value) FILTER (WHERE NOT isnan(value))             AS high,
-    min(value) FILTER (WHERE NOT isnan(value))             AS low,
-    last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value))     AS close,
+    first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value))     AS open,
+    max(value) FILTER (WHERE isfinite(value))             AS high,
+    min(value) FILTER (WHERE isfinite(value))             AS low,
+    last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value))     AS close,
     count(*)               AS volume
   FROM events
   GROUP BY user_id, date_trunc('hour', ts)
-  HAVING last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) IS NOT NULL
+  HAVING last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)) IS NOT NULL
 )
 """
 
@@ -507,7 +507,7 @@ def q_duplicate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, ts, user_id, event_type, value
     FROM events
     WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
-      AND NOT isnan(value) AND value > 0
+      AND isfinite(value) AND value > 0
     """,
     tags=("filter",),
     doc="reference P9 (preprocessing_pipeline.py:124-135): null drop + "
@@ -518,7 +518,7 @@ def q_quality_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type", "value"
     )
     return ev.na.drop(subset=["value", "ts", "user_id"]).filter(
-        ~F.isnan("value") & (F.col("value") > 0)
+        ~not_finite("value") & (F.col("value") > 0)
     )
 
 
@@ -578,7 +578,7 @@ def q_time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            MAX(ts)            AS latest_ts,
-           last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS latest_value,
+           last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)) AS latest_value,
            COUNT(*)           AS n_events
     FROM events
     GROUP BY user_id
@@ -645,7 +645,7 @@ def q_hourly_volume_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(STDDEV_SAMP(v), 6) AS std_value,
            COUNT(*)                 AS n
     FROM (SELECT event_type,
-                 CASE WHEN isnan(value) THEN NULL ELSE value END AS v
+                 CASE WHEN NOT isfinite(value) THEN NULL ELSE value END AS v
           FROM events)
     GROUP BY event_type
     ORDER BY event_type
@@ -704,10 +704,10 @@ def q_ohlcv_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(ts AS DATE)   AS date,
-           ROUND(first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)), 6) AS open,
+           ROUND(first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)), 6) AS open,
            ROUND(max(value), 6)         AS high,
            ROUND(min(value), 6)         AS low,
-           ROUND(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)), 6) AS close,
+           ROUND(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)), 6) AS close,
            count(*)                     AS volume
     FROM events
     GROUP BY user_id, CAST(ts AS DATE)
@@ -773,7 +773,7 @@ def q_ma5_cma(spark: SparkSession, sf_dir: str) -> DataFrame:
     "eod_ma5_join",
     oracle="""
     WITH eod AS (
-      SELECT user_id, CAST(ts AS DATE) AS date, last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS eod_close
+      SELECT user_id, CAST(ts AS DATE) AS date, last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)) AS eod_close
       FROM events GROUP BY user_id, CAST(ts AS DATE)
     ), eod_ma AS (
       SELECT user_id, date,

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import not_finite
+
 from stockpulse_spark.operators.rank import with_global_rank
 from stockpulse_spark.plans.registry import _hourly_bars, _r6, _register, _t
 
@@ -100,9 +102,9 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH bars AS (
       -- HAVING mirrors _BARS_CTE's no-empty-bar contract
       SELECT user_id, date_trunc('hour', ts) AS bucket_start,
-             last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS close
+             last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)) AS close
       FROM events GROUP BY user_id, date_trunc('hour', ts)
-      HAVING last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) IS NOT NULL
+      HAVING last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)) IS NOT NULL
     ), z AS (
       SELECT user_id, bucket_start, close,
              CASE WHEN COUNT(*) OVER w >= 20
@@ -174,7 +176,7 @@ CAST(CASE WHEN {v} >= 100 THEN floor({v} / 100.0)
     "benford_first_digit",
     oracle=f"""
     WITH d AS (
-      SELECT {_DIGIT.format(v="value")} AS digit FROM events WHERE value > 0 AND NOT isnan(value)
+      SELECT {_DIGIT.format(v="value")} AS digit FROM events WHERE value > 0 AND isfinite(value)
     )
     SELECT digit,
            COUNT(*) AS n,
@@ -193,7 +195,7 @@ CAST(CASE WHEN {v} >= 100 THEN floor({v} / 100.0)
 )
 def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(
-        (F.col("value") > 0) & ~F.isnan("value")
+        (F.col("value") > 0) & ~not_finite("value")
     )
     d = ev.select(F.expr(_DIGIT.format(v="value")).alias("digit"))
     counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))

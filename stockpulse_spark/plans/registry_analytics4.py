@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stockpulse_spark.functions.nullsafe import corr_nn
+from stockpulse_spark.functions.nullsafe import corr_nn, not_finite
 from stockpulse_spark.plans.registry import (
     _BARS_CTE,
     _hourly_bars,
@@ -218,7 +218,7 @@ _N_DIMS_CORR = 8
     oracle=f"""
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-      WHERE embedding IS NULL OR len(list_filter(embedding, x -> isnan(x))) = 0
+      WHERE embedding IS NULL OR len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), dims AS (
       SELECT vec_id, p.pos - 1 AS pos, e[p.pos] AS val
       FROM v, (SELECT unnest(range(1, {_N_DIMS_CORR + 1})) AS pos) p
@@ -250,7 +250,7 @@ _N_DIMS_CORR = 8
 def q_embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _t(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNull()
-        | ~F.exists("embedding", lambda x: F.isnan(x))
+        | ~F.exists("embedding", lambda x: not_finite(x))
     ).select(
         "vec_id",
         F.slice(F.col("embedding").cast("array<double>"), 1, _N_DIMS_CORR)

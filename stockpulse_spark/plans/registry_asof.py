@@ -18,7 +18,7 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
     "asof_prev_close",
     oracle="""
     WITH eod AS (
-      SELECT user_id, CAST(ts AS DATE) AS d, last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS prev_close,
+      SELECT user_id, CAST(ts AS DATE) AS d, last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)) AS prev_close,
              CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY AS avail_ts
       FROM events GROUP BY user_id, CAST(ts AS DATE)
     )
@@ -67,7 +67,7 @@ def q_asof_prev_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hb AS (
       SELECT user_id,
              date_trunc('hour', ts) + INTERVAL 1 HOUR AS avail_ts,
-             last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS hour_close
+             last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)) AS hour_close
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
       GROUP BY user_id, date_trunc('hour', ts)
@@ -121,7 +121,7 @@ def q_asof_tolerance_hour_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH db AS (
       SELECT user_id,
              CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day_start,
-             first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS day_open
+             first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)) AS day_open
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
       GROUP BY user_id, CAST(ts AS DATE)
@@ -171,7 +171,7 @@ def q_asof_forward_next_open(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day_ts,
-             last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS day_close
+             last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)) AS day_close
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
       GROUP BY user_id, CAST(ts AS DATE)

@@ -29,7 +29,7 @@ from stockpulse_spark.plans.registry import _r4, _r6, _register, _t
     oracle="""
     WITH snap_a AS (
       SELECT o_orderkey,
-             CAST(ROUND((CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END) * 100) AS BIGINT) AS cents
+             CAST(ROUND((CASE WHEN NOT isfinite(o_totalprice) THEN NULL ELSE o_totalprice END) * 100) AS BIGINT) AS cents
       FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
     ), snap_b AS (
       SELECT o_orderkey,
@@ -37,7 +37,7 @@ from stockpulse_spark.plans.registry import _r4, _r6, _register, _t
                           THEN cents // 20 ELSE 0 END AS cents
       FROM (
         SELECT o_orderkey,
-               CAST(ROUND((CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END) * 100) AS BIGINT) AS cents
+               CAST(ROUND((CASE WHEN NOT isfinite(o_totalprice) THEN NULL ELSE o_totalprice END) * 100) AS BIGINT) AS cents
         FROM orders
         WHERE o_orderdate < TIMESTAMP '2001-01-01'
           AND o_orderkey % 11 != 0

@@ -38,7 +38,7 @@ from stockpulse_spark.plans.registry import _r4, _register, _t
     ), rev AS (
       SELECT c.cohort_month,
              datediff('month', c.cohort_month, o.m) AS month_index,
-             CAST(ROUND(SUM((CASE WHEN isnan(o.o_totalprice) THEN NULL ELSE o.o_totalprice END) * 100)) AS BIGINT) AS rev_cents
+             CAST(ROUND(SUM((CASE WHEN NOT isfinite(o.o_totalprice) THEN NULL ELSE o.o_totalprice END) * 100)) AS BIGINT) AS rev_cents
       FROM om o JOIN cohorts c ON o.o_custkey = c.o_custkey
       GROUP BY c.cohort_month, datediff('month', c.cohort_month, o.m)
     )
@@ -119,7 +119,7 @@ def q_cohort_ltv_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
              datediff('day', MAX(o_orderdate),
                       (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
              COUNT(*) AS frequency,
-             SUM(CAST(round((CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END) * 100) AS BIGINT)) AS monetary
+             SUM(CAST(round((CASE WHEN NOT isfinite(o_totalprice) THEN NULL ELSE o_totalprice END) * 100) AS BIGINT)) AS monetary
       FROM orders GROUP BY o_custkey
     ), scored AS (
       SELECT o_custkey, monetary,

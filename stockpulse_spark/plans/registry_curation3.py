@@ -19,7 +19,7 @@ from stockpulse_spark.llmdata.hashing import word32_sql
 from stockpulse_spark.llmdata.similarity import _as_double, dot, norm
 from stockpulse_spark.operators.rank import with_grouped_running_sum
 from stockpulse_spark.operators.topk import salted_grouped_topk
-from stockpulse_spark.functions.nullsafe import nan_nn
+from stockpulse_spark.functions.nullsafe import nan_nn, not_finite
 from stockpulse_spark.plans.registry import _r4, _r6, _register, _t
 from stockpulse_spark.plans.registry_ml import _DIMS, _d_cos
 
@@ -35,7 +35,7 @@ _BUDGET = 10_000  # global token budget for the sample
       -- row here while Spark's posexplode drops it (found by
       -- hypothesis in tests/test_property_parity.py)
       SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
-      WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> isnan(x))) = 0
+      WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), cent AS (
       SELECT label, list(mu ORDER BY pos) AS c FROM (
         SELECT v.label, p.pos, ROUND(AVG(v.e[p.pos]), 6) AS mu
@@ -75,7 +75,7 @@ def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings")
         .filter(
             F.col("embedding").isNotNull()
-            & ~F.exists("embedding", lambda x: F.isnan(x))
+            & ~F.exists("embedding", lambda x: not_finite(x))
         )
         .select("vec_id", "label", _as_double(F.col("embedding")).alias("e"))
     )
@@ -249,7 +249,7 @@ def q_doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- double week-sum is fold-order nondeterministic in its last
       -- ulp, which can flip the 4dp round run-to-run
       SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS wk,
-             CAST(ROUND(SUM((CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END) * 100)) AS BIGINT) AS cents,
+             CAST(ROUND(SUM((CASE WHEN NOT isfinite(o_totalprice) THEN NULL ELSE o_totalprice END) * 100)) AS BIGINT) AS cents,
              COUNT(*) AS n_orders
       FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     )

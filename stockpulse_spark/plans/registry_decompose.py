@@ -93,7 +93,7 @@ def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- parallel window sort (flips ends run-to-run) and at the
       -- opposite end by Spark — excluded on both engines
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
-             CAST(ROUND(SUM((CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END) * 100)) AS BIGINT) AS cents
+             CAST(ROUND(SUM((CASE WHEN NOT isfinite(o_totalprice) THEN NULL ELSE o_totalprice END) * 100)) AS BIGINT) AS cents
       FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ), trended AS (
       SELECT m, cents,

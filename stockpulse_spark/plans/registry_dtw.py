@@ -41,7 +41,7 @@ _INF = 10**15
     oracle=f"""
     WITH RECURSIVE daily AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
-             CAST(round(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) * 100) AS BIGINT) * 2 AS c2
+             CAST(round(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)) * 100) AS BIGINT) * 2 AS c2
       FROM events GROUP BY 1, 2
     ), med AS (
       SELECT d, CAST(round(quantile_cont(c2, 0.5)) AS BIGINT) AS m2
@@ -172,7 +172,7 @@ _SAX_BP = (-0.6745, 0.0, 0.6745)
     oracle=f"""
     WITH bars AS (
       SELECT user_id, date_trunc('hour', ts) AS h,
-             CAST(round(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) * 100) AS BIGINT) AS cents
+             CAST(round(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)) * 100) AS BIGINT) AS cents
       FROM events GROUP BY 1, 2
     ), stats AS (
       SELECT user_id, COUNT(*) AS n, SUM(cents) AS s,

@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import not_finite
+
 from stockpulse_spark.llmdata.similarity import _as_double, dot, norm
 from stockpulse_spark.plans.registry import _r6, _register, _t
 
@@ -22,7 +24,7 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
     FROM events
     -- COALESCE keeps NULL-value rows (their group must survive);
     -- NaN rows are excluded: engines disagree on NaN percentiles
-    WHERE COALESCE(NOT isnan(value), TRUE)
+    WHERE COALESCE(isfinite(value), TRUE)
     GROUP BY event_type
     ORDER BY event_type
     """,
@@ -34,7 +36,7 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
 )
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(
-        F.coalesce(~F.isnan("value"), F.lit(True))
+        ~not_finite("value")
     )
     return (
         ev.groupBy("event_type")
@@ -320,7 +322,7 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- any-NaN vectors are corrupt and excluded (NULL rows kept:
       -- their scale/q8 stay NULL as before)
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-      WHERE embedding IS NULL OR len(list_filter(embedding, x -> isnan(x))) = 0
+      WHERE embedding IS NULL OR len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), s AS (
       SELECT vec_id, e,
              list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
@@ -354,7 +356,7 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNull()
-        | ~F.exists("embedding", lambda x: F.isnan(x))
+        | ~F.exists("embedding", lambda x: not_finite(x))
     ).select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     )

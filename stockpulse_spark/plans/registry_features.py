@@ -30,7 +30,7 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
     oracle="""
     WITH e AS (
       SELECT event_id, event_type,
-             CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT) AS cents
+             CAST(round((CASE WHEN NOT isfinite(value) THEN NULL ELSE value END) * 100) AS BIGINT) AS cents
       FROM events
     ), g AS (
       SELECT event_type, SUM(cents) AS s, COUNT(*) AS n
@@ -199,7 +199,7 @@ def q_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT quantile_cont(epoch_us(ts), 0.5) AS mid FROM events
     ), e AS (
       SELECT e.event_type,
-             CASE WHEN isnan(e.value) THEN NULL ELSE e.value END
+             CASE WHEN NOT isfinite(e.value) THEN NULL ELSE e.value END
                AS value,
              CASE WHEN epoch_us(e.ts) <= c.mid THEN 0 ELSE 1 END AS period
       FROM events e, cut c

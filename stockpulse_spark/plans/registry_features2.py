@@ -30,7 +30,7 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
              COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE))
                AS n_active_days,
              COUNT(DISTINCT event_type) AS n_types,
-             SUM(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS cents,
+             SUM(CAST(round((CASE WHEN NOT isfinite(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS cents,
              SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                AS n_purchases,
              min(ts) AS first_ts, max(ts) AS last_ts
@@ -251,7 +251,7 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     "seasonal_anomaly_rates",
     oracle="""
     WITH ev AS (
-      SELECT * REPLACE (CASE WHEN isnan(value) THEN NULL
+      SELECT * REPLACE (CASE WHEN NOT isfinite(value) THEN NULL
                         ELSE value END AS value)
       FROM events
     ), b AS (

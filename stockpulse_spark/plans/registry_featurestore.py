@@ -34,7 +34,7 @@ _7D_US = 7 * 24 * 3600 * 1_000_000
     WITH ev AS (
       SELECT event_id, user_id, ts, event_type,
              epoch_us(ts) AS us,
-             CASE WHEN value IS NULL OR isnan(value) THEN NULL
+             CASE WHEN value IS NULL OR NOT isfinite(value) THEN NULL
                   ELSE CAST(round(value * 100) AS BIGINT) END AS cents
       FROM events WHERE ts IS NOT NULL
     ), feat AS (

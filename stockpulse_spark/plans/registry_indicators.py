@@ -325,7 +325,7 @@ def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returns_volatility",
     oracle="""
     WITH daily AS (
-      SELECT user_id, CAST(ts AS DATE) AS date, last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS close
+      SELECT user_id, CAST(ts AS DATE) AS date, last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)) AS close
       FROM events GROUP BY user_id, CAST(ts AS DATE)
     ), r AS (
       SELECT user_id, date, close,

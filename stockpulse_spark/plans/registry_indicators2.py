@@ -679,10 +679,10 @@ WITH RECURSIVE bars AS (
   -- HAVING mirrors _BARS_CTE's no-empty-bar contract (incl. the
   -- NaN mask: NaN ticks are not trades)
   SELECT user_id, date_trunc('hour', ts) AS bucket_start,
-         max(value) FILTER (WHERE NOT isnan(value)) AS high,
-         min(value) FILTER (WHERE NOT isnan(value)) AS low
+         max(value) FILTER (WHERE isfinite(value)) AS high,
+         min(value) FILTER (WHERE isfinite(value)) AS low
   FROM events GROUP BY user_id, date_trunc('hour', ts)
-  HAVING max(value) FILTER (WHERE NOT isnan(value)) IS NOT NULL
+  HAVING max(value) FILTER (WHERE isfinite(value)) IS NOT NULL
 ), b AS (
   SELECT user_id, bucket_start, high, low,
          CAST(row_number() OVER (PARTITION BY user_id ORDER BY bucket_start) AS INTEGER) AS rn

@@ -56,7 +56,7 @@ def _pois_case(u: str) -> str:
     WITH reps AS (
       SELECT e.event_type, b.b,
              {_pois_case(hex_to_int_sql("md5(CAST(e.event_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR))"))} AS w,
-             CAST(round((CASE WHEN isnan(e.value) THEN NULL ELSE e.value END) * 100) AS BIGINT) AS cents
+             CAST(round((CASE WHEN NOT isfinite(e.value) THEN NULL ELSE e.value END) * 100) AS BIGINT) AS cents
       FROM events e
       CROSS JOIN (SELECT unnest(range(0, {_B})) AS b) b
     ), rm AS (
@@ -230,8 +230,8 @@ def q_segment_type_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
       SELECT event_type, hour(ts) AS hr,
-             CASE WHEN isnan(value) THEN NULL ELSE value END AS value,
-             CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT) AS cents,
+             CASE WHEN NOT isfinite(value) THEN NULL ELSE value END AS value,
+             CAST(round((CASE WHEN NOT isfinite(value) THEN NULL ELSE value END) * 100) AS BIGINT) AS cents,
              {hex_to_int_sql("md5(CAST(event_id AS VARCHAR))", 8)} % 2
                AS split
       FROM events

@@ -31,7 +31,7 @@ _O_DELTA = "o_orderkey % 7 = 0"
 _L_DELTA = "l_orderkey % 10 = 0"
 
 _CENTS = (
-    "CAST(round((CASE WHEN isnan(l_extendedprice) THEN NULL ELSE l_extendedprice END) * 100) AS BIGINT)"
+    "CAST(round((CASE WHEN NOT isfinite(l_extendedprice) THEN NULL ELSE l_extendedprice END) * 100) AS BIGINT)"
 )
 
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import not_finite
+
 from stockpulse_spark.plans.registry import _r6, _register, _t
 
 _BITS = 8
@@ -205,7 +207,7 @@ def q_sliding_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(l_quantity AS BIGINT) AS wt
       FROM lineitem
       WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
-        AND NOT isnan(l_extendedprice)
+        AND isfinite(l_extendedprice)
     ), c AS (
       SELECT l_returnflag, price, wt,
              SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY price
@@ -237,7 +239,7 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = li.filter(
         F.col("l_extendedprice").isNotNull()
         & F.col("l_quantity").isNotNull()
-        & ~F.isnan("l_extendedprice")
+        & ~not_finite("l_extendedprice")
     ).select(
         "l_returnflag",
         F.col("l_extendedprice").alias("price"),

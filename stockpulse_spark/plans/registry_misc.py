@@ -41,9 +41,9 @@ def q_new_keys_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            MAX(ts)                       AS latest_ts,
-           ROUND(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)), 6)  AS latest_value,
+           ROUND(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)), 6)  AS latest_value,
            ROUND(AVG(value), 6)          AS mean_value,
-           ROUND(100.0 * (last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) - AVG(value)) / AVG(value), 6) AS pct_vs_mean,
+           ROUND(100.0 * (last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)) - AVG(value)) / AVG(value), 6) AS pct_vs_mean,
            COUNT(*)                      AS n_events
     FROM events
     GROUP BY user_id
@@ -71,10 +71,10 @@ def q_live_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(date_trunc('week', ts) AS DATE) AS week_start,
-           ROUND(first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)), 6)  AS open,
+           ROUND(first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)), 6)  AS open,
            ROUND(max(value), 6)          AS high,
            ROUND(min(value), 6)          AS low,
-           ROUND(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)), 6)  AS close,
+           ROUND(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)), 6)  AS close,
            count(*)                      AS volume
     FROM events
     GROUP BY user_id, CAST(date_trunc('week', ts) AS DATE)

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn
+from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn, nan_nn, not_finite
 
 from stockpulse_spark.llmdata.similarity import _as_double, dot, norm
 from stockpulse_spark.plans.registry import _r6, _register, _t
@@ -49,7 +49,7 @@ def _d_cos(a: str, b: str) -> str:
     oracle=f"""
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-      WHERE embedding IS NULL OR len(list_filter(embedding, x -> isnan(x))) = 0
+      WHERE embedding IS NULL OR len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), c0 AS (
       SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < {_K}
     ), a1 AS (
@@ -94,7 +94,7 @@ def q_kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings")
         .filter(
             F.col("embedding").isNull()
-        | ~F.exists("embedding", lambda x: F.isnan(x))
+        | ~F.exists("embedding", lambda x: not_finite(x))
         )
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", _as_double(F.col("embedding")).alias("e"))
@@ -144,9 +144,9 @@ def q_kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
            COUNT(*) AS n,
-           ROUND(quantile_cont(CASE WHEN isnan(value) THEN NULL
+           ROUND(quantile_cont(CASE WHEN NOT isfinite(value) THEN NULL
                                ELSE value END, 0.95), 6) AS p95,
-           ROUND(quantile_cont(CASE WHEN isnan(value) THEN NULL
+           ROUND(quantile_cont(CASE WHEN NOT isfinite(value) THEN NULL
                                ELSE value END, 0.99), 6) AS p99
     FROM events
     GROUP BY event_type, hour(ts)
@@ -167,14 +167,10 @@ def q_hourly_p95_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             _r6(
-                F.expr(
-                    "percentile(nanvl(value, cast(null as double)), 0.95)"
-                )
+                F.percentile(nan_nn("value"), F.lit(0.95))
             ).alias("p95"),
             _r6(
-                F.expr(
-                    "percentile(nanvl(value, cast(null as double)), 0.99)"
-                )
+                F.percentile(nan_nn("value"), F.lit(0.99))
             ).alias("p99"),
         )
         .orderBy("event_type", "hour_of_day")
@@ -250,19 +246,19 @@ def q_doc_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- nv counts REAL prices: NULL and NaN ticks alike form no bar
       -- (the _BARS_CTE NaN-mask contract)
       SELECT user_id, date_trunc('hour', ts) AS h,
-             COUNT(CASE WHEN NOT isnan(value) THEN value END) AS nv
+             COUNT(CASE WHEN isfinite(value) THEN value END) AS nv
       FROM events GROUP BY 1, 2
     )
     SELECT e.user_id, CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day,
-           ROUND(first(e.value ORDER BY e.ts, e.value) FILTER (WHERE e.value IS NOT NULL AND NOT isnan(e.value)), 6) AS open,
-           ROUND(max(e.value) FILTER (WHERE NOT isnan(e.value)), 6)           AS high,
-           ROUND(min(e.value) FILTER (WHERE NOT isnan(e.value)), 6)           AS low,
-           ROUND(last(e.value ORDER BY e.ts, e.value) FILTER (WHERE e.value IS NOT NULL AND NOT isnan(e.value)), 6) AS close,
+           ROUND(first(e.value ORDER BY e.ts, e.value) FILTER (WHERE e.value IS NOT NULL AND isfinite(e.value)), 6) AS open,
+           ROUND(max(e.value) FILTER (WHERE isfinite(e.value)), 6)           AS high,
+           ROUND(min(e.value) FILTER (WHERE isfinite(e.value)), 6)           AS low,
+           ROUND(last(e.value ORDER BY e.ts, e.value) FILTER (WHERE e.value IS NOT NULL AND isfinite(e.value)), 6) AS close,
            COUNT(*) FILTER (WHERE he.nv > 0) AS volume
     FROM events e
     JOIN he ON e.user_id = he.user_id AND date_trunc('hour', e.ts) = he.h
     GROUP BY e.user_id, date_trunc('day', e.ts)
-    HAVING COUNT(CASE WHEN NOT isnan(e.value) THEN e.value END) > 0
+    HAVING COUNT(CASE WHEN isfinite(e.value) THEN e.value END) > 0
     ORDER BY e.user_id, day
     """,
     tags=("agg", "resample", "rollup"),

@@ -160,7 +160,7 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (
       -- NaN measures masked like NULL (nan_nn contract)
-      SELECT * REPLACE (CASE WHEN isnan(value) THEN NULL
+      SELECT * REPLACE (CASE WHEN NOT isfinite(value) THEN NULL
                         ELSE value END AS value)
       FROM events
     ), b AS (
@@ -238,11 +238,11 @@ def q_trimmed_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (
       SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
              COUNT(*) AS n,
-             SUM(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS s,
-             SUM(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)
-                 * CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS s2,
-             MIN(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS mn,
-             MAX(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS mx
+             SUM(CAST(round((CASE WHEN NOT isfinite(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS s,
+             SUM(CAST(round((CASE WHEN NOT isfinite(value) THEN NULL ELSE value END) * 100) AS BIGINT)
+                 * CAST(round((CASE WHEN NOT isfinite(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS s2,
+             MIN(CAST(round((CASE WHEN NOT isfinite(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS mn,
+             MAX(CAST(round((CASE WHEN NOT isfinite(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS mx
       FROM events GROUP BY 1, 2
     )
     SELECT event_type, week, n,
@@ -317,9 +317,9 @@ def q_mergeable_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT event_type, hour(ts) AS hr,
              COUNT(*) AS n_g,
-             SUM(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS s_g,
-             SUM(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)
-                 * CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS s2_g
+             SUM(CAST(round((CASE WHEN NOT isfinite(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS s_g,
+             SUM(CAST(round((CASE WHEN NOT isfinite(value) THEN NULL ELSE value END) * 100) AS BIGINT)
+                 * CAST(round((CASE WHEN NOT isfinite(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS s2_g
       FROM events GROUP BY 1, 2
     ), parts AS (
       SELECT event_type, COUNT(*) AS k,

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import not_finite
+
 from stockpulse_spark.llmdata.similarity import _as_double, dot, norm
 from stockpulse_spark.plans.registry import _r6, _register, _t
 from stockpulse_spark.plans.registry_ml import _d_cos
@@ -49,7 +51,7 @@ def _d_mmr_step(prev: str, sel_ids: str) -> str:
     oracle=f"""
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-      WHERE embedding IS NULL OR len(list_filter(embedding, x -> isnan(x))) = 0
+      WHERE embedding IS NULL OR len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), q AS (
       SELECT e FROM v WHERE vec_id = 0
     ), cand AS (
@@ -88,7 +90,7 @@ def _d_mmr_step(prev: str, sel_ids: str) -> str:
 def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _t(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNull()
-        | ~F.exists("embedding", lambda x: F.isnan(x))
+        | ~F.exists("embedding", lambda x: not_finite(x))
     ).select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     )

@@ -118,7 +118,7 @@ def q_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (
       -- NaN measures masked like NULL (nan_nn contract)
-      SELECT * REPLACE (CASE WHEN isnan(value) THEN NULL
+      SELECT * REPLACE (CASE WHEN NOT isfinite(value) THEN NULL
                         ELSE value END AS value)
       FROM events
     ), med AS (

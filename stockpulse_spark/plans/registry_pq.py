@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.nullsafe import not_finite
+
 from stockpulse_spark.llmdata.similarity import _as_double
 from stockpulse_spark.plans.registry import _r6, _register, _t
 
@@ -59,7 +61,7 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings")
         .filter(
             F.col("embedding").isNotNull()
-            & ~F.exists("embedding", lambda x: F.isnan(x))
+            & ~F.exists("embedding", lambda x: not_finite(x))
         )
         .select("vec_id", _as_double(F.col("embedding")).alias("e"))
     )
@@ -72,7 +74,7 @@ _ASSIGN_CTE = f"""
     v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
       WHERE embedding IS NOT NULL
-        AND len(list_filter(embedding, x -> isnan(x))) = 0
+        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), cb AS (
       SELECT vec_id AS code, e AS c FROM v WHERE vec_id < {_K}
     ), cand AS (

@@ -136,7 +136,7 @@ def q_user_cohort_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH o AS (
       SELECT o_orderdate AS d, COUNT(*) AS n_orders,
-             ROUND(SUM(CASE WHEN isnan(o_totalprice) THEN NULL
+             ROUND(SUM(CASE WHEN NOT isfinite(o_totalprice) THEN NULL
                        ELSE o_totalprice END), 2) AS order_value
       FROM orders GROUP BY o_orderdate
     ), s AS (

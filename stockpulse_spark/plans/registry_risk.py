@@ -31,12 +31,12 @@ WITH daily AS (
   -- inside a recursive series (EMA/Heikin-Ashi) would poison every
   -- later row in one engine and not the other
   SELECT user_id, CAST(ts AS DATE) AS date,
-         first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS open,
-         max(value) FILTER (WHERE NOT isnan(value))         AS high,
-         min(value) FILTER (WHERE NOT isnan(value))         AS low,
-         last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS close
+         first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)) AS open,
+         max(value) FILTER (WHERE isfinite(value))         AS high,
+         min(value) FILTER (WHERE isfinite(value))         AS low,
+         last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)) AS close
   FROM events GROUP BY user_id, CAST(ts AS DATE)
-  HAVING last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) IS NOT NULL
+  HAVING last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)) IS NOT NULL
 )
 """
 

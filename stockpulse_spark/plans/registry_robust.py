@@ -34,9 +34,9 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
       -- HAVING: an all-NULL day has no close and contributes neither
       -- a pair slope nor a residual (mirrored on the Spark side)
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
-             last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS close
+             last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)) AS close
       FROM events GROUP BY 1, 2
-      HAVING last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) IS NOT NULL
+      HAVING last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)) IS NOT NULL
     ), dn AS (
       SELECT user_id, close,
              date_diff('day', DATE '1970-01-01', d) AS t
@@ -137,7 +137,7 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH bars AS (
       SELECT user_id, date_trunc('hour', ts) AS bucket_start,
-             CAST(round(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) * 100) AS BIGINT) AS cents
+             CAST(round(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)) * 100) AS BIGINT) AS cents
       FROM events GROUP BY 1, 2
     ), pre AS (
       SELECT user_id, bucket_start,
@@ -337,7 +337,7 @@ def q_acf_multilag(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE daily AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
-             CAST(round(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) * 100) AS BIGINT) AS cents
+             CAST(round(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)) * 100) AS BIGINT) AS cents
       FROM events GROUP BY 1, 2
     ), ua AS (
       SELECT user_id,

@@ -27,7 +27,7 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
     WITH ev AS (
       -- NaN measures masked like NULL (engine contract; see
       -- nullsafe.nan_nn) — COUNT(*) still counts every row
-      SELECT * REPLACE (CASE WHEN isnan(value) THEN NULL
+      SELECT * REPLACE (CASE WHEN NOT isfinite(value) THEN NULL
                         ELSE value END AS value)
       FROM events
     ), cells AS (

@@ -34,7 +34,7 @@ _SALTS = 8
       FROM events GROUP BY user_id
     ), fact AS (
       SELECT event_id, user_id, event_type,
-             CASE WHEN value IS NULL OR isnan(value) THEN NULL
+             CASE WHEN value IS NULL OR NOT isfinite(value) THEN NULL
                   ELSE CAST(round(value * 100) AS BIGINT) END AS cents
       FROM events
     )

@@ -226,7 +226,7 @@ def q_session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), agg AS (
       SELECT date_trunc('hour', ts) AS bucket_start,
              user_id,
-             ROUND(first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)), 6) AS open,
+             ROUND(first(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)), 6) AS open,
              MAX(value) AS high,
              MIN(value) AS low,
              COUNT(*) AS volume

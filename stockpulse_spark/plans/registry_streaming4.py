@@ -125,11 +125,11 @@ def q_stream_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_ts,
              COUNT(*) AS n,
-             SUM(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS s,
-             SUM(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)
-                 * CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS s2,
-             MIN(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS mn,
-             MAX(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS mx
+             SUM(CAST(round((CASE WHEN NOT isfinite(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS s,
+             SUM(CAST(round((CASE WHEN NOT isfinite(value) THEN NULL ELSE value END) * 100) AS BIGINT)
+                 * CAST(round((CASE WHEN NOT isfinite(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS s2,
+             MIN(CAST(round((CASE WHEN NOT isfinite(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS mn,
+             MAX(CAST(round((CASE WHEN NOT isfinite(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS mx
       FROM events GROUP BY 1, 2
     ), wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS wm FROM events)
     SELECT CAST(week_ts AS DATE) AS week, event_type, n,

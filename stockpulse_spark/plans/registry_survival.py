@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stockpulse_spark.functions.nullsafe import nan_nn
+from stockpulse_spark.functions.nullsafe import nan_nn, not_finite
 from stockpulse_spark.plans.registry import _r2, _r6, _register, _t
 
 # censoring rule: a customer whose last order falls within this many
@@ -164,9 +164,9 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- would otherwise put a NULL cents into the rank ORDER BY
       -- where Spark (NULLS FIRST) and DuckDB (NULLS LAST) disagree
       SELECT year(o_orderdate) AS o_year, o_custkey,
-             CAST(SUM(round((CASE WHEN isnan(o_totalprice) THEN NULL ELSE o_totalprice END) * 100)) AS BIGINT) AS cents
+             CAST(SUM(round((CASE WHEN NOT isfinite(o_totalprice) THEN NULL ELSE o_totalprice END) * 100)) AS BIGINT) AS cents
       FROM orders
-      WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+      WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)
       GROUP BY 1, 2
     ), ranked AS (
       SELECT o_year, cents,
@@ -198,7 +198,7 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_gini_revenue_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(
-        F.col("o_totalprice").isNotNull() & ~F.isnan("o_totalprice")
+        F.col("o_totalprice").isNotNull() & ~not_finite("o_totalprice")
     )
     rev = o.groupBy(
         F.year("o_orderdate").alias("o_year"), "o_custkey"

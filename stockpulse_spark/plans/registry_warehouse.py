@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stockpulse_spark.functions.nullsafe import nan_nn, max_by_nn, min_by_nn
+from stockpulse_spark.functions.nullsafe import max_by_nn, min_by_nn, nan_nn, not_finite
 
 from stockpulse_spark.llmdata.hashing import hex_to_int_sql, word32_sql
 from stockpulse_spark.operators.merge import merge_upsert
@@ -95,7 +95,7 @@ def q_orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- CAST: DuckDB date_trunc('day') yields DATE, Spark a timestamp
     WITH daily AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             CAST(floor(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) / 50.0) AS INTEGER) AS band
+             CAST(floor(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)) / 50.0) AS INTEGER) AS band
       FROM events GROUP BY user_id, date_trunc('day', ts)
     ), grp AS (
       SELECT user_id, day, band,
@@ -200,7 +200,7 @@ def q_doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            ROUND(SUM(value), 4) AS total_value
     FROM events
-    WHERE value IS NOT NULL AND NOT isnan(value)
+    WHERE value IS NOT NULL AND isfinite(value)
     GROUP BY 1, 2 ORDER BY bucket
     """,
     tags=("agg", "histogram"),
@@ -212,7 +212,7 @@ def q_doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull() & ~F.isnan("value")
+        F.col("value").isNotNull() & ~not_finite("value")
     )
     bucket = F.least(F.floor(F.col("value") / 25.0), F.lit(19)).cast("int")
     return (
@@ -237,7 +237,7 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             CAST(floor(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) / 50.0) AS INTEGER) AS band
+             CAST(floor(last(value ORDER BY ts, value) FILTER (WHERE value IS NOT NULL AND isfinite(value)) / 50.0) AS INTEGER) AS band
       FROM events GROUP BY user_id, date_trunc('day', ts)
     ), grp AS (
       SELECT user_id, day, band,

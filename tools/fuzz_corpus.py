@@ -58,6 +58,12 @@ def _nan_on() -> bool:
     return os.environ.get("SPARK_GRAFT_FUZZ_NAN", "1") != "0"
 
 
+def _inf_on() -> bool:
+    """The ±Infinity class (round-7 campaign; same contract as NaN —
+    non-finite masks like NULL). SPARK_GRAFT_FUZZ_INF=0 isolates it."""
+    return os.environ.get("SPARK_GRAFT_FUZZ_INF", "1") != "0"
+
+
 def mutate_events(tbl: pa.Table) -> pa.Table:
     d = tbl.to_pydict()
     n = len(d["event_id"])
@@ -96,6 +102,15 @@ def mutate_events(tbl: pa.Table) -> pa.Table:
 
             if _os.environ.get("SPARK_GRAFT_FUZZ_NAN", "1") != "0":
                 d["value"][i] = float("nan")
+        # 4c) ±Infinity measures (~0.5%): part of the standard gate
+        #     since the round-7 inf campaign (an upstream division
+        #     can emit inf, and inf shares NaN's hazards — CAST
+        #     overflow on cents snaps, DuckDB moment-aggregate
+        #     raises, inf-inf = NaN inside deltas; census found 33,
+        #     the nan_nn/isfinite contract widening closed all).
+        #     SPARK_GRAFT_FUZZ_INF=0 isolates the class.
+        elif 45 <= h < 50 and _inf_on():
+            d["value"][i] = float("inf") if eid % 2 else float("-inf")
         # 5) NULL event_type on ~1%
         if 990 <= h:
             d["event_type"][i] = None
@@ -146,6 +161,11 @@ def mutate_embeddings(tbl: pa.Table) -> pa.Table:
             v = list(d["embedding"][i])
             v[vid % dim] = float("nan")
             d["embedding"][i] = v
+        elif h < 38 and _inf_on():
+            # one ±inf element: corrupt upload, excluded like NaN/NULL
+            v = list(d["embedding"][i])
+            v[vid % dim] = float("inf") if vid % 2 else float("-inf")
+            d["embedding"][i] = v
     return pa.table(d, schema=tbl.schema)
 
 
@@ -180,6 +200,8 @@ def mutate_lineitem(tbl: pa.Table) -> pa.Table:
             d["l_shipdate"][i] = None  # NULL date -> NULL trunc keys
         elif h < 48 and _nan_on():
             d["l_extendedprice"][i] = float("nan")  # NaN money
+        elif h < 50 and _inf_on():
+            d["l_extendedprice"][i] = float("inf")  # inf money
         if 990 <= h:
             d["l_returnflag"][i] = None  # NULL group/order key
         elif 980 <= h < 990:
@@ -200,6 +222,8 @@ def mutate_orders(tbl: pa.Table) -> pa.Table:
             d["o_orderdate"][i] = None
         elif h < 28 and _nan_on():
             d["o_totalprice"][i] = float("nan")
+        elif h < 30 and _inf_on():
+            d["o_totalprice"][i] = float("-inf")
         if 990 <= h:
             d["o_orderpriority"][i] = None
         elif 985 <= h < 990:
@@ -218,6 +242,8 @@ def mutate_customer(tbl: pa.Table) -> pa.Table:
             d["c_acctbal"][i] = -0.0
         elif h < 28 and _nan_on():
             d["c_acctbal"][i] = float("nan")
+        elif h < 30 and _inf_on():
+            d["c_acctbal"][i] = float("inf")
         if 990 <= h:
             d["c_mktsegment"][i] = None
     return pa.table(d, schema=tbl.schema)
