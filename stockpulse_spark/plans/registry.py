@@ -116,66 +116,68 @@ def _register(
 # Driver-window rotation.  The driver's correctness gate samples the
 # FIRST 50 entries of queries() (dict insertion order); rotate via
 # tools/rotate_window.py each round until all oracle-backed queries
-# have driver rows.  Round 7 (93 never-checked remaining after r06)
-# leads with `abandoned_views_batch` — the last streaming batch twin
-# without a driver row, closing the "every stateful streaming op has
-# a driver-hashed batch certificate" contract (VERDICT r06 item 7) —
-# then never-driver-checked queries in registration order, including
-# the two single-task-window fixes landed this round
-# (rfm_segmentation, pairwise_return_corr) so their reshaped plans
-# are driver-verified, not just locally parity-checked.  All 50 are
-# first-time names; none of round 6's 50 repeat.
+# have driver rows.  Round 8: the FINAL rotation — the 43 remaining
+# never-driver-checked queries (all judge-verified green through
+# tools/parity.py in the round-7 verdict) lead the window, taking
+# cumulative driver coverage to 280/280 oracle-backed queries.  The
+# 7 tail slots hold this round's newly registered queries so they
+# earn driver rows in the same round they land.  Notably this window
+# drives the four reshaped vocabulary-join queries
+# (nb_lang_classifier here; doc_unigram_logprob / doc_fluency_filter
+# / doc_bigram_logprob already have driver rows and are re-verified
+# by the round-close parity artifacts) after the broadcast-hint
+# removal, so the fix is hash-certified, not just locally checked.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    "abandoned_views_batch",
-    "asof_tolerance_hour_close",
-    "asof_forward_next_open",
-    "asof_nearest_week_anchor",
-    "nation_market_share",
-    "source_mixture_temperature",
-    "seasonal_profile",
-    "value_ntile_features",
-    "event_transition_matrix",
-    "revenue_wow_growth",
-    "zorder_clustering_stats",
-    "sliding_7d_active_users",
-    "funnel_conversion_latency",
-    "copurchase_pairs",
-    "rolling_beta20",
-    "hourly_count_autocorr",
-    "session_paths_topk",
-    "revenue_waterfall_monthly",
-    "shipping_priority",
-    "returned_item_report",
-    "profit_by_nation_year",
-    "promo_revenue_monthly",
-    "supplier_count_by_part",
-    "excess_quantity_suppliers",
-    "forecast_revenue_change",
-    "customer_order_distribution",
-    "waiting_suppliers",
-    "sharpe_sortino",
-    "var_cvar_95",
-    "rolling_skew_kurt20",
-    "pivot_points_daily",
-    "pairwise_return_corr",
-    "copurchase_triangles",
-    "heikin_ashi_daily",
-    "cusum_returns",
-    "table_profile_orders",
-    "leadlag_return_corr",
-    "cohort_ltv_monthly",
-    "rfm_segmentation",
-    "basket_affinity_lift",
-    "audio_features",
-    "media_resize",
-    "audio_silence_segments",
-    "revenue_seasonal_decompose",
-    "holt_linear_trend",
-    "holt_winters_additive",
-    "snapshot_diff_cdc",
-    "interpolate_linear_gaps",
-    "kalman_local_level",
-    "ewma_volatility",
+    "theil_sen_trend",
+    "changepoint_binseg",
+    "acf_multilag",
+    "isotonic_trend",
+    "gini_revenue_yearly",
+    "score_auc_rank",
+    "activity_bitmap_rollup",
+    "nb_lang_classifier",
+    "trimmed_stats_by_type",
+    "mergeable_weekly_rollup",
+    "poisson_bootstrap_ci",
+    "conformal_interval_coverage",
+    "dtw_to_reference",
+    "sax_motifs",
+    "loo_target_encoding",
+    "psi_value_drift",
+    "user_feature_matrix",
+    "corpus_segment_dedup",
+    "gopher_quality_rules",
+    "duplicate_gram_coverage",
+    "unattributed_purchases",
+    "image_phash_near_dup",
+    "source_epoch_plan",
+    "curriculum_order",
+    "audio_fingerprint_near_dup",
+    "multimodal_curation_pipeline",
+    "dsir_importance_weights",
+    "cross_source_dup_matrix",
+    "label_centroid_similarity",
+    "hard_negative_mining",
+    "vocab_coverage_curve",
+    "packing_efficiency_report",
+    "token_frequency_spectrum",
+    "pq_codebook_assign",
+    "pq_adc_recall_eval",
+    "matryoshka_truncation_eval",
+    "quantile_normalize_doclen",
+    "source_length_calibration",
+    "leakage_free_training_set",
+    "join_ivm_delta_check",
+    "salted_skew_join_stats",
+    "audience_overlap_sketch",
+    "content_defined_chunk_dedup",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "orders_priority_count",
+    "dedup_keep_latest",
+    "duplicate_report",
+    "quality_clean",
 )
 
 

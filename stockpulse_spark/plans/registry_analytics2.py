@@ -131,11 +131,15 @@ def q_cross_sectional_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Unigram language-model fluency score: each document's mean "
     "ln(corpus unigram probability) — the classic cheap perplexity "
     "proxy for quality filtering (low = rare-token gibberish). "
-    "Corpus pass = one term-key shuffle into a vocabulary-sized "
-    "table; the corpus total is an empty-partition window over that "
-    "tiny table (not a rescan); per-doc pass joins the BROADCAST "
-    "logprob table and aggregates by doc — at 100 TB the vocabulary "
-    "stays MBs while the corpus grows, so the broadcast holds.",
+    "Corpus pass = one term-key shuffle into the vocabulary table. "
+    "Heaps' law makes that vocabulary corpus-SUBLINEAR but NOT "
+    "bounded (~1e8-1e9 distinct whitespace unigrams at 100 TB — "
+    "URLs, typos, numbers), so nothing here may broadcast it: the "
+    "corpus total is a 1-row scalar aggregate cross-joined back "
+    "(broadcast of one row, not of the vocab), and the toks⋈lp "
+    "equi-join on `term` is left UNHINTED — AQE broadcasts at test "
+    "scale and degrades gracefully to a shuffle hash join on `term` "
+    "at 100 TB, which is the scan-shaped plan this query wants.",
 )
 def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
@@ -145,14 +149,13 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    lp = vocab.select(
+    total = vocab.agg(F.sum("cnt").alias("_total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
         "term",
-        F.log(F.col("cnt") / F.sum("cnt").over(Window.partitionBy())).alias(
-            "logprob"
-        ),
+        F.log(F.col("cnt") / F.col("_total")).alias("logprob"),
     )
     return (
-        toks.join(F.broadcast(lp), "term")
+        toks.join(lp, "term")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -256,9 +259,13 @@ def q_doc_oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(percentile == DuckDB quantile_cont, proven by "
     "value_percentiles) computed over the doc-level score table — "
     "corpus-cardinality-sized, one extra tiny aggregation — then "
-    "broadcast back as a 1-row literal join. Keeps the whole "
-    "filter-decision path in one lazy plan: no driver loop, no "
-    "second scan of the corpus.",
+    "broadcast back as a 1-row literal join. The unigram vocabulary "
+    "itself is Heaps'-law unbounded (1e8+ terms at 100 TB) so the "
+    "toks⋈lp join carries NO broadcast hint (AQE picks broadcast at "
+    "test scale, shuffle hash join at corpus scale) and the corpus "
+    "total is a 1-row scalar agg cross-joined back, never a window "
+    "over the vocabulary. Keeps the whole filter-decision path in "
+    "one lazy plan: no driver loop, no second scan of the corpus.",
 )
 def q_doc_fluency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
@@ -268,14 +275,13 @@ def q_doc_fluency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    lp = vocab.select(
+    total = vocab.agg(F.sum("cnt").alias("_total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
         "term",
-        F.log(F.col("cnt") / F.sum("cnt").over(Window.partitionBy())).alias(
-            "logprob"
-        ),
+        F.log(F.col("cnt") / F.col("_total")).alias("logprob"),
     )
     scored = (
-        toks.join(F.broadcast(lp), "term")
+        toks.join(lp, "term")
         .groupBy("doc_id")
         .agg(F.avg("logprob").alias("avg_logprob"))
     )

@@ -241,7 +241,11 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is WITHIN-order, in-row over each order's collected part set "
     "(bounded by basket size squared, never corpus-quadratic) so the "
     "basket table never self-joins — one collect_set shuffle replaces "
-    "the join; item counts broadcast back onto the pair table.",
+    "the join. The per-item count table is catalog-sized (TPC-H part "
+    "grows with SF: ~2e8 parts at SF=1e5), so the two item-count "
+    "joins carry NO broadcast hint — AQE broadcasts while the "
+    "catalog is small and shuffles on the part key when it is not; "
+    "only the 1-row order-count scalar is hinted.",
 )
 def q_basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -283,8 +287,8 @@ def q_basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stockpulse_spark.plans.registry import _r6
 
     return (
-        pair.join(F.broadcast(i1), "p1")
-        .join(F.broadcast(i2), "p2")
+        pair.join(i1, "p1")
+        .join(i2, "p2")
         .join(F.broadcast(n_orders))
         .select(
             "p1",

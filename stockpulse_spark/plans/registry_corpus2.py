@@ -571,13 +571,20 @@ def q_source_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     "EXACTLY 0.0 — an asserted contract "
     "(tests/test_llmdata.py::test_decontamination_recall_boundary "
     "pins all four cohort rates), not a documented gap: 4-word "
-    "overlaps are deliberately out of scope because a 4-gram band "
-    "would ~1.25x the gram volume and flag mostly idiom-level "
-    "collocations (false-positive noise), while real sub-5-word "
-    "contamination is what the fuzzy MinHash tier exists to catch. "
-    "clean_train shows the organic false-positive base rate. Same "
-    "join shape and scale posture as decontamination_overlap "
-    "(broadcast benchmark gram set).",
+    "overlaps are deliberately out of decontamination scope because "
+    "a 4-gram band would ~1.25x the gram volume and flag mostly "
+    "idiom-level collocations (false-positive noise) while carrying "
+    "negligible eval signal. The MinHash fuzzy tier does NOT cover "
+    "this blind spot and no longer claims to — its measured catch "
+    "rate on 4-word snippets is 0.0 "
+    "(test_decontamination_fuzzy_tier_catch_rate_measured pins it, "
+    "with the reason: a 4-word snippet shares <=2 shingles with its "
+    "25+-word source). The fuzzy tier's decontamination value is "
+    "near-VERBATIM copies (measured 1.0 on verbatim re-plants); "
+    "dense paraphrase evades both lexical tiers and belongs to the "
+    "embedding-similarity family. clean_train shows the organic "
+    "false-positive base rate. Same join shape and scale posture as "
+    "decontamination_overlap (broadcast benchmark gram set).",
 )
 def q_decontamination_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (

@@ -86,9 +86,16 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
     "`lang_id_confusion`'s fixed stopword argmax). Log-probs are "
     "rounded to integer MICRO-NATS, so every document score is an "
     "exact BIGINT sum — no float-summation order can flip the "
-    "argmax in either engine. The model is vocab x langs (tiny, "
-    "broadcast); scoring is one explode + equi-join + partial-agg "
-    "shuffle on doc_id — scan-shaped at 100 TB.",
+    "argmax in either engine. Scale shape: the model is vocab x "
+    "langs, and the vocabulary is Heaps'-law UNBOUNDED (1e8+ terms "
+    "at 100 TB), so the vocab stays distributed throughout — the "
+    "lang replication broadcasts the METADATA-sized langs frame "
+    "onto the vocab (never the reverse), and the scoring join on "
+    "`term` is unhinted (AQE broadcasts at test scale, shuffle hash "
+    "join at corpus scale). Only genuinely 1-row/|langs|-sized "
+    "frames (vsize, tot, prior) carry broadcast hints. Scoring is "
+    "one explode + equi-join + partial-agg shuffle on doc_id — "
+    "scan-shaped at 100 TB.",
 )
 def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -102,8 +109,7 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lc = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n_tokens"))
     wc = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
     model = (
-        langs.select("lang")
-        .crossJoin(F.broadcast(vocab))
+        vocab.crossJoin(F.broadcast(langs.select("lang")))
         .crossJoin(F.broadcast(vsize))
         .join(lc, "lang")
         .join(wc, ["lang", "term"], "left")
@@ -131,9 +137,7 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lp"),
     )
     scores = (
-        toks.join(
-            F.broadcast(model.withColumnRenamed("lang", "cand")), "term"
-        )
+        toks.join(model.withColumnRenamed("lang", "cand"), "term")
         .join(
             F.broadcast(prior.withColumnRenamed("lang", "cand")), "cand"
         )

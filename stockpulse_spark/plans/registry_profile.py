@@ -60,9 +60,14 @@ from stockpulse_spark.plans.registry_risk import (
     doc="bigram LM fluency score: mean ln P(w2|w1) per document with "
     "MLE conditionals trained on the corpus itself (c(w1,.) marginal "
     "derived FROM the bigram table so both sides count boundaries "
-    "identically). Same scale shape as the unigram variant: the "
-    "bigram vocabulary is corpus-sublinear and broadcasts; the corpus "
-    "makes one shuffle on the bigram key.",
+    "identically). Same scale shape as the unigram variant, and the "
+    "same scale caveat amplified: the bigram vocabulary is "
+    "corpus-sublinear but UNBOUNDED (1e9-1e10 distinct bigrams at "
+    "100 TB — strictly larger than the unigram vocab), so neither "
+    "the c2⋈c1 marginal join nor the corpus⋈lp scoring join carries "
+    "a broadcast hint — both are plain equi-joins (on w1 / on the "
+    "bigram key) that AQE broadcasts at test scale and shuffles at "
+    "corpus scale.",
 )
 def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -87,7 +92,7 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bg", F.log(F.col("cnt2") / F.col("cnt1")).alias("logprob"))
     )
     return (
-        bigrams.join(F.broadcast(lp), "bg")
+        bigrams.join(lp, "bg")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

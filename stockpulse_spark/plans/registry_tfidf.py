@@ -39,8 +39,12 @@ from stockpulse_spark.plans.registry_llmdata import _MUT_CTE, _mutated_corpus
     "counts + corpus document frequencies (two partial-agg shuffles "
     "over the term key) → smoothed idf ln((N+1)/(df+1)) → per-doc "
     "top-k. The shape of every bag-of-words corpus statistic at "
-    "scale; the df table is the only corpus-wide state and it's "
-    "vocabulary-sized, broadcastable.",
+    "scale; the df table is the only corpus-wide state and it is "
+    "vocabulary-sized — corpus-SUBLINEAR but Heaps'-law unbounded "
+    "(1e8+ terms at 100 TB), so the tf-df join carries NO broadcast "
+    "hint: AQE broadcasts at test scale and falls back to a shuffle "
+    "hash join on the term key at corpus scale. Only the 1-row "
+    "n_docs scalar is hinted.",
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
@@ -55,7 +59,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

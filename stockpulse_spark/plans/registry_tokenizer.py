@@ -4,8 +4,10 @@ corpus statistics a tokenizer/vocabulary pipeline computes before
 anything trains.
 
 Both are one-shuffle aggregations whose result tables are
-vocabulary-sized: the corpus scan dominates at 100 TB, the stats stay
-metadata."""
+vocabulary-sized: the corpus scan dominates at 100 TB.  Vocabulary-
+sized is NOT metadata-sized — char-pair and collocation tables grow
+with the observed charset/vocab — so global ranks over them ride the
+range-partitioned prefix-sum machinery and nothing broadcasts them."""
 
 from __future__ import annotations
 
@@ -36,9 +38,15 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
     "BPE convention), top-20 with full tie-break. In-row pair "
     "expansion (no join), one shuffle on the pair key with map-side "
     "combine — each further merge round in a real trainer is this "
-    "same aggregation over a rewritten symbol sequence.",
+    "same aggregation over a rewritten symbol sequence. The pair "
+    "vocabulary is charset-squared — on Unicode web text that is "
+    "NOT metadata (150k code points squared clears 1e10), so the "
+    "rank rides with_global_rank's range-partitioned prefix sum, "
+    "never a single-task window over the pair table.",
 )
 def q_bpe_first_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.operators.rank import with_global_rank
+
     docs = _t(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(F.split("text", " ")).alias("wd")
@@ -51,17 +59,10 @@ def q_bpe_first_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pair")
     )
-    from pyspark.sql import Window
-
     counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
     return (
-        counted.select(
-            "pair",
-            "cnt",
-            F.row_number()
-            .over(Window.orderBy(F.desc("cnt"), F.asc("pair")))
-            .alias("rank"),
-        )
+        with_global_rank(counted, "-cnt", "pair", rank_col="rank")
+        .select("pair", "cnt", "rank")
         .orderBy("rank")
         .limit(20)
     )
@@ -98,9 +99,13 @@ def q_bpe_first_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over distinct doc-term pairs, support >= 5, top-20. The pair "
     "expansion is within-document, in-row over each doc's collected "
     "DISTINCT vocabulary (bounded by per-doc vocabulary squared — "
-    "the copurchase shape) so the token table never self-joins; doc "
-    "frequencies broadcast back. The collocation screen a "
-    "phrase-vocabulary builder runs.",
+    "the copurchase shape) so the token table never self-joins. The "
+    "document-frequency table is vocabulary-keyed — Heaps'-law "
+    "unbounded at 100 TB — so the two df joins carry NO broadcast "
+    "hint (AQE broadcasts at test scale, shuffle hash join on the "
+    "word key at corpus scale); only the 1-row n_docs scalar is "
+    "hinted. The collocation screen a phrase-vocabulary builder "
+    "runs.",
 )
 def q_word_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -139,8 +144,8 @@ def q_word_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     d1 = df.select(F.col("w").alias("w1"), F.col("dfreq").alias("df1"))
     d2 = df.select(F.col("w").alias("w2"), F.col("dfreq").alias("df2"))
     return (
-        pair_df.join(F.broadcast(d1), "w1")
-        .join(F.broadcast(d2), "w2")
+        pair_df.join(d1, "w1")
+        .join(d2, "w2")
         .join(F.broadcast(n_docs))
         .select(
             "w1",

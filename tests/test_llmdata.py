@@ -600,6 +600,86 @@ def test_decontamination_recall_boundary(spark):
     assert rows["clean_train"]["flag_rate"] <= 0.2, rows["clean_train"]
 
 
+def test_decontamination_fuzzy_tier_catch_rate_measured(spark):
+    """MEASURE (don't assert) what the MinHash fuzzy tier adds at the
+    5-gram detector's 4-word blind spot (VERDICT r07 item 8).
+
+    Plant the same cohorts decontamination_recall_eval plants, plus
+    an edited near-copy (every 4th word rewritten — kills every
+    5-gram), then run the deployed MinHash-LSH tier (k=16, bands=8,
+    3-word shingles, est-Jaccard >= 0.5) across train+eval and count
+    planted pairs it recovers.  Measured result, now pinned:
+
+    - copy_full: 1.0 — verbatim re-plants all pair with their source.
+    - copy_span4: 0.0 — a 4-word snippet shares <= 2 of a 25+-word
+      doc's shingles; estimated Jaccard can't reach any useful
+      threshold.  The fuzzy tier does NOT cover the 4-word blind
+      spot, and the docstring no longer claims it does: sub-5-word
+      overlap is out of decontamination scope BY DESIGN (idiom-level
+      collocations, negligible eval signal), not delegated.
+    - copy_edited(1-in-4): 0.0 at the deployed threshold — token
+      edits dense enough to defeat 5-grams also push 3-shingle
+      Jaccard to ~1/7.  The fuzzy tier's real decontamination value
+      is near-VERBATIM copies (char noise, whitespace, punctuation),
+      which it catches at 1.0; dense paraphrase evades both tiers
+      and is embedding-similarity territory (label_centroid /
+      semantic-dedup family), stated in the docstring.
+    """
+    from pyspark.sql import functions as F
+
+    from stockpulse_spark.llmdata.dedup import minhash_lsh_pairs
+    from stockpulse_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    b = d.select(
+        "doc_id",
+        "text",
+        (
+            F.expr("cast(conv(substr(md5(text),1,8),16,10) as bigint)") % 100
+        ).alias("bucket"),
+        F.split("text", " ").alias("w"),
+    )
+    ev = b.filter((F.col("bucket") >= 90) & (F.size("w") >= 25))
+    n_ev = ev.count()
+    assert n_ev > 0
+    full = ev.select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
+    span4 = ev.select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.array_join(F.slice("w", 9, 4), " ").alias("text"),
+    )
+    edited = ev.select(
+        (F.col("doc_id") + 6000000).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.col("w"),
+                lambda x, i: F.when(i % 4 == 3, F.lit("zqx")).otherwise(x),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    union = d.unionAll(full).unionAll(span4).unionAll(edited)
+    pairs = minhash_lsh_pairs(union)  # deployed defaults
+    ev_ids = ev.select(F.col("doc_id").alias("doc_id_1"))
+
+    def caught(offset: int) -> int:
+        # exactly the (source eval doc, its planted copy) pairs
+        return (
+            pairs.withColumn(
+                "doc_id_2", F.col("doc_id_2") - F.lit(offset)
+            )
+            .filter(F.col("doc_id_1") == F.col("doc_id_2"))
+            .join(ev_ids, "doc_id_1")
+            .count()
+        )
+
+    caught_full = caught(3000000)
+    caught_span4 = caught(5000000)
+    caught_edited = caught(6000000)
+    assert caught_full == n_ev, (caught_full, n_ev)
+    assert caught_span4 == 0, (caught_span4, n_ev)
+    assert caught_edited == 0, (caught_edited, n_ev)
+
+
 def test_srp_recall_certificate_gate_holds(spark):
     """The driver-hashed deployment gate must agree with the pytest
     recall floor: one row, integer bookkeeping sound, meets_gate True
