@@ -171,13 +171,13 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "salted_skew_join_stats",
     "audience_overlap_sketch",
     "content_defined_chunk_dedup",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_customers",
-    "orders_priority_count",
-    "dedup_keep_latest",
-    "duplicate_report",
-    "quality_clean",
+    "snippet_containment_pairs",
+    "containment_recall_eval",
+    "ks_drift_by_source",
+    "kfold_assignment_report",
+    "bm25_topk_docs",
+    "source_log_odds_terms",
+    "tokenizer_fertility_by_lang",
 )
 
 
@@ -340,7 +340,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     oracle="""
     SELECT n.n_name AS nation,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           ROUND(SUM(CASE WHEN isfinite(l.l_extendedprice)
+                           AND isfinite(l.l_discount)
+                     THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                     END) / 10000.0, 4) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l
     JOIN orders o    ON l.l_orderkey = o.o_orderkey
@@ -354,7 +358,17 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg"),
     doc="5-way star join. nation/region/customer are broadcast (small "
     "dims); only lineitem⋈orders shuffles — at 100 TB that is the one "
-    "unavoidable exchange, co-locatable via bucketing on orderkey.",
+    "unavoidable exchange, co-locatable via bucketing on orderkey. "
+    "Revenue sums in exact integer ten-thousandths (price is "
+    "cents-valued, discount percent-valued), so the aggregate is "
+    "summation-order-independent — the round-8 sf1 sweep caught the "
+    "float SUM landing within 1 ulp of a .5 rounding boundary at 10x "
+    "data, where Spark's and DuckDB's different partial-sum orders "
+    "rendered different 4th decimals.  Exact-decimal money aggregation "
+    "is also the correct posture at 100 TB: a billion-row float sum "
+    "drifts by summation ORDER, i.e. by partitioning, run to run.  "
+    "Non-finite money masks like NULL (the engine-wide nan_nn "
+    "contract — the integer snap would CAST_OVERFLOW on it anyway).",
 )
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
@@ -362,6 +376,11 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
+    rev_1e4 = F.when(
+        ~not_finite("l_extendedprice") & ~not_finite("l_discount"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint")),
+    )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -369,8 +388,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            _r4(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            _r4(F.sum(rev_1e4) / 10000.0).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.col("revenue").desc(), "nation")

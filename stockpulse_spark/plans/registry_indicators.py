@@ -150,9 +150,21 @@ def q_rsi14(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = bars.select("user_id", "bucket_start", "close", delta.alias("delta"))
     gain = F.greatest(F.col("delta"), F.lit(0.0))
     loss = F.greatest(-F.col("delta"), F.lit(0.0))
-    full = F.count(gain).over(w) >= 14
-    ag = F.when(full, F.avg(gain).over(w))
-    al = F.when(full, F.avg(loss).over(w))
+    # two-select shape: the count guard is named ONCE — embedding
+    # `full` in both averages put two identical count windows in the
+    # Window node (Catalyst does not dedup window expressions; the
+    # round-8 de-blinded sweep caught this one)
+    bars = bars.select(
+        "user_id",
+        "bucket_start",
+        "close",
+        F.count(gain).over(w).alias("__n"),
+        F.avg(gain).over(w).alias("__ag"),
+        F.avg(loss).over(w).alias("__al"),
+    )
+    full = F.col("__n") >= 14
+    ag = F.when(full, F.col("__ag"))
+    al = F.when(full, F.col("__al"))
     bars = bars.select("user_id", "bucket_start", "close", ag.alias("ag"), al.alias("al"))
     rsi = (
         F.when((F.col("al") == 0) & (F.col("ag") == 0), F.lit(None))

@@ -86,29 +86,43 @@ def q_indicator_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     gain = F.greatest(F.col("delta"), F.lit(0.0))
     loss = F.greatest(-F.col("delta"), F.lit(0.0))
-    full20 = F.count("close").over(w20) >= 20
-    sma20 = F.when(full20, F.avg("close").over(w20))
-    sd20 = F.when(full20, F.stddev_samp("close").over(w20))
-    full14d = F.count(gain).over(w14) >= 14
-    ag = F.when(full14d, F.avg(gain).over(w14))
-    al = F.when(full14d, F.avg(loss).over(w14))
-    full14 = F.count("low").over(w14) >= 14
-    lo14 = F.when(full14, F.min("low").over(w14))
-    hi14 = F.when(full14, F.max("high").over(w14))
-    p = d.select(
+    # two-select shape: every (function, frame) window aggregate is
+    # named exactly ONCE here; the min_periods guards derive from the
+    # named counts in the next projection.  Embedding the count guard
+    # inside each guarded aggregate put 3 duplicated count windows in
+    # the Window node (Catalyst does not dedup window expressions) —
+    # caught by the round-8 de-blinded duplicate sweep.
+    raw = d.select(
         "user_id",
         "bucket_start",
         "close",
         F.avg("close").over(w5).alias("sma5"),
-        sma20.alias("sma20"),
-        sd20.alias("sd20"),
-        ag.alias("ag"),
-        al.alias("al"),
+        F.count("close").over(w20).alias("__n20"),
+        F.avg("close").over(w20).alias("__sma20"),
+        F.stddev_samp("close").over(w20).alias("__sd20"),
+        F.count(gain).over(w14).alias("__n14d"),
+        F.avg(gain).over(w14).alias("__ag"),
+        F.avg(loss).over(w14).alias("__al"),
+        F.count("low").over(w14).alias("__n14"),
+        F.min("low").over(w14).alias("__lo14"),
+        F.max("high").over(w14).alias("__hi14"),
         F.lag("close", 10).over(wb).alias("close10"),
-        lo14.alias("lo14"),
-        hi14.alias("hi14"),
         (F.sum(F.col("close") * F.col("volume")).over(wcum)
          / F.sum("volume").over(wcum)).alias("vwap"),
+    )
+    p = raw.select(
+        "user_id",
+        "bucket_start",
+        "close",
+        "sma5",
+        F.when(F.col("__n20") >= 20, F.col("__sma20")).alias("sma20"),
+        F.when(F.col("__n20") >= 20, F.col("__sd20")).alias("sd20"),
+        F.when(F.col("__n14d") >= 14, F.col("__ag")).alias("ag"),
+        F.when(F.col("__n14d") >= 14, F.col("__al")).alias("al"),
+        "close10",
+        F.when(F.col("__n14") >= 14, F.col("__lo14")).alias("lo14"),
+        F.when(F.col("__n14") >= 14, F.col("__hi14")).alias("hi14"),
+        "vwap",
     )
     rsi = (
         F.when((F.col("al") == 0) & (F.col("ag") == 0), F.lit(None))

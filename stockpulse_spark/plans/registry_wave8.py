@@ -1,0 +1,831 @@
+"""Round-8 curation wave: snippet-containment dedup (the asymmetric
+screen Jaccard-based tiers structurally miss), an exact two-sample KS
+drift monitor, deterministic k-fold assembly, BM25 retrieval scoring,
+distinctive-term profiling, and tokenizer fertility — the remaining
+corpus-curation operators a 100 TB training-data pipeline runs that
+the existing dedup/quality/sampling families don't cover.
+
+Reference parity: the reference's analytics stop at indicator math
+(app/main.py); these extend the LLM-data suite the way the MinHash /
+decontamination / sampling families did in rounds 3-7.
+
+Scale posture (shared by every query here):
+- nothing broadcasts a vocabulary-keyed or shingle-keyed frame — the
+  round-8 sweep (test_no_broadcast_hint_on_vocabulary_frames) fails
+  any hint over an explode-derived key; only 1-row scalars and
+  config-enumerated frames (|sources|, |langs|, |folds|) are hinted;
+- pair expansion is always bounded at the source (shingle df cap) —
+  never a corpus self-join;
+- global order statistics ride the range-partitioned prefix-sum
+  machinery (operators/rank.py), never a single-task window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stockpulse_spark.llmdata.hashing import hex_to_int_sql
+from stockpulse_spark.plans.registry import _r6, _register, _t
+
+# --------------------------------------------------------------------
+# snippet containment: shared planted-corpus + shingle machinery
+# --------------------------------------------------------------------
+
+#: max docs sharing a 3-shingle before the shingle is dropped from the
+#: inverted index — the same boilerplate guard as minhash_lsh_pairs'
+#: bucket_cap: a shingle held by B docs contributes B^2/2 candidate
+#: pairs, so one crawl banner would otherwise turn the index join
+#: quadratic on exactly the hottest key.
+_CONTAIN_DF_CAP = 32
+_CONTAIN_THRESHOLD = 0.8
+
+_SHINGLE3_SQL = (
+    "list_transform(range(1, len(w) - 1), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"
+)
+
+_CONTAIN_BASE_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             {hex_to_int_sql("md5(text)")} % 100 AS bucket,
+             string_split(text, ' ') AS w
+      FROM documents
+    ), ev AS (
+      SELECT doc_id, w FROM base WHERE bucket >= 90 AND len(w) >= 25
+    ), corpus AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 4000000, array_to_string(w[9:18], ' ') FROM ev
+      UNION ALL
+      SELECT doc_id + 5000000, array_to_string(w[9:12], ' ') FROM ev
+    ), cw AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+    ), sh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLE3_SQL}) AS g
+      FROM cw WHERE len(w) >= 3
+    ), sdf AS (
+      SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= {_CONTAIN_DF_CAP}
+    ), keep AS (
+      SELECT s.doc_id, s.g FROM sh s JOIN sdf USING (g)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM keep GROUP BY doc_id
+    ), cand AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+             COUNT(*) AS n_common
+      FROM keep a JOIN keep b
+        ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT c.doc_id_1, c.doc_id_2, c.n_common,
+             c.n_common * 1.0 / LEAST(s1.n_sh, s2.n_sh) AS containment
+      FROM cand c
+      JOIN sizes s1 ON c.doc_id_1 = s1.doc_id
+      JOIN sizes s2 ON c.doc_id_2 = s2.doc_id
+      WHERE c.n_common * 1.0 / LEAST(s1.n_sh, s2.n_sh)
+            >= {_CONTAIN_THRESHOLD}
+    )
+"""
+
+
+def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-corpus shingle-containment pairs (Spark side of
+    _CONTAIN_BASE_SQL, kept structurally parallel for auditability).
+
+    Plants two snippet cohorts (a 10-word and a 4-word span of every
+    eval-bucket doc) into the corpus, then finds (doc, doc) pairs
+    whose kept-3-shingle intersection covers >= 80% of the SMALLER
+    side's shingles.  Containment is the asymmetric measure: a
+    snippet extracted from a long document scores 1.0 where its
+    Jaccard is ~|snippet|/|doc| — invisible to every MinHash tier
+    (measured 0.0 in test_decontamination_fuzzy_tier_catch_rate).
+
+    Scale: one shingle-key shuffle builds the inverted index; the df
+    cap bounds every index key at {cap} docs so the candidate join
+    contributes <= cap^2/2 pairs per shingle (boilerplate shingles
+    are dropped, same posture as the LSH bucket cap); sizes/pair
+    joins are equi-joins on doc-id keys.  No broadcast hints — every
+    frame here is corpus- or vocabulary-sized.
+    """.format(cap=_CONTAIN_DF_CAP)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    base = docs.select(
+        "doc_id",
+        "text",
+        (F.expr(hex_to_int_sql("md5(text)")) % 100).alias("bucket"),
+        F.split("text", " ").alias("w"),
+    )
+    ev = base.filter((F.col("bucket") >= 90) & (F.size("w") >= 25))
+    corpus = (
+        docs.select("doc_id", "text")
+        .unionAll(
+            ev.select(
+                (F.col("doc_id") + 4000000).alias("doc_id"),
+                F.array_join(F.slice("w", 9, 10), " ").alias("text"),
+            )
+        )
+        .unionAll(
+            ev.select(
+                (F.col("doc_id") + 5000000).alias("doc_id"),
+                F.array_join(F.slice("w", 9, 4), " ").alias("text"),
+            )
+        )
+    )
+    w = F.split("text", " ")
+    shingle3 = F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.slice(w, i, 3)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = corpus.select("doc_id", F.explode(shingle3).alias("g"))
+    sdf = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= _CONTAIN_DF_CAP)
+        .select("g")
+    )
+    keep = sh.join(sdf, "g")  # unhinted: shingle-vocabulary-sized
+    sizes = keep.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = keep.select(F.col("doc_id").alias("doc_id_1"), "g")
+    b = keep.select(F.col("doc_id").alias("doc_id_2"), "g")
+    cand = (
+        a.join(b, ["g"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("n_sh").alias("__n1")
+    )
+    s2 = sizes.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("n_sh").alias("__n2")
+    )
+    contain = F.col("n_common") * 1.0 / F.least("__n1", "__n2")
+    return (
+        cand.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .filter(contain >= _CONTAIN_THRESHOLD)
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            "n_common",
+            contain.alias("containment"),
+        )
+    )
+
+
+@_register(
+    "snippet_containment_pairs",
+    oracle=_CONTAIN_BASE_SQL
+    + """
+    SELECT doc_id_1, doc_id_2, n_common,
+           ROUND(containment, 6) AS containment
+    FROM pairs
+    ORDER BY doc_id_1, doc_id_2
+    """,
+    tags=("llmdata", "dedup", "join"),
+    doc="Asymmetric shingle-containment near-dup pairs over a corpus "
+    "with planted snippet extractions: |S1 ∩ S2| / min(|S1|, |S2|) "
+    ">= 0.8 on distinct 3-word shingles, via a df-capped inverted "
+    "index (cap 32 — the boilerplate guard, same posture as the LSH "
+    "bucket cap: over-cap shingles are dropped, bounding the index "
+    "self-join at cap^2/2 pairs per shingle).  Containment is the "
+    "measure Jaccard-family tiers structurally lack: a snippet "
+    "extracted into another doc scores containment 1.0 while its "
+    "Jaccard is ~|snippet|/|doc| — the class "
+    "test_decontamination_fuzzy_tier_catch_rate measured MinHash "
+    "missing entirely.  One shingle-key shuffle + equi-joins; no "
+    "broadcast hints (every frame is vocabulary- or corpus-sized).",
+)
+def q_snippet_containment_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return (
+        _containment_pairs(spark, sf_dir)
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            "n_common",
+            _r6(F.col("containment")).alias("containment"),
+        )
+        .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
+@_register(
+    "containment_recall_eval",
+    oracle=_CONTAIN_BASE_SQL
+    + """
+    , planted AS (
+      SELECT doc_id + 4000000 AS planted_id, doc_id AS src_id,
+             'copy_span10' AS cohort FROM ev
+      UNION ALL
+      SELECT doc_id + 5000000, doc_id, 'copy_span4' FROM ev
+    ), hits AS (
+      SELECT pl.cohort, pl.planted_id
+      FROM planted pl JOIN pairs p
+        ON p.doc_id_1 = LEAST(pl.src_id, pl.planted_id)
+       AND p.doc_id_2 = GREATEST(pl.src_id, pl.planted_id)
+    )
+    SELECT pl.cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_planted,
+           CAST(COUNT(h.planted_id) AS BIGINT) AS n_caught,
+           ROUND(COUNT(h.planted_id) * 1.0 / COUNT(*), 6) AS catch_rate
+    FROM planted pl
+    LEFT JOIN hits h
+      ON pl.cohort = h.cohort AND pl.planted_id = h.planted_id
+    GROUP BY pl.cohort ORDER BY pl.cohort
+    """,
+    tags=("llmdata", "dedup", "evaluation"),
+    doc="Measured recall of the containment tier on the SAME planted "
+    "snippet cohorts the decontamination harness uses — the honest "
+    "closure of the 4-word story: the 5-gram exact tier is blind "
+    "below 5 words by construction (flag_rate 0.0, asserted) and "
+    "MinHash measures 0.0 there too, but a 4-word snippet still "
+    "carries two 3-shingles, ALL of which come from its source doc — "
+    "containment 1.0, caught.  This query reports per-cohort catch "
+    "rates of snippet_containment_pairs' exact machinery "
+    "(copy_span10 and copy_span4), so the layered-defense claim is "
+    "a measured number with a driver-hashed certificate, not prose. "
+    "(A planted snippet is only missed if its shingles are df-capped "
+    "boilerplate — the documented precision/recall trade of the "
+    "cap.)  Same plan as snippet_containment_pairs plus one "
+    "metadata-sized cohort rollup.",
+)
+def q_containment_recall_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    base = docs.select(
+        "doc_id",
+        (F.expr(hex_to_int_sql("md5(text)")) % 100).alias("bucket"),
+        F.split("text", " ").alias("w"),
+    )
+    ev = base.filter((F.col("bucket") >= 90) & (F.size("w") >= 25))
+    planted = ev.select(
+        (F.col("doc_id") + 4000000).alias("planted_id"),
+        F.col("doc_id").alias("src_id"),
+        F.lit("copy_span10").alias("cohort"),
+    ).unionAll(
+        ev.select(
+            (F.col("doc_id") + 5000000).alias("planted_id"),
+            F.col("doc_id").alias("src_id"),
+            F.lit("copy_span4").alias("cohort"),
+        )
+    )
+    pairs = _containment_pairs(spark, sf_dir)
+    hits = planted.join(
+        pairs,
+        (pairs.doc_id_1 == F.least("src_id", "planted_id"))
+        & (pairs.doc_id_2 == F.greatest("src_id", "planted_id")),
+    ).select("cohort", F.col("planted_id").alias("__hit_id"))
+    return (
+        planted.join(
+            hits.withColumnRenamed("__hit_id", "planted_id").withColumn(
+                "__hit", F.lit(1)
+            ),
+            ["cohort", "planted_id"],
+            "left",
+        )
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_planted"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("bigint").alias(
+                "n_caught"
+            ),
+        )
+        .select(
+            "cohort",
+            "n_planted",
+            "n_caught",
+            _r6(F.col("n_caught") * 1.0 / F.col("n_planted")).alias(
+                "catch_rate"
+            ),
+        )
+        .orderBy("cohort")
+    )
+
+
+# --------------------------------------------------------------------
+# exact two-sample Kolmogorov-Smirnov drift by source
+# --------------------------------------------------------------------
+
+
+@_register(
+    "ks_drift_by_source",
+    oracle="""
+    WITH d AS (
+      SELECT source, n_chars FROM documents
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+    ), counts AS (
+      SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+      FROM d GROUP BY source, n_chars
+    ), grid AS (
+      SELECT v.n_chars, s.source, COALESCE(c.c, 0) AS c
+      FROM (SELECT DISTINCT n_chars FROM d) v
+      CROSS JOIN (SELECT DISTINCT source FROM d) s
+      LEFT JOIN counts c
+        ON c.n_chars = v.n_chars AND c.source = s.source
+    ), cum AS (
+      SELECT source, n_chars,
+             SUM(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum_s
+      FROM grid
+    ), cumall AS (
+      SELECT n_chars, SUM(cum_s) AS cum_all
+      FROM cum GROUP BY n_chars
+    ), ns AS (
+      SELECT source, SUM(c) AS n_s FROM counts GROUP BY source
+    ), tot AS (
+      SELECT SUM(c) AS n FROM counts
+    ), dstat AS (
+      SELECT c.source,
+             MAX(ABS(c.cum_s * 1.0 / ns.n_s
+                     - (ca.cum_all - c.cum_s) * 1.0 / (tot.n - ns.n_s)))
+               AS ks
+      FROM cum c
+      JOIN cumall ca ON c.n_chars = ca.n_chars
+      JOIN ns ON c.source = ns.source
+      CROSS JOIN tot
+      WHERE ns.n_s < tot.n
+      GROUP BY c.source
+    )
+    SELECT d.source,
+           CAST(ns.n_s AS BIGINT) AS n_docs,
+           ROUND(d.ks, 6) AS ks_stat,
+           ROUND(1.358 * sqrt(tot.n * 1.0 / (ns.n_s * (tot.n - ns.n_s))),
+                 6) AS critical_05,
+           d.ks > 1.358 * sqrt(tot.n * 1.0 / (ns.n_s * (tot.n - ns.n_s)))
+             AS drifted
+    FROM dstat d JOIN ns ON d.source = ns.source CROSS JOIN tot
+    ORDER BY d.source
+    """,
+    tags=("llmdata", "stats", "quality"),
+    doc="Exact two-sample Kolmogorov-Smirnov drift per source "
+    "(source vs rest-of-corpus) on document length: D = sup over "
+    "observed lengths of |ECDF_s - ECDF_rest|, with the asymptotic "
+    "5% critical value 1.358*sqrt((n+m)/(n*m)) — the distribution- "
+    "free drift monitor that catches shape changes PSI's fixed bins "
+    "smooth over (complement to psi_value_drift).  Shape: one "
+    "(source, length) partial-agg shuffle; the ECDF grid is "
+    "|distinct lengths| x |sources| — value-DOMAIN-sized (doc "
+    "lengths, not doc counts) x config-enumerated — cumulated by a "
+    "PER-SOURCE window (parallelism |sources|, each over the length "
+    "domain), and the pooled ECDF is recovered as the SUM of the "
+    "per-source cumulatives at each length (one metadata-sized "
+    "groupBy), so no global single-task window exists anywhere.  "
+    "Only the |sources| grid frame is broadcast.",
+)
+def q_ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    counts = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vals = d.select("n_chars").distinct()
+    # source is a config-enumerated set (|sources| ~ dozens):
+    # broadcasting the source list is metadata, not data
+    srcs = d.select("source").distinct()
+    grid = (
+        vals.crossJoin(F.broadcast(srcs))
+        .join(counts, ["source", "n_chars"], "left")
+        .select(
+            "source", "n_chars", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    cum = grid.select(
+        "source",
+        "n_chars",
+        F.sum("c")
+        .over(
+            Window.partitionBy("source")
+            .orderBy("n_chars")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cum_s"),
+    )
+    cumall = cum.groupBy("n_chars").agg(F.sum("cum_s").alias("cum_all"))
+    ns = counts.groupBy("source").agg(F.sum("c").alias("n_s"))
+    tot = counts.agg(F.sum("c").alias("n"))
+    dstat = (
+        cum.join(cumall, "n_chars")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_s") < F.col("n"))
+        .groupBy("source")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_s") * 1.0 / F.col("n_s")
+                    - (F.col("cum_all") - F.col("cum_s"))
+                    * 1.0
+                    / (F.col("n") - F.col("n_s"))
+                )
+            ).alias("ks")
+        )
+    )
+    crit = 1.358 * F.sqrt(
+        F.col("n") * 1.0 / (F.col("n_s") * (F.col("n") - F.col("n_s")))
+    )
+    return (
+        dstat.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_docs"),
+            _r6(F.col("ks")).alias("ks_stat"),
+            _r6(crit).alias("critical_05"),
+            (F.col("ks") > crit).alias("drifted"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# deterministic k-fold assembly
+# --------------------------------------------------------------------
+
+_KFOLDS = 10
+
+
+@_register(
+    "kfold_assignment_report",
+    oracle=f"""
+    WITH f AS (
+      SELECT {hex_to_int_sql("md5(CAST(doc_id AS VARCHAR))")} % {_KFOLDS}
+               AS fold,
+             doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), agg AS (
+      SELECT fold,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM f GROUP BY fold
+    ), tot AS (
+      SELECT SUM(n_docs) AS n FROM agg
+    )
+    SELECT a.fold, a.n_docs, a.n_tokens, a.n_langs,
+           ROUND(a.n_docs * 1.0 / t.n, 6) AS share,
+           ABS(a.n_docs * 1.0 / t.n - 1.0 / {_KFOLDS}) <= 0.03
+             AS balanced
+    FROM agg a CROSS JOIN tot t
+    ORDER BY a.fold
+    """,
+    tags=("llmdata", "sampling", "ml"),
+    doc=f"Deterministic {_KFOLDS}-fold cross-validation assignment: "
+    "fold = md5(doc_id) mod k — content-independent (id-keyed, so a "
+    "doc keeps its fold across corpus versions) and seedless-"
+    "reproducible across engines, the property a training pipeline "
+    "needs to re-derive any fold on demand instead of persisting "
+    "membership lists.  The report certifies the split: per-fold doc "
+    "and token counts, language coverage, and a +-3pp balance flag "
+    "against the ideal 1/k share.  One partial-agg shuffle on the "
+    "fold key (k cells); the total joins back as a broadcast 1-row "
+    "scalar.  The grouped companion to doc_train_test_split's "
+    "two-way split.",
+)
+def q_kfold_assignment_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    # Spark spells the string cast STRING, DuckDB VARCHAR — same
+    # rendered digits, same md5 bytes, same fold
+    f = d.select(
+        (
+            F.expr(hex_to_int_sql("md5(cast(doc_id as string))"))
+            % _KFOLDS
+        ).alias("fold"),
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    agg = f.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    tot = agg.agg(F.sum("n_docs").alias("n"))
+    share = F.col("n_docs") * 1.0 / F.col("n")
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            _r6(share).alias("share"),
+            (F.abs(share - 1.0 / _KFOLDS) <= 0.03).alias("balanced"),
+        )
+        .orderBy("fold")
+    )
+
+
+# --------------------------------------------------------------------
+# BM25 retrieval scoring
+# --------------------------------------------------------------------
+
+_BM25_QUERY = ("merge", "window", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@_register(
+    "bm25_topk_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks
+      GROUP BY doc_id
+    ), avgdl AS (
+      SELECT AVG(dl) AS avgdl, COUNT(*) AS n FROM dl
+    ), qtf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+      WHERE term IN {_BM25_QUERY!r}
+      GROUP BY doc_id, term
+    ), qdf AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM qtf GROUP BY term
+    ), scored AS (
+      SELECT q.doc_id,
+             SUM(ln(1.0 + (a.n - d.df + 0.5) / (d.df + 0.5))
+                 * q.tf * ({_BM25_K1} + 1.0)
+                 / (q.tf + {_BM25_K1}
+                    * (1.0 - {_BM25_B}
+                       + {_BM25_B} * l.dl / a.avgdl))) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      FROM qtf q
+      JOIN qdf d ON q.term = d.term
+      JOIN dl l ON q.doc_id = l.doc_id
+      CROSS JOIN avgdl a
+      GROUP BY q.doc_id
+    )
+    SELECT doc_id, n_terms_hit, ROUND(score, 6) AS bm25
+    FROM scored
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    tags=("llmdata", "text", "topk"),
+    doc=f"BM25 (k1={_BM25_K1}, b={_BM25_B}) top-20 documents for the "
+    f"fixed query {list(_BM25_QUERY)} with corpus-derived statistics "
+    "— the lexical-retrieval scorer a curation pipeline uses for "
+    "targeted corpus search and hard-negative seeding (complement to "
+    "tfidf_top_terms, which profiles docs rather than answering "
+    "queries).  Scale shape: the term scan filters to the query's "
+    "literal term set BEFORE any aggregation, so tf/df frames are "
+    "bounded by |query| x matching docs; doc length is one partial-"
+    "agg shuffle; avgdl and N are a broadcast 1-row scalar; top-20 "
+    "is a TakeOrdered, never a global sort.  No vocabulary-sized "
+    "frame is built at all — BM25 over a fixed query needs only the "
+    "query slice of the index.",
+)
+def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n")
+    )
+    qtf = (
+        toks.filter(F.col("term").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qdf = qtf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        qtf.join(qdf, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(contrib).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_terms_hit",
+            _r6(F.col("score")).alias("bm25"),
+            F.col("score").alias("__s"),
+        )
+        .orderBy(F.desc("__s"), "doc_id")
+        .limit(20)
+        .drop("__s")
+    )
+
+
+# --------------------------------------------------------------------
+# distinctive terms per source (smoothed log-odds)
+# --------------------------------------------------------------------
+
+
+@_register(
+    "source_log_odds_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE source IS NOT NULL
+    ), cst AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY source, term
+    ), ct AS (
+      SELECT term, SUM(c) AS ct FROM cst GROUP BY term
+    ), ns AS (
+      SELECT source, SUM(c) AS n_s FROM cst GROUP BY source
+    ), scal AS (
+      SELECT SUM(c) AS n_tok,
+             COUNT(DISTINCT term) AS v
+      FROM cst
+    ), scored AS (
+      SELECT cst.source, cst.term, cst.c,
+             ln(((cst.c + 1.0) / (ns.n_s + s.v))
+                / ((ct.ct - cst.c + 1.0) / (s.n_tok - ns.n_s + s.v)))
+               AS score
+      FROM cst
+      JOIN ct ON cst.term = ct.term
+      JOIN ns ON cst.source = ns.source
+      CROSS JOIN scal s
+    ), ranked AS (
+      SELECT source, term, c, score,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY score DESC, term) AS rank
+      FROM scored
+    )
+    SELECT source, CAST(rank AS BIGINT) AS rank, term,
+           c AS term_count, ROUND(score, 6) AS log_odds
+    FROM ranked WHERE rank <= 5
+    ORDER BY source, rank
+    """,
+    tags=("llmdata", "text", "quality"),
+    doc="Distinctive terms per source: add-one-smoothed log-odds of "
+    "each term in a source vs the rest of the corpus, top-5 per "
+    "source — the register/domain profile a mixture designer reads "
+    "before setting source weights (which source is code-like, "
+    "which is chatty).  Scale shape: two partial-agg shuffles over "
+    "the (source, term) and term keys; the per-term marginal joins "
+    "back UNHINTED (vocabulary-sized — the round-8 broadcast gate "
+    "fails a hint here); |sources| totals and the 2-scalar frame "
+    "broadcast.  The per-source top-5 rides "
+    "with_grouped_global_rank's range-partitioned prefix sum over "
+    "the (source x vocab) frame, so rank parallelism is the cluster "
+    "width, not |sources|.",
+)
+def q_source_log_odds_terms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stockpulse_spark.operators.rank import with_grouped_global_rank
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    cst = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ct = cst.groupBy("term").agg(F.sum("c").alias("ct"))
+    ns = cst.groupBy("source").agg(F.sum("c").alias("n_s"))
+    scal = cst.agg(
+        F.sum("c").alias("n_tok"), F.countDistinct("term").alias("v")
+    )
+    scored = (
+        cst.join(ct, "term")  # unhinted: vocabulary-sized marginal
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "source",
+            "term",
+            "c",
+            F.log(
+                ((F.col("c") + 1.0) / (F.col("n_s") + F.col("v")))
+                / (
+                    (F.col("ct") - F.col("c") + 1.0)
+                    / (F.col("n_tok") - F.col("n_s") + F.col("v"))
+                )
+            ).alias("score"),
+        )
+    )
+    return (
+        with_grouped_global_rank(
+            scored, ["source"], "-score", "term", rank_col="rank"
+        )
+        .filter(F.col("rank") <= 5)
+        .select(
+            "source",
+            F.col("rank").cast("bigint").alias("rank"),
+            "term",
+            F.col("c").alias("term_count"),
+            _r6(F.col("score")).alias("log_odds"),
+        )
+        .orderBy("source", "rank")
+    )
+
+
+# --------------------------------------------------------------------
+# tokenizer fertility by language
+# --------------------------------------------------------------------
+
+_TOKEN_RE = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+@_register(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang, text,
+             len(string_split(text, ' ')) AS n_words,
+             len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_subtok,
+             length(text) AS n_chars
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ), agg AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS n_words,
+             CAST(SUM(n_subtok) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM d GROUP BY lang
+    )
+    SELECT lang, n_docs, n_words, n_tokens,
+           CASE WHEN n_words > 0
+                THEN ROUND(n_tokens * 1.0 / n_words, 6) END AS fertility,
+           CASE WHEN n_tokens > 0
+                THEN ROUND(n_chars * 1.0 / n_tokens, 6) END
+             AS chars_per_token
+    FROM agg ORDER BY lang
+    """,
+    tags=("llmdata", "text", "tokenizer"),
+    doc="Tokenizer fertility by language: sub-tokens per whitespace "
+    "word and bytes-per-token under a BPE-ish pre-tokenization regex "
+    "(letter runs | single digits | punctuation) — the per-language "
+    "cost model a multilingual budget planner needs, since fertility "
+    "differences of 2-4x between languages change effective token "
+    "budgets by the same factor.  Entirely in-row (regexp_extract_all "
+    "+ array lengths inside the scan projection, no explode, no "
+    "join) followed by one |langs|-cell partial-agg shuffle — the "
+    "cheapest possible corpus pass.  Ratio guards keep empty "
+    "languages NULL instead of raising under ANSI division.",
+)
+def q_tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select(
+            "lang",
+            F.size(F.split("text", " ")).alias("n_words"),
+            F.size(
+                F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)")
+            ).alias("n_subtok"),
+            F.length("text").alias("n_chars"),
+        )
+    )
+    agg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_subtok").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        F.when(
+            F.col("n_words") > 0,
+            _r6(F.col("n_tokens") * 1.0 / F.col("n_words")),
+        ).alias("fertility"),
+        F.when(
+            F.col("n_tokens") > 0,
+            _r6(F.col("n_chars") * 1.0 / F.col("n_tokens")),
+        ).alias("chars_per_token"),
+    ).orderBy("lang")

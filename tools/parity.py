@@ -43,7 +43,13 @@ def duck_con(sf_dir: str):
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
+        if p.is_dir():
+            # Spark-written table: a directory of part files
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{p}/*.parquet')"
+            )
+        elif p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
 

@@ -131,6 +131,14 @@ QUERIES = [
     # ceiling is gone, not moved
     "doc_pack_sequences", "value_rank_family", "value_ntile_features",
     "doc_token_budget_sample",
+    # round 8: the df-capped containment index (the cap is what keeps
+    # the shingle self-join sub-quadratic — the ratio to watch), the
+    # KS grid (value-domain x |sources|, should be scan-dominated),
+    # and the new scan-shaped corpus statistics
+    "snippet_containment_pairs", "containment_recall_eval",
+    "ks_drift_by_source", "kfold_assignment_report",
+    "bm25_topk_docs", "source_log_odds_terms",
+    "tokenizer_fertility_by_lang",
 ]
 
 # SPARK_SMOKE_ONLY=q1,q2 restricts the run (fast iteration on a new
@@ -158,7 +166,23 @@ def _replicate(df: DataFrame, n: int, exprs) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
-    return out
+    return _ntz(out)
+
+
+def _ntz(df: DataFrame) -> DataFrame:
+    """Write-side twin of load_table's normalize: cast every timestamp
+    column to TIMESTAMP_NTZ before writing, so the parquet footer says
+    isAdjustedToUTC=false exactly like the driver's testdata.  Without
+    this, Spark writes UTC-adjusted micros and DuckDB reads the
+    replica as TIMESTAMPTZ — every rendered ts cell grows a '+00:00'
+    and the oracle compare fails on ts-bearing outputs even though
+    the instants are identical."""
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp_ntz"))
+    return df
 
 
 def build_big_dir(spark, src: str, n: int) -> str:
@@ -244,9 +268,9 @@ def build_big_dir(spark, src: str, n: int) -> str:
     for dim in ("supplier", "part", "nation", "region"):
         p = os.path.join(src, f"{dim}.parquet")
         if os.path.exists(p):
-            spark.read.parquet(p).write.mode("overwrite").parquet(
-                os.path.join(out, f"{dim}.parquet")
-            )
+            _ntz(load_table(spark, src, dim)).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out, f"{dim}.parquet"))
     return out
 
 
