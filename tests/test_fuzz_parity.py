@@ -55,6 +55,12 @@ FUZZ_PINNED = [
     "revenue_seasonal_decompose",  # NULL month: unstable DuckDB window sort
     "revenue_wow_growth",  # NULL week excluded + integer-cents snap
     "max_drawdown",  # zero running peak: NULL drawdown, not ANSI raise
+    # round-8 wave representatives:
+    "snippet_containment_pairs",  # df cap + short/NULL texts through the index
+    "containment_recall_eval",  # planted cohorts over degenerate corpora
+    "ks_drift_by_source",  # NULL source/length out of the ECDF grid
+    "bm25_topk_docs",  # NULL text out of dl; ln-arithmetic under ties
+    "tokenizer_fertility_by_lang",  # unicode through both regex engines
 ]
 
 
@@ -134,6 +140,9 @@ EMPTY_PINNED = [
     "ma5_cma",  # window family over an empty bar table
     "doc_minhash_lsh",  # LSH machinery over an empty corpus
     "rfm_segmentation",  # grouped-rank machinery over zero customers
+    "snippet_containment_pairs",  # containment index over zero docs
+    "ks_drift_by_source",  # n_s < N filter never divides by zero
+    "kfold_assignment_report",  # empty in, empty out (no NULL share row)
 ]
 
 

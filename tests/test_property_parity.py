@@ -156,6 +156,16 @@ DOC_QUERIES = (
     "quantile_normalize_doclen",
     "source_length_calibration",
     "content_defined_chunk_dedup",
+    # round-8 wave: containment/df-cap boundaries, ECDF ties, fold
+    # hashing, BM25 ln-arithmetic, log-odds smoothing, and the regex
+    # tokenizer all exercised over random degenerate shapes
+    "snippet_containment_pairs",
+    "containment_recall_eval",
+    "ks_drift_by_source",
+    "kfold_assignment_report",
+    "bm25_topk_docs",
+    "source_log_odds_terms",
+    "tokenizer_fertility_by_lang",
 )
 
 
