@@ -204,9 +204,12 @@ def q_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN epoch_us(e.ts) <= c.mid THEN 0 ELSE 1 END AS period
       FROM events e, cut c
     ), edges AS (
+      -- edges snapped to micro-units (engine-independent bin
+      -- membership at duplicated values; see the Spark twin)
       SELECT event_type,
-             quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
-               AS qs
+             list_transform(
+               quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+               q -> ROUND(q, 6)) AS qs
       FROM e WHERE period = 0 GROUP BY event_type
     ), binned AS (
       SELECT e.event_type, e.period,
@@ -257,8 +260,13 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("period") == 0)
         .groupBy("event_type")
         .agg(
-            F.percentile(
-                "value", F.array(*[F.lit(q) for q in qs])
+            # edges snapped to micro-units: interpolated deciles differ
+            # between engines in the last ulp, and a duplicated value
+            # sitting exactly ON an edge flips its bin (found by the
+            # sf1 sweep, where every value repeats 10x)
+            F.transform(
+                F.percentile("value", F.array(*[F.lit(q) for q in qs])),
+                lambda q: F.round(q, 6),
             ).alias("qs")
         )
     )

@@ -169,8 +169,12 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), b AS (
       SELECT event_type,
-             quantile_cont(value, 0.05) AS p05,
-             quantile_cont(value, 0.95) AS p95
+             -- snapped to micro-units: interpolated percentiles differ
+             -- between engines in the last ulp, and a duplicated value
+             -- sitting exactly ON the cutoff flips membership (found by
+             -- the sf1 sweep, where every value repeats 10x)
+             ROUND(quantile_cont(value, 0.05), 6) AS p05,
+             ROUND(quantile_cont(value, 0.95), 6) AS p95
       FROM ev GROUP BY event_type
     )
     SELECT e.event_type,
@@ -198,9 +202,11 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_trimmed_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").withColumn("value", nan_nn("value"))
+    # cutoffs snapped to micro-units (both engines): boundary
+    # membership must not depend on the last ulp of the interpolation
     b = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.05)).alias("p05"),
-        F.percentile("value", F.lit(0.95)).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("p05"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
     )
     j = ev.join(F.broadcast(b), "event_type")
     clamped = F.least(

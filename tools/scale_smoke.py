@@ -149,14 +149,26 @@ if _only:
 
 
 def _rotate_text(col, i: int):
-    """Rotate the word sequence by 7*i positions — same length/vocab
-    statistics, different shingles, so replicas aren't near-dups."""
+    """Decorrelate replica i's text from the original: suffix every
+    word with the replica id.  Round 8 replaced the previous circular
+    ROTATION, which failed at its stated purpose — a rotation keeps
+    every word n-gram except the 2-3 seam shingles, so each replica
+    was a >0.9-Jaccard near-dup of its original and the 10x corpus
+    carried ~1M planted near-dup pairs (doc_minhash_lsh alone took 23
+    minutes at sf1 and the exact-Jaccard oracles hours).  Suffixing
+    shares NO terms or shingles across replicas: each replica keeps
+    the original's internal duplicate/quality structure (that is the
+    workload), per-doc lengths are preserved, and the vocabulary
+    grows ~linearly with replication — which is also the honest
+    Heaps'-law shape for the vocabulary-sized frames.  The planted
+    boilerplate banner is applied AFTER this, so the hot shared
+    bucket the LSH cap guards against is still planted identically
+    in every replica."""
     w = F.split(col, " ")
-    n = F.size(w)
-    k = (F.lit(7 * i) % n) + 1
     return F.when(F.lit(i) == 0, col).otherwise(
         F.concat_ws(
-            " ", F.concat(F.slice(w, k, n - k + 1), F.slice(w, 1, k - 1))
+            " ",
+            F.transform(w, lambda x: F.concat(x, F.lit(f"_{i}"))),
         )
     )
 
