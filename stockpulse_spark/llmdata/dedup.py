@@ -264,31 +264,65 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.2,
 ) -> DataFrame:
-    """Exact Jaccard over word n-gram shingle sets, within bounded
-    candidate groups (`group_col`) to avoid the full O(n²) cross join —
-    at scale the group is an LSH bucket (minhash_lsh_pairs output).
+    """Exact Jaccard over word n-gram shingle sets within candidate
+    groups (`group_col`), via a per-group INVERTED INDEX.
+
+    Round 8 replaced the row-level within-group self-join: that form
+    is quadratic in GROUP size — fine when the group is an LSH bucket
+    (its intended scale path) but the registered query groups by
+    `source`, and at the sf1 sweep's 2.5k-doc source groups it meant
+    62M array intersections per engine.  The index form only ever
+    materializes pairs that SHARE a shingle (cost Σ df² per (group,
+    shingle) key), recovering the union as |A| + |B| − |A∩B|.  For
+    any threshold > 0 the output is identical: a no-shared-shingle
+    pair has Jaccard 0 (or NULL when both sets are empty) and never
+    passes the filter, so never materializing it changes nothing.
+    `threshold` is asserted > 0 to keep that equivalence a contract.
     """
+    assert threshold > 0, "inverted-index form requires threshold > 0"
+    grp = (
+        [F.col(group_col).alias("grp")]
+        if group_col
+        else [F.lit(1).alias("grp")]
+    )
     sh = df.select(
         F.col(id_col).alias("doc_id"),
-        *( [F.col(group_col).alias("grp")] if group_col else [F.lit(1).alias("grp")] ),
+        *grp,
         shingles(F.col(text_col), shingle_n).alias("sh"),
     )
-    l, r = sh.alias("l"), sh.alias("r")
-    pairs = l.join(
-        r,
-        on=[F.col("l.grp") == F.col("r.grp"), F.col("l.doc_id") < F.col("r.doc_id")],
+    tok = sh.select("doc_id", "grp", F.explode("sh").alias("s"))
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    l, r = tok.alias("l"), tok.alias("r")
+    inter = (
+        l.join(
+            r,
+            on=[
+                F.col("l.grp") == F.col("r.grp"),
+                F.col("l.s") == F.col("r.s"),
+                F.col("l.doc_id") < F.col("r.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_id_1"),
+            F.col("r.doc_id").alias("doc_id_2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
-    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
-    # nullif: two shingle-less docs (short/empty text) have an
-    # UNDEFINED Jaccard -> NULL -> dropped by the threshold filter on
-    # both engines (oracles mirror with nullif(union, 0))
-    jac = inter.cast("double") / F.nullif(union, F.lit(0))
-    return pairs.select(
-        F.col("l.doc_id").alias("doc_id_1"),
-        F.col("r.doc_id").alias("doc_id_2"),
-        jac.alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+    n1 = sizes.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("n_sh").alias("__n1")
+    )
+    n2 = sizes.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("n_sh").alias("__n2")
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("__n1") + F.col("__n2") - F.col("n_inter")
+    )
+    return (
+        inter.join(n1, "doc_id_1")
+        .join(n2, "doc_id_2")
+        .select("doc_id_1", "doc_id_2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def dedup_gate(

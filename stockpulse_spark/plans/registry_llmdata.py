@@ -290,18 +290,36 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f"""
     , sh AS (
       SELECT doc_id, source, {_SHINGLES_DUCK} AS sh FROM corpus
+    ), tok AS (
+      SELECT doc_id, source, unnest(sh) AS g FROM sh
+    ), sizes AS (
+      SELECT doc_id, len(sh) AS n FROM sh
+    ), inter AS (
+      -- inverted index: only co-shingle pairs materialize (identical
+      -- output for threshold > 0; the old within-group row join was
+      -- quadratic in group size — 62M list intersections at sf1)
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+             COUNT(*) AS i
+      FROM tok a JOIN tok b
+        ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     )
-    SELECT l.doc_id AS doc_id_1, r.doc_id AS doc_id_2,
-           ROUND(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
-                 / nullif(len(list_distinct(list_concat(l.sh, r.sh))), 0), 6) AS jaccard
-    FROM sh l JOIN sh r ON l.source = r.source AND l.doc_id < r.doc_id
-    WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
-          / nullif(len(list_distinct(list_concat(l.sh, r.sh))), 0) >= 0.2
+    SELECT i.doc_id_1, i.doc_id_2,
+           ROUND(CAST(i.i AS DOUBLE) / (s1.n + s2.n - i.i), 6) AS jaccard
+    FROM inter i
+    JOIN sizes s1 ON i.doc_id_1 = s1.doc_id
+    JOIN sizes s2 ON i.doc_id_2 = s2.doc_id
+    WHERE CAST(i.i AS DOUBLE) / (s1.n + s2.n - i.i) >= 0.2
     """,
     tags=("llmdata", "dedup", "join"),
-    doc="exact word-3-gram Jaccard >= 0.2 within bounded candidate "
-    "groups (source; at scale: an LSH bucket) — the verify stage of "
-    "the dedup funnel.",
+    doc="exact word-3-gram Jaccard >= 0.2 within candidate groups "
+    "(source; at scale: an LSH bucket) via a per-group inverted "
+    "index — the verify stage of the dedup funnel. Rebuilt round 8: "
+    "the within-group row-level self-join was quadratic in group "
+    "size (62M array intersections at the sf1 sweep's 2.5k-doc "
+    "source groups); the index form costs sum(df^2) per (group, "
+    "shingle) and emits the identical pair set for any positive "
+    "threshold.",
 )
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _mutated_corpus(spark, sf_dir)

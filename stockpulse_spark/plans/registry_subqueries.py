@@ -63,7 +63,11 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "disjunctive_filter",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+    SELECT ROUND(SUM(CASE WHEN isfinite(l.l_extendedprice)
+                           AND isfinite(l.l_discount)
+                     THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                     END) / 10000.0, 4) AS revenue,
            COUNT(*) AS n
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -75,9 +79,14 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst "
     "extracts the common single-side conjuncts and pushes them below "
     "the join; the residual disjunction evaluates post-join in "
-    "codegen.",
+    "codegen. Revenue sums exact integer ten-thousandths "
+    "(summation-order-independent; the sf1 sweep caught the float "
+    "sum on a .5-render boundary, same class as revenue_by_nation); "
+    "non-finite money masks like NULL.",
 )
 def q_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.functions.nullsafe import not_finite
+
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     j = l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
@@ -86,10 +95,13 @@ def q_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 20))
         | ((F.col("p_size") >= 40) & (F.col("l_quantity") < 5))
     )
+    rev_1e4 = F.when(
+        ~not_finite("l_extendedprice") & ~not_finite("l_discount"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint")),
+    )
     return j.filter(cond).agg(
-        _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-            "revenue"
-        ),
+        _r4(F.sum(rev_1e4) / 10000.0).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -121,8 +121,19 @@ def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.6 * p.p_retailprice * l.l_quantity), 4) AS profit
+           -- exact integer ten-thousandths (cents x (100-disc%) minus
+           -- 60 x retail-cents x qty): summation-order-independent;
+           -- the sf1 sweep caught the float sum on a .5-render
+           -- boundary. Non-finite money masks like NULL.
+           ROUND(SUM(CASE WHEN isfinite(l.l_extendedprice)
+                           AND isfinite(l.l_discount)
+                           AND isfinite(p.p_retailprice)
+                           AND isfinite(l.l_quantity)
+                     THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                          - 60 * CAST(round(p.p_retailprice * 100) AS BIGINT)
+                               * CAST(round(l.l_quantity) AS BIGINT)
+                     END) / 10000.0, 4) AS profit
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -145,9 +156,21 @@ def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    profit = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    from stockpulse_spark.functions.nullsafe import not_finite
+
+    finite = (
+        ~not_finite("l_extendedprice")
+        & ~not_finite("l_discount")
+        & ~not_finite("p_retailprice")
+        & ~not_finite("l_quantity")
+    )
+    profit_1e4 = F.when(
+        finite,
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+        - 60
+        * F.round(F.col("p_retailprice") * 100).cast("bigint")
+        * F.round(F.col("l_quantity")).cast("bigint"),
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -158,7 +181,7 @@ def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
-        .agg(_r4(F.sum(profit)).alias("profit"))
+        .agg(_r4(F.sum(profit_1e4) / 10000.0).alias("profit"))
         .orderBy("nation", "o_year")
     )
 
