@@ -237,26 +237,43 @@ def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "promo_revenue_monthly",
     oracle="""
+    WITH l2 AS (
+      -- exact integer ten-thousandths; non-finite money masks NULL
+      SELECT l_partkey, l_shipdate,
+             CASE WHEN isfinite(l_extendedprice) AND isfinite(l_discount)
+                  THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                  END AS rev4
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+    )
     SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS month,
-           ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE l.l_shipdate IS NOT NULL
+           ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                       THEN l.rev4 ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(l.rev4) AS DOUBLE), 6) AS promo_pct,
+           ROUND(SUM(l.rev4) / 10000.0, 4) AS total_revenue
+    FROM l2 l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY 1 ORDER BY 1
     """,
     tags=("join", "tpch"),
     doc="TPC-H Q14 shape, widened from one month to a monthly series: "
     "promo revenue share via conditional aggregation over a "
     "fact-dim join. The part dim carries only (p_partkey, p_type) "
-    "through the join — column pruning keeps the build side minimal.",
+    "through the join — column pruning keeps the build side minimal. "
+    "Money sums in exact integer ten-thousandths (summation-order-"
+    "independent; the sf1 sweep caught the float total on a "
+    ".5-render boundary) and the promo share is one division of two "
+    "exact integers; non-finite money masks like NULL.",
 )
 def q_promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.functions.nullsafe import not_finite
+
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev4 = F.when(
+        ~not_finite("l_extendedprice") & ~not_finite("l_discount"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint")),
+    )
     return (
         # a NULL ship date has no month on the axis (and its Spark
         # None vs DuckDB NaT cell would shear the driver's string canon)
@@ -266,10 +283,14 @@ def q_promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             _r6(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev4).otherwise(
+                        F.lit(0).cast("bigint")
+                    )
+                ).cast("double")
+                / F.sum(rev4).cast("double")
             ).alias("promo_pct"),
-            _r4(F.sum(rev)).alias("total_revenue"),
+            _r4(F.sum(rev4) / 10000.0).alias("total_revenue"),
         )
         .orderBy("month")
     )
