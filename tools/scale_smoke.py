@@ -139,6 +139,10 @@ QUERIES = [
     "ks_drift_by_source", "kfold_assignment_report",
     "bm25_topk_docs", "source_log_odds_terms",
     "tokenizer_fertility_by_lang",
+    # rebuilt round 8 on the inverted index (was quadratic in group
+    # size — the sf1 sweep measured hours at 2.5k-doc source groups);
+    # the ratio proves the fix removed the quadratic term
+    "doc_ngram_jaccard",
 ]
 
 # SPARK_SMOKE_ONLY=q1,q2 restricts the run (fast iteration on a new
