@@ -88,6 +88,41 @@ _CONTAIN_BASE_SQL = f"""
 """
 
 
+def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snippet-planted corpus shared by the containment family
+    (and, since round 8b, split_leakage_audit): documents plus a
+    10-word and a 4-word span extracted from every eval-bucket doc
+    (md5 bucket >= 90, length >= 25 words), ids offset by 4M/5M.
+    Mirrors the ``corpus`` CTE of _CONTAIN_BASE_SQL exactly."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    base = docs.select(
+        "doc_id",
+        "text",
+        (F.expr(hex_to_int_sql("md5(text)")) % 100).alias("bucket"),
+        F.split("text", " ").alias("w"),
+    )
+    ev = base.filter((F.col("bucket") >= 90) & (F.size("w") >= 25))
+    return (
+        docs.select("doc_id", "text")
+        .unionAll(
+            ev.select(
+                (F.col("doc_id") + 4000000).alias("doc_id"),
+                F.array_join(F.slice("w", 9, 10), " ").alias("text"),
+            )
+        )
+        .unionAll(
+            ev.select(
+                (F.col("doc_id") + 5000000).alias("doc_id"),
+                F.array_join(F.slice("w", 9, 4), " ").alias("text"),
+            )
+        )
+    )
+
+
 def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted-corpus shingle-containment pairs (Spark side of
     _CONTAIN_BASE_SQL, kept structurally parallel for auditability).
@@ -107,33 +142,7 @@ def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins are equi-joins on doc-id keys.  No broadcast hints — every
     frame here is corpus- or vocabulary-sized.
     """.format(cap=_CONTAIN_DF_CAP)
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    base = docs.select(
-        "doc_id",
-        "text",
-        (F.expr(hex_to_int_sql("md5(text)")) % 100).alias("bucket"),
-        F.split("text", " ").alias("w"),
-    )
-    ev = base.filter((F.col("bucket") >= 90) & (F.size("w") >= 25))
-    corpus = (
-        docs.select("doc_id", "text")
-        .unionAll(
-            ev.select(
-                (F.col("doc_id") + 4000000).alias("doc_id"),
-                F.array_join(F.slice("w", 9, 10), " ").alias("text"),
-            )
-        )
-        .unionAll(
-            ev.select(
-                (F.col("doc_id") + 5000000).alias("doc_id"),
-                F.array_join(F.slice("w", 9, 4), " ").alias("text"),
-            )
-        )
-    )
+    corpus = _planted_corpus(spark, sf_dir)
     w = F.split("text", " ")
     shingle3 = F.when(
         F.size(w) >= 3,
