@@ -4,10 +4,12 @@ multimodal plumbing). Every query keeps a DuckDB oracle: hashes are
 md5 (identical in both engines), folds are sequential in both, planes
 are shared literals.
 
-Near-dup queries run over a corpus âˆª mutated-copy union (drop the last
-5 words, id+1000000) built identically on both sides, so the dedup
-operators demonstrably FIND the planted near-duplicates instead of
-vacuously returning zero rows.
+Near-dup queries run over a corpus + mutated-copy union (drop the last
+5 words; residue-class ids: original = 2i, mutation = 2i+1, so the
+synthetic ids can never collide with input ids at any corpus scale)
+built identically on both sides, so the dedup operators demonstrably
+FIND the planted near-duplicates instead of vacuously returning zero
+rows.
 """
 
 from __future__ import annotations
@@ -44,7 +46,9 @@ from stockpulse_spark.plans.registry import _r6, _register, _t
 
 
 def _mutated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ near-dup copies (last 5 words dropped, id+1000000).
+    """documents ∪ near-dup copies (last 5 words dropped; residue-class
+    ids — original = 2*id, mutation = 2*id+1 — so synthetic ids can
+    never collide with input ids at ANY corpus scale).
 
     Repartitioned to the session parallelism: the documents parquet is
     a single small file → 1-2 scan partitions, which would pin the
@@ -59,8 +63,16 @@ def _mutated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # length (runtime error); DuckDB's l[1:n] clamps to empty, so the
     # guard keeps the engines aligned. NULL text stays NULL (concat_ws
     # would silently turn it into '' while array_to_string keeps NULL).
+    # residue-class synthetic ids (original = 2*id, mutation = 2*id+1):
+    # collision-free for ANY input id range, unlike the additive
+    # +1000000 offset this replaced — the 100x decade smoke caught the
+    # offset colliding with replica ids (a collided empty-shingle doc
+    # turned a jaccard denominator to 0: DIVIDE_BY_ZERO at scale)
+    orig = d.select(
+        (F.col("doc_id") * 2).alias("doc_id"), "source", "text"
+    )
     mut = d.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
         "source",
         F.when(
             F.col("text").isNotNull(),
@@ -69,16 +81,18 @@ def _mutated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("text"),
     )
-    return d.unionAll(mut).repartition(spark.sparkContext.defaultParallelism)
+    return orig.unionAll(mut).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 _MUT_CTE = """
 WITH corpus AS (
-  SELECT doc_id, source, text FROM documents
+  SELECT doc_id * 2 AS doc_id, source, text FROM documents
   UNION ALL
   -- coalesce: array_to_string of the EMPTY slice (a <6-word doc) is
   -- NULL in DuckDB but Spark's concat_ws gives ''; NULL text stays NULL
-  SELECT doc_id + 1000000 AS doc_id, source,
+  SELECT doc_id * 2 + 1 AS doc_id, source,
          CASE WHEN text IS NULL THEN NULL
               ELSE coalesce(array_to_string((string_split(text, ' '))[1:len(string_split(text, ' ')) - 5], ' '), '')
          END AS text
@@ -238,7 +252,7 @@ def _sig_sql(k: int) -> str:
     doc="MinHash-LSH near-dup pairs: 16-permutation signature (min "
     "md5 over 3-gram shingles), 8 bands x 2 rows, self-join on band "
     "buckets (sub-quadratic), estimated Jaccard >= 0.5. Finds the "
-    "planted near-duplicates (id vs id+1000000). Band buckets larger "
+    "planted near-duplicates (residue ids 2i vs 2i+1). Band buckets larger "
     "than 64 members are dropped on BOTH sides (boilerplate guard, "
     "llmdata/dedup.py:minhash_lsh_pairs) so a shared crawl header "
     "can't turn the self-join quadratic on the hottest key; the cap "

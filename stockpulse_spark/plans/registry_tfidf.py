@@ -149,16 +149,19 @@ def q_dedup_keeper_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_WORDS = "len(string_split(text, ' '))"
 _CHAIN_CTE = f"""
 WITH RECURSIVE corpus3 AS (
+  -- residue-class synthetic ids (4i / 4i+1 / 4i+2): collision-free
+  -- for any input id range (the 100x smoke caught additive offsets
+  -- colliding with replica ids), and A stays the smallest per trio
   -- A: first 5 words dropped (keeps the SUFFIX), smallest ids
-  SELECT doc_id,
+  SELECT doc_id * 4 AS doc_id,
          array_to_string((string_split(text, ' '))[6:{_N_WORDS}], ' ') AS text
   FROM documents WHERE {_N_WORDS} >= 21
   UNION ALL
   -- B: the original, mid ids
-  SELECT doc_id + 1000000, text FROM documents WHERE {_N_WORDS} >= 21
+  SELECT doc_id * 4 + 1, text FROM documents WHERE {_N_WORDS} >= 21
   UNION ALL
   -- C: last 5 words dropped (keeps the PREFIX), largest ids
-  SELECT doc_id + 2000000,
+  SELECT doc_id * 4 + 2,
          array_to_string((string_split(text, ' '))[1:{_N_WORDS} - 5], ' ')
   FROM documents WHERE {_N_WORDS} >= 21
 ), keyed AS (
@@ -218,10 +221,13 @@ def q_dedup_keeper_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.split("text", " ")
     n = F.size(w)
     d = d.filter(n >= 21)
-    a = d.select("doc_id", F.concat_ws(" ", F.slice(w, 6, n - 5)).alias("text"))
-    b = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    a = d.select(
+        (F.col("doc_id") * 4).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, 6, n - 5)).alias("text"),
+    )
+    b = d.select((F.col("doc_id") * 4 + 1).alias("doc_id"), "text")
     c = d.select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
+        (F.col("doc_id") * 4 + 2).alias("doc_id"),
         F.concat_ws(" ", F.slice(w, 1, n - 5)).alias("text"),
     )
     corpus3 = a.unionAll(b).unionAll(c).repartition(

@@ -54,11 +54,14 @@ _CONTAIN_BASE_SQL = f"""
     ), ev AS (
       SELECT doc_id, w FROM base WHERE bucket >= 90 AND len(w) >= 25
     ), corpus AS (
-      SELECT doc_id, text FROM base
+      -- residue-class synthetic ids (4i / 4i+1 / 4i+2): collision-free
+      -- for any input id range — the 100x decade smoke caught additive
+      -- offsets colliding with replica ids
+      SELECT doc_id * 4 AS doc_id, text FROM base
       UNION ALL
-      SELECT doc_id + 4000000, array_to_string(w[9:18], ' ') FROM ev
+      SELECT doc_id * 4 + 1, array_to_string(w[9:18], ' ') FROM ev
       UNION ALL
-      SELECT doc_id + 5000000, array_to_string(w[9:12], ' ') FROM ev
+      SELECT doc_id * 4 + 2, array_to_string(w[9:12], ' ') FROM ev
     ), cw AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM corpus
     ), sh AS (
@@ -92,8 +95,10 @@ def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The snippet-planted corpus shared by the containment family
     (and, since round 8b, split_leakage_audit): documents plus a
     10-word and a 4-word span extracted from every eval-bucket doc
-    (md5 bucket >= 90, length >= 25 words), ids offset by 4M/5M.
-    Mirrors the ``corpus`` CTE of _CONTAIN_BASE_SQL exactly."""
+    (md5 bucket >= 90, length >= 25 words); residue-class ids
+    (original = 4i, span10 = 4i+1, span4 = 4i+2, collision-free at
+    any corpus scale).  Mirrors the ``corpus`` CTE of
+    _CONTAIN_BASE_SQL exactly."""
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -106,17 +111,21 @@ def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("text", " ").alias("w"),
     )
     ev = base.filter((F.col("bucket") >= 90) & (F.size("w") >= 25))
+    # residue-class synthetic ids (original = 4i, span10 = 4i+1,
+    # span4 = 4i+2): collision-free for any input id range — the 100x
+    # decade smoke caught the previous +4M/+5M offsets colliding with
+    # replica ids, which silently aliases planted pairs at scale
     return (
-        docs.select("doc_id", "text")
+        docs.select((F.col("doc_id") * 4).alias("doc_id"), "text")
         .unionAll(
             ev.select(
-                (F.col("doc_id") + 4000000).alias("doc_id"),
+                (F.col("doc_id") * 4 + 1).alias("doc_id"),
                 F.array_join(F.slice("w", 9, 10), " ").alias("text"),
             )
         )
         .unionAll(
             ev.select(
-                (F.col("doc_id") + 5000000).alias("doc_id"),
+                (F.col("doc_id") * 4 + 2).alias("doc_id"),
                 F.array_join(F.slice("w", 9, 4), " ").alias("text"),
             )
         )
@@ -235,10 +244,10 @@ def q_snippet_containment_pairs(
     oracle=_CONTAIN_BASE_SQL
     + """
     , planted AS (
-      SELECT doc_id + 4000000 AS planted_id, doc_id AS src_id,
+      SELECT doc_id * 4 + 1 AS planted_id, doc_id * 4 AS src_id,
              'copy_span10' AS cohort FROM ev
       UNION ALL
-      SELECT doc_id + 5000000, doc_id, 'copy_span4' FROM ev
+      SELECT doc_id * 4 + 2, doc_id * 4, 'copy_span4' FROM ev
     ), hits AS (
       SELECT pl.cohort, pl.planted_id
       FROM planted pl JOIN pairs p
@@ -285,13 +294,13 @@ def q_containment_recall_eval(
     )
     ev = base.filter((F.col("bucket") >= 90) & (F.size("w") >= 25))
     planted = ev.select(
-        (F.col("doc_id") + 4000000).alias("planted_id"),
-        F.col("doc_id").alias("src_id"),
+        (F.col("doc_id") * 4 + 1).alias("planted_id"),
+        (F.col("doc_id") * 4).alias("src_id"),
         F.lit("copy_span10").alias("cohort"),
     ).unionAll(
         ev.select(
-            (F.col("doc_id") + 5000000).alias("planted_id"),
-            F.col("doc_id").alias("src_id"),
+            (F.col("doc_id") * 4 + 2).alias("planted_id"),
+            (F.col("doc_id") * 4).alias("src_id"),
             F.lit("copy_span4").alias("cohort"),
         )
     )

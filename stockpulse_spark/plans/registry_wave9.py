@@ -548,10 +548,11 @@ _CODE_PAREN_PER100 = 1.0
              {hex_to_int_sql("md5(text)")} % 100 AS bucket
       FROM documents WHERE text IS NOT NULL AND length(text) > 0
     ), corpus AS (
-      SELECT doc_id, text, 'natural' AS cohort FROM base
+      -- no synthetic ids at all: the screen reads features per row
+      -- and ids never join, so the corpus carries only (text, cohort)
+      SELECT text, 'natural' AS cohort FROM base
       UNION ALL
-      SELECT doc_id + 6000000,
-             'def f(' || replace(text, ' ', '(x); ') || ') {{ return 0; }}',
+      SELECT 'def f(' || replace(text, ' ', '(x); ') || ') {{ return 0; }}',
              'planted_code'
       FROM base WHERE bucket >= 90
     ), feat AS (

@@ -47,7 +47,8 @@ def test_minhash_finds_planted_near_dups(spark):
     n_docs = corpus.count() // 2
     pairs = minhash_lsh_pairs(corpus, k=16, bands=8, threshold=0.5).collect()
     planted = {(r["doc_id_1"], r["doc_id_2"]) for r in pairs
-               if r["doc_id_2"] == r["doc_id_1"] + 1000000}
+               if r["doc_id_2"] == r["doc_id_1"] + 1
+               and r["doc_id_1"] % 2 == 0}
     # dropping 5 words of >=10 keeps Jaccard high; LSH must recover
     # the large majority of planted pairs
     assert len(planted) > 0.6 * n_docs, f"{len(planted)}/{n_docs}"
@@ -56,7 +57,10 @@ def test_minhash_finds_planted_near_dups(spark):
 def test_ngram_jaccard_verifies_planted(spark):
     corpus = _mutated_corpus(spark, SF_DIR)
     pairs = ngram_jaccard_pairs(corpus, group_col=None, threshold=0.5).collect()
-    planted = [r for r in pairs if r["doc_id_2"] == r["doc_id_1"] + 1000000]
+    planted = [
+        r for r in pairs
+        if r["doc_id_2"] == r["doc_id_1"] + 1 and r["doc_id_1"] % 2 == 0
+    ]
     assert planted
     assert all(0.0 < r["jaccard"] <= 1.0 for r in pairs)
 
@@ -246,12 +250,12 @@ def test_transitive_keeper_chains_elect_one_keeper(spark):
     out = REGISTRY["dedup_keeper_transitive"].builder(spark, SF_DIR).collect()
     keeper = {r["doc_id"]: r["keeper_id"] for r in out}
     dup = {r["doc_id"]: r["is_duplicate"] for r in out}
-    origs = [d for d in keeper if d < 1000000]
+    origs = [d for d in keeper if d % 4 == 0]  # A tier: ids 4i
     assert origs
     for d in origs:
-        assert keeper[d + 1000000] == keeper[d] == keeper[d + 2000000]
+        assert keeper[d + 1] == keeper[d] == keeper[d + 2]
         assert keeper[d] <= d
-        assert dup[d + 1000000] and dup[d + 2000000]
+        assert dup[d + 1] and dup[d + 2]
 
 
 def test_doc_chunking_reconstructs_corpus(spark, docs):
@@ -509,10 +513,11 @@ def test_full_dedup_pipeline_elects_one_keeper_per_cluster(spark):
     for vid, k in keeper.items():
         assert keeper[k] == k
         assert k <= vid
-    # most planted mutations (id + 1000000) must cluster with the original
+    # most planted mutations (2d+1) must cluster with the original (2d)
     linked = sum(
         1 for d in range(500)
-        if d + 1000000 in keeper and keeper[d + 1000000] == keeper.get(d, d)
+        if 2 * d + 1 in keeper
+        and keeper[2 * d + 1] == keeper.get(2 * d, 2 * d)
     )
     assert linked > 300, f"only {linked}/500 planted pairs clustered"
 

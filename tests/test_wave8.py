@@ -63,8 +63,9 @@ def test_containment_pairs_asymmetric_semantics(spark):
         for r in _rows(spark, "snippet_containment_pairs")
     }
     assert pairs, "planted snippets must produce pairs"
+    # source-span4 pairs under residue ids: (4o, 4o+2)
     span4 = [
-        r for (a, b), r in pairs.items() if b - a == 5000000 and a < 4000000
+        r for (a, b), r in pairs.items() if b - a == 2 and a % 4 == 0
     ]
     assert span4, "span4 plants must pair with their sources"
     assert all(r["containment"] == 1.0 for r in span4)
