@@ -143,6 +143,14 @@ QUERIES = [
     # size — the sf1 sweep measured hours at 2.5k-doc source groups);
     # the ratio proves the fix removed the quadratic term
     "doc_ngram_jaccard",
+    # round 8b: governance/planner/recommender wave — the estimator
+    # and skew report are scan-shaped by design (|keys| / |buckets|
+    # exchanges), the CF join is df-capped, the leakage audit rides
+    # the containment index, Hill is a TakeOrdered
+    "k_anonymity_report", "split_leakage_audit",
+    "join_cardinality_estimate", "code_detect_eval",
+    "hill_tail_index", "customer_cf_neighbors",
+    "popularity_rec_hitrate", "hash_partition_skew_report",
 ]
 
 # SPARK_SMOKE_ONLY=q1,q2 restricts the run (fast iteration on a new

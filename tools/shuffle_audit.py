@@ -62,12 +62,15 @@ QUERIES = [
     "embedding_srp_ann",
     "source_log_odds_terms",
     "session_paths_topk",
-    # wave 9
+    # wave 9 + recommender wave
     "k_anonymity_report",
     "split_leakage_audit",
     "join_cardinality_estimate",
     "code_detect_eval",
     "hill_tail_index",
+    "customer_cf_neighbors",
+    "popularity_rec_hitrate",
+    "hash_partition_skew_report",
 ]
 
 _only = os.environ.get("SPARK_SMOKE_ONLY")
@@ -91,8 +94,19 @@ class StageMeter:
         self.take()  # absorb warm-up stages
 
     def take(self) -> dict[str, int]:
-        # completed-stage metrics can lag the job end by a beat
-        time.sleep(0.3)
+        # completed-stage metrics can lag the job end: wait until the
+        # status store reports no active stages, then one settle beat
+        # (round 8b: a 0.3 s fixed sleep attributed ~260 MB of late
+        # replicator stages to the next query's delta)
+        for _ in range(20):
+            time.sleep(0.5)
+            active = _api(
+                self._base,
+                f"/api/v1/applications/{self._app}/stages?status=active",
+            )
+            if not active:
+                break
+        time.sleep(0.5)
         stages = _api(
             self._base,
             f"/api/v1/applications/{self._app}/stages?status=complete",
