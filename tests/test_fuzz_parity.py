@@ -61,6 +61,12 @@ FUZZ_PINNED = [
     "ks_drift_by_source",  # NULL source/length out of the ECDF grid
     "bm25_topk_docs",  # NULL text out of dl; ln-arithmetic under ties
     "tokenizer_fertility_by_lang",  # unicode through both regex engines
+    # round-8b wave representatives:
+    "split_leakage_audit",  # residue ids + split cells over mutated texts
+    "join_cardinality_estimate",  # heavy-hitter branch under planted hot keys
+    "hill_tail_index",  # NaN/±inf money masked before the top-k
+    "customer_cf_neighbors",  # df cap + NULL keys through the CF index
+    "code_detect_eval",  # NULL/empty/unicode text through the feature scan
 ]
 
 
@@ -143,6 +149,11 @@ EMPTY_PINNED = [
     "snippet_containment_pairs",  # containment index over zero docs
     "ks_drift_by_source",  # n_s < N filter never divides by zero
     "kfold_assignment_report",  # empty in, empty out (no NULL share row)
+    # round-8b wave representatives:
+    "join_cardinality_estimate",  # total boolean certificate at 0 rows
+    "hill_tail_index",  # empty top frame -> NULL estimator, 1 row
+    "popularity_rec_hitrate",  # NULL cutoff path: one all-NULL-safe row
+    "hash_partition_skew_report",  # 0-row keys stay balanced=TRUE
 ]
 
 
