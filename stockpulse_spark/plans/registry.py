@@ -116,68 +116,64 @@ def _register(
 # Driver-window rotation.  The driver's correctness gate samples the
 # FIRST 50 entries of queries() (dict insertion order); rotate via
 # tools/rotate_window.py each round until all oracle-backed queries
-# have driver rows.  Round 8: the FINAL rotation — the 43 remaining
-# never-driver-checked queries (all judge-verified green through
-# tools/parity.py in the round-7 verdict) lead the window, taking
-# cumulative driver coverage to 280/280 oracle-backed queries.  The
-# 7 tail slots hold this round's newly registered queries so they
-# earn driver rows in the same round they land.  Notably this window
-# drives the four reshaped vocabulary-join queries
-# (nb_lang_classifier here; doc_unigram_logprob / doc_fluency_filter
-# / doc_bigram_logprob already have driver rows and are re-verified
-# by the round-close parity artifacts) after the broadcast-hint
-# removal, so the fix is hash-certified, not just locally checked.
+# have driver rows.  Round 9: the 9 round-8b governance/planner/
+# recommender queries (judge-verified green through tools/parity.py
+# in the round-8 verdict) lead the window, taking cumulative driver
+# coverage to 296/296 oracle-backed queries.  The remaining 41 slots
+# backfill with the longest-unchecked covered queries (the round-1
+# headline set) so every window stays full and re-certifies old
+# results against current source.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    "theil_sen_trend",
-    "changepoint_binseg",
-    "acf_multilag",
-    "isotonic_trend",
-    "gini_revenue_yearly",
-    "score_auc_rank",
-    "activity_bitmap_rollup",
-    "nb_lang_classifier",
-    "trimmed_stats_by_type",
-    "mergeable_weekly_rollup",
-    "poisson_bootstrap_ci",
-    "conformal_interval_coverage",
-    "dtw_to_reference",
-    "sax_motifs",
-    "loo_target_encoding",
-    "psi_value_drift",
-    "user_feature_matrix",
-    "corpus_segment_dedup",
-    "gopher_quality_rules",
-    "duplicate_gram_coverage",
-    "unattributed_purchases",
-    "image_phash_near_dup",
-    "source_epoch_plan",
-    "curriculum_order",
-    "audio_fingerprint_near_dup",
-    "multimodal_curation_pipeline",
-    "dsir_importance_weights",
-    "cross_source_dup_matrix",
-    "label_centroid_similarity",
-    "hard_negative_mining",
-    "vocab_coverage_curve",
-    "packing_efficiency_report",
-    "token_frequency_spectrum",
-    "pq_codebook_assign",
-    "pq_adc_recall_eval",
-    "matryoshka_truncation_eval",
-    "quantile_normalize_doclen",
-    "source_length_calibration",
-    "leakage_free_training_set",
-    "join_ivm_delta_check",
-    "salted_skew_join_stats",
-    "audience_overlap_sketch",
-    "content_defined_chunk_dedup",
-    "snippet_containment_pairs",
-    "containment_recall_eval",
-    "ks_drift_by_source",
-    "kfold_assignment_report",
-    "bm25_topk_docs",
-    "source_log_odds_terms",
-    "tokenizer_fertility_by_lang",
+    "k_anonymity_report",
+    "split_leakage_audit",
+    "join_cardinality_estimate",
+    "hash_partition_skew_report",
+    "code_detect_eval",
+    "lsh_tuning_curve",
+    "hill_tail_index",
+    "customer_cf_neighbors",
+    "popularity_rec_hitrate",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "orders_priority_count",
+    "dedup_keep_latest",
+    "duplicate_report",
+    "quality_clean",
+    "project_cast",
+    "time_range_filter",
+    "latest_per_user",
+    "hourly_volume_pivot",
+    "summary_stats",
+    "ohlcv_hourly",
+    "ohlcv_daily",
+    "ma5_cma",
+    "eod_ma5_join",
+    "bollinger20",
+    "sma_50_200",
+    "rsi14",
+    "atr14",
+    "stochastic_14_3",
+    "roc_momentum",
+    "vwap",
+    "returns_volatility",
+    "macd_12_26_9",
+    "macd_probed_dispatch",
+    "macd_intraday_hof",
+    "macd_unbounded_kernel",
+    "ffill_bfill",
+    "bounded_ffill",
+    "market_hours",
+    "missing_slots",
+    "doc_text_stats",
+    "doc_dedup_exact",
+    "doc_minhash_lsh",
+    "doc_simhash",
+    "doc_ngram_jaccard",
+    "embedding_cosine_topk",
+    "embedding_srp_ann",
+    "media_metadata",
+    "minhash_lsh_recall_eval",
 )
 
 
