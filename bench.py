@@ -44,6 +44,9 @@ from stockpulse_spark.sources.tables import load_table  # noqa: E402
 # output JSON are the evidence.
 SKEW_QUERIES = ("ma5_cma", "indicator_panel", "doc_minhash_lsh")
 
+# Extra timed runs for the spread-prone queries (see loop comment).
+GHOST_PRONE_RUNS = {"indicator_panel": 11, "doc_minhash_lsh": 11}
+
 _BOILERPLATE = (
     "this site uses cookies by continuing you accept the terms of "
     "service and the privacy policy all rights reserved contact the "
@@ -105,19 +108,24 @@ def main() -> None:
         REGISTRY[name].builder(spark, sf_dir).collect()
         runs, n = [], 0
         # 7 timed runs (raised from 5 in round 8): the recorded spread
-        # drops the single slowest run before taking max-min — one GC
+        # drops the slowest run(s) before taking max-min — one GC
         # pause or host hiccup was inflating macd/bollinger spreads to
         # ±0.3-0.55s and allowing ±20% round-over-round ghosts; the
         # trimmed range over more runs answers the question the record
         # exists for (is this round's plan within noise of last
         # round's?) without hiding a real regression, which shifts
-        # min and median too
-        for _ in range(7):
+        # min and median too.  The two historically ghost-prone
+        # queries (r08 spreads 0.33/0.40; the r08 verdict's
+        # "doc_minhash_lsh regression" bisected to pure host ghosting
+        # on identical plans — BENCH_NOTES.md) get 11 runs with 2-run
+        # trimming so their medians stop swinging ±20% across rounds.
+        n_runs = GHOST_PRONE_RUNS.get(name, 7)
+        for _ in range(n_runs):
             t0 = time.time()
             df = REGISTRY[name].builder(spark, sf_dir)
             n = len(df.collect())
             runs.append(time.time() - t0)
-        trimmed = sorted(runs)[:-1]
+        trimmed = sorted(runs)[: -max(1, n_runs // 5)]
         timings[name] = round(min(runs), 3)
         spreads[name] = round(max(trimmed) - min(trimmed), 3)
         medians[name] = round(sorted(runs)[len(runs) // 2], 3)

@@ -367,16 +367,23 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contract — the integer snap would CAST_OVERFLOW on it anyway).",
 )
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region")
     rev_1e4 = F.when(
         ~not_finite("l_extendedprice") & ~not_finite("l_discount"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint")
         * (100 - F.round(F.col("l_discount") * 100).cast("bigint")),
     )
+    # the money product is computed in the lineitem SCAN projection,
+    # below the orderkey shuffle: the exchange then carries one BIGINT
+    # per row instead of two doubles, and the per-row rounds/multiplies
+    # run in the scan stage (round-8 verdict item 5 — the exact-integer
+    # rewrite had left them above the 5-way join)
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", rev_1e4.alias("rev_1e4")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -384,7 +391,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            _r4(F.sum(rev_1e4) / 10000.0).alias("revenue"),
+            _r4(F.sum("rev_1e4") / 10000.0).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.col("revenue").desc(), "nation")
