@@ -526,15 +526,19 @@ def q_source_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text, w FROM b
       WHERE bucket >= 90 AND len(w) >= 25
     ), planted AS (
-      SELECT doc_id, 'clean_train' AS cohort, text
+      -- residue-class planted ids (k=4, cohort offsets 0-3): injective
+      -- for ANY input id range — round 9 migrated off the additive
+      -- +3M/+4M/+5M offsets for uniformity with the engine-wide
+      -- synthetic-id scheme (tests/test_synthetic_ids.py)
+      SELECT doc_id * 4 AS doc_id, 'clean_train' AS cohort, text
       FROM b WHERE bucket < 90
       UNION ALL
-      SELECT doc_id + 3000000, 'copy_full', text FROM ev
+      SELECT doc_id * 4 + 1, 'copy_full', text FROM ev
       UNION ALL
-      SELECT doc_id + 4000000, 'copy_span10',
+      SELECT doc_id * 4 + 2, 'copy_span10',
              array_to_string(w[9:18], ' ') FROM ev
       UNION ALL
-      SELECT doc_id + 5000000, 'copy_span4',
+      SELECT doc_id * 4 + 3, 'copy_span4',
              array_to_string(w[9:12], ' ') FROM ev
     ), eval_grams AS (
       SELECT DISTINCT md5(g) AS gh
@@ -543,10 +547,6 @@ def q_source_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id, cohort, md5(g) AS gh
       FROM planted, unnest({_D_SHINGLES}) AS t(g)
     ), flagged AS (
-      -- keyed on (doc_id, cohort): the planted ids use fixed offsets
-      -- (+3M/+4M/+5M) that a large-enough documents table could
-      -- collide with real clean_train ids, and a doc_id-only key
-      -- would then cross-flag both cohorts
       SELECT DISTINCT t.doc_id, t.cohort
       FROM train_grams t JOIN eval_grams e ON t.gh = e.gh
     )
@@ -599,27 +599,34 @@ def q_decontamination_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame
         F.split("text", " ").alias("w"),
     )
     ev = b.filter((F.col("bucket") >= 90) & (F.size("w") >= 25))
+    # residue-class planted ids (k=4, offsets 0-3): injective for any
+    # input id range — migrated round 9 off the additive +3M/+4M/+5M
+    # offsets (whose collisions the (doc_id, cohort) keying tolerated
+    # flag-correctly, but which double-counted a collided physical doc
+    # in two cohorts' n_docs at 100x)
     planted = (
         b.filter(F.col("bucket") < 90).select(
-            "doc_id", F.lit("clean_train").alias("cohort"), "text"
+            (F.col("doc_id") * 4).alias("doc_id"),
+            F.lit("clean_train").alias("cohort"),
+            "text",
         )
         .unionAll(
             ev.select(
-                (F.col("doc_id") + 3000000).alias("doc_id"),
+                (F.col("doc_id") * 4 + 1).alias("doc_id"),
                 F.lit("copy_full").alias("cohort"),
                 "text",
             )
         )
         .unionAll(
             ev.select(
-                (F.col("doc_id") + 4000000).alias("doc_id"),
+                (F.col("doc_id") * 4 + 2).alias("doc_id"),
                 F.lit("copy_span10").alias("cohort"),
                 F.array_join(F.slice("w", 9, 10), " ").alias("text"),
             )
         )
         .unionAll(
             ev.select(
-                (F.col("doc_id") + 5000000).alias("doc_id"),
+                (F.col("doc_id") * 4 + 3).alias("doc_id"),
                 F.lit("copy_span4").alias("cohort"),
                 F.array_join(F.slice("w", 9, 4), " ").alias("text"),
             )
@@ -643,9 +650,9 @@ def q_decontamination_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id", "cohort", F.md5("g").alias("gh"))
         .distinct()
     )
-    # flagged keys on (doc_id, cohort) — mirrors the oracle: fixed
-    # planted-id offsets could collide with real clean_train ids at
-    # sufficient corpus size, and a doc_id-only key would cross-flag
+    # flagged keys on (doc_id, cohort) — mirrors the oracle; with
+    # residue ids the pair key is redundant (ids are injective) but
+    # keeps the join contract explicit
     flagged = (
         train_grams.join(F.broadcast(eval_grams), "gh")
         .select("doc_id", "cohort")

@@ -741,12 +741,14 @@ def test_signature_cache_thread_safe():
 def test_decontamination_recall_survives_planted_id_collision(
     spark, tmp_path
 ):
-    """The planted-copy ids use fixed offsets (+3M/+4M/+5M); on a big
-    enough corpus a planted id collides with a REAL clean_train doc_id.
-    The flagged join keys on (doc_id, cohort), so the collision must
-    not cross-flag the innocent clean doc: here doc 7 is an eval doc
-    whose verbatim copy is planted at id 3000007 — the same id as a
-    real clean doc sharing no 5-grams with anything."""
+    """Regression for the planted-id collision class.  Under the old
+    additive scheme (+3M/+4M/+5M), doc 7's verbatim copy landed at id
+    3000007 — the same id as the real clean doc planted here, relying
+    on (doc_id, cohort) keying to avoid cross-flagging.  Round 9
+    migrated the plants to residue-class ids (k=4, offsets 0-3), which
+    are injective for ANY input range, so the same adversarial input
+    now cannot collide at all: the clean doc keeps its own identity
+    (clean_train n_docs exactly 1, unflagged) and the copy flags 1.0."""
     eval_text = (
         "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
         "kilo lima mike november oscar papa quebec romeo sierra tango "

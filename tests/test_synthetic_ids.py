@@ -15,10 +15,13 @@ from pathlib import Path
 
 SRC = Path(__file__).resolve().parent.parent / "stockpulse_spark"
 
-#: additive offset of >= 6 digits applied to an id column
+#: additive offset of >= 6 digits applied to an id-class column.
+#: Round 9 (advisor finding): quote-agnostic, keyed on the whole
+#: *_id / *key column class rather than six hardcoded names, and
+#: catches offsets routed through F.lit() — so renamed intermediates
+#: (planted_id, __key) and single-quoted spellings can't slip the gate.
 _PATTERN = re.compile(
-    r"(doc_id|vec_id|event_id|user_id|o_orderkey|l_orderkey)"
-    r"(\"\))?\s*\+\s*[1-9][0-9]{5,}"
+    r"[A-Za-z_]\w*(?:_id|key)['\"]?\s*\)*\s*\+\s*(?:F\.lit\(\s*)?[1-9][0-9]{5,}"
 )
 
 #: file -> why its additive offsets are collision-tolerant
@@ -28,10 +31,9 @@ ALLOWED = {
     # so a collision cannot alias rows (verdicts key on batch_id
     # alone). The offset only keeps the label readable in tests.
     "plans/registry_funnel.py",
-    # decontamination plants key every downstream join and the final
-    # rollup on (doc_id, cohort) — the in-file comment predicted the
-    # collision class and defended against it before 8b.
-    "plans/registry_corpus2.py",
+    # registry_corpus2.py was removed from this list in round 9: its
+    # decontamination plants migrated to residue-class ids (k=4,
+    # cohort offsets 0-3) for uniformity with the engine-wide scheme.
 }
 
 
@@ -68,6 +70,12 @@ def test_sweep_fires_on_planted_violation():
     100x smoke caught, in both Spark and SQL spellings."""
     assert _PATTERN.search('(F.col("doc_id") + 1000000).alias("doc_id")')
     assert _PATTERN.search("SELECT doc_id + 4000000 AS planted_id")
+    # round-9 widenings: single quotes, renamed intermediates,
+    # arbitrary *key columns, and offsets routed through F.lit()
+    assert _PATTERN.search("(F.col('doc_id') + 1000000)")
+    assert _PATTERN.search("planted_id + 3000000")
+    assert _PATTERN.search('F.col("p_partkey") + 5000000')
+    assert _PATTERN.search('F.col("vec_id") + F.lit(1000000)')
     # and must NOT match residue-class ids or small literals
     assert not _PATTERN.search('(F.col("doc_id") * 4 + 1).alias("doc_id")')
     assert not _PATTERN.search("SELECT doc_id + 1 AS next_id")

@@ -209,8 +209,28 @@ def _ntz(df: DataFrame) -> DataFrame:
     return df
 
 
-def build_big_dir(spark, src: str, n: int) -> str:
-    out = tempfile.mkdtemp(prefix=f"sp_scale{n}x_")
+def build_big_dir(
+    spark, src: str, n: int, catalog_growth: bool = False
+) -> str:
+    """Replicate the sf dir Nx.  Two axes:
+
+    - default: facts and entities grow, the part/supplier CATALOG is
+      held fixed (the axis a warehouse grows along when the business
+      sells the same products to more customers).  Under it, per-part
+      document frequency grows ~Nx, so df-capped inverted indexes
+      (customer_cf_neighbors) legitimately empty out — the cap is
+      doing its job against catalog-fixed densification.
+    - catalog_growth=True (round-9 verdict item 4): part/supplier keys
+      grow WITH the facts (replica i's lineitem references replica
+      i's parts), modeling the scale-OUT corpus where assortment grows
+      with volume.  Per-part df stays ~constant, the df-capped index
+      SURVIVES, and the candidate join's growth on this axis is the
+      measurement that proves the CF shape linear where it is meant
+      to operate.
+    """
+    out = tempfile.mkdtemp(
+        prefix=f"sp_scale{n}x_{'cat_' if catalog_growth else ''}"
+    )
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
     ev = load_table(spark, src, "events")
@@ -259,12 +279,14 @@ def build_big_dir(spark, src: str, n: int) -> str:
     ).write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
 
     li = load_table(spark, src, "lineitem")
+    _part_off = 1_000_000 if catalog_growth else 0
+    _supp_off = 100_000 if catalog_growth else 0
     _replicate(
         li, n,
         lambda i: [
             (F.col("l_orderkey") + 10_000_000 * i).alias("l_orderkey"),
-            "l_partkey",
-            "l_suppkey",
+            (F.col("l_partkey") + _part_off * i).alias("l_partkey"),
+            (F.col("l_suppkey") + _supp_off * i).alias("l_suppkey"),
             "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
             "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
         ],
@@ -289,7 +311,31 @@ def build_big_dir(spark, src: str, n: int) -> str:
         ],
     ).write.mode("overwrite").parquet(os.path.join(out, "customer.parquet"))
 
-    for dim in ("supplier", "part", "nation", "region"):
+    if catalog_growth:
+        part = load_table(spark, src, "part")
+        _replicate(
+            part, n,
+            lambda i: [
+                (F.col("p_partkey") + _part_off * i).alias("p_partkey"),
+                "p_name", "p_brand", "p_type", "p_size", "p_retailprice",
+            ],
+        ).write.mode("overwrite").parquet(os.path.join(out, "part.parquet"))
+        supp = load_table(spark, src, "supplier")
+        _replicate(
+            supp, n,
+            lambda i: [
+                (F.col("s_suppkey") + _supp_off * i).alias("s_suppkey"),
+                "s_name", "s_nationkey", "s_acctbal",
+            ],
+        ).write.mode("overwrite").parquet(
+            os.path.join(out, "supplier.parquet")
+        )
+    fixed_dims = (
+        ("nation", "region")
+        if catalog_growth
+        else ("supplier", "part", "nation", "region")
+    )
+    for dim in fixed_dims:
         p = os.path.join(src, f"{dim}.parquet")
         if os.path.exists(p):
             _ntz(load_table(spark, src, dim)).write.mode(
@@ -313,11 +359,13 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if a != "--catalog"]
+    catalog = "--catalog" in sys.argv[1:]
+    n = int(args[0]) if args else 10
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
-    big = build_big_dir(spark, src, n)
+    big = build_big_dir(spark, src, n, catalog_growth=catalog)
     base = time_queries(spark, src)
     scaled = time_queries(spark, big)
     print(
@@ -325,6 +373,7 @@ def main() -> None:
             {
                 "metric": "scale_smoke",
                 "replication": n,
+                "axis": "catalog_growing" if catalog else "catalog_fixed",
                 "base": base,
                 "scaled": scaled,
                 "ratio": {

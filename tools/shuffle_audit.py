@@ -71,6 +71,50 @@ QUERIES = [
     "customer_cf_neighbors",
     "popularity_rec_hitrate",
     "hash_partition_skew_report",
+    # round 9 (verdict item 6): EVERY remaining query whose executed
+    # plan carries >= 6 shuffles or any SortMergeJoin (PLANS.md) — the
+    # audit now covers the full heavy-plan inventory, not a sample
+    "ks_drift_by_source",
+    "audience_overlap_sketch",
+    "minhash_lsh_recall_eval",
+    "ann_recall_eval",
+    "containment_recall_eval",
+    "nb_lang_classifier",
+    "srp_ann_recall_certificate",
+    "audio_fingerprint_near_dup",
+    "image_phash_near_dup",
+    "segment_type_chisq",
+    "value_rank_family",
+    "copurchase_pagerank",
+    "leadlag_return_corr",
+    "pairwise_return_corr",
+    "textrank_keywords",
+    "woe_binning",
+    "basket_affinity_lift",
+    "pq_adc_recall_eval",
+    "sax_motifs",
+    "word_pmi_collocations",
+    "bm25_topk_docs",
+    "cross_source_dup_matrix",
+    "doc_fluency_filter",
+    "doc_substring_dup_pairs",
+    "embedding_label_outliers",
+    "incremental_dedup_gate",
+    "matryoshka_truncation_eval",
+    "peak_concurrent_sessions_daily",
+    "psi_value_drift",
+    "quantile_normalize_doclen",
+    "seasonal_profile",
+    "sliding_7d_active_users",
+    "user_cohort_set_ops",
+    "embedding_ivf_topk",
+    "dup_cluster_size_stats",
+    "waiting_suppliers",
+    "snapshot_diff_cdc",
+    "copurchase_triangles",
+    "daily_order_ship_reconciliation",
+    "dedup_keeper_transitive",
+    "orders_merge_upsert",
 ]
 
 _only = os.environ.get("SPARK_SMOKE_ONLY")
@@ -97,8 +141,11 @@ class StageMeter:
         # completed-stage metrics can lag the job end: wait until the
         # status store reports no active stages, then one settle beat
         # (round 8b: a 0.3 s fixed sleep attributed ~260 MB of late
-        # replicator stages to the next query's delta)
-        for _ in range(20):
+        # replicator stages to the next query's delta).  If the wait
+        # exhausts, say so loudly — silently proceeding mis-attributes
+        # the still-running stages to the NEXT query's delta (round-8
+        # advisor finding).
+        for attempt in range(20):
             time.sleep(0.5)
             active = _api(
                 self._base,
@@ -106,6 +153,12 @@ class StageMeter:
             )
             if not active:
                 break
+        else:
+            print(
+                "WARNING: active stages remained after 10s wait — "
+                "metrics for this query may bleed into the next delta",
+                file=sys.stderr,
+            )
         time.sleep(0.5)
         stages = _api(
             self._base,
@@ -146,18 +199,28 @@ def measure(spark, meter: StageMeter, sf_dir: str) -> dict[str, dict]:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if a != "--catalog"]
+    catalog = "--catalog" in sys.argv[1:]
+    n = int(args[0]) if args else 10
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(
         "shuffle-audit",
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "0"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "0",
+            # the status store evicts stages past retainedStages; a
+            # long audited run past the default 1000 would silently
+            # drop early stages from a query's delta (round-8 advisor
+            # finding) — retain enough for the whole audit
+            "spark.ui.retainedStages": "100000",
+        },
     )
     meter = StageMeter(spark)
 
     from tools.scale_smoke import build_big_dir
 
     small = measure(spark, meter, src)
-    big_dir = build_big_dir(spark, src, n)
+    big_dir = build_big_dir(spark, src, n, catalog_growth=catalog)
     meter.take()  # absorb the replicator's own stages
     big = measure(spark, meter, big_dir)
 
@@ -185,7 +248,13 @@ def main() -> None:
         }
     print(
         json.dumps(
-            {"metric": "shuffle_audit", "n": n, "sf_dir": src, "queries": rows}
+            {
+                "metric": "shuffle_audit",
+                "n": n,
+                "sf_dir": src,
+                "axis": "catalog_growing" if catalog else "catalog_fixed",
+                "queries": rows,
+            }
         )
     )
 
