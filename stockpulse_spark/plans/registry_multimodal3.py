@@ -54,6 +54,14 @@ from stockpulse_spark.plans.registry import _register, _t
 
 _AHASH_SCHEMA = "doc_id long, q0 long, q1 long, q2 long, q3 long"
 
+# Quarter-bucket cap for the pigeonhole joins (round 9): degenerate
+# flat/periodic quarters (q = 0, 0x5555, ...) pile hundreds of images
+# onto one 16-bit key — the 10x audit measured the uncapped join at
+# 60x shuffle growth.  256 is a no-op at sf0.1 (max observed bucket
+# ~60) and trips only the degenerate values at 10x (~390-590); the
+# oracle mirrors it in the qw CTE so both engines agree when it fires.
+_IMAGE_BUCKET_CAP = 256
+
 
 def png_ahash_quarters(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """payload -> 8x8 average-hash as four 16-bit quarters.  Decode
@@ -134,13 +142,25 @@ def png_ahash_quarters(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         CAST(SUM(CASE WHEN b // 16 = 3 AND c.cs*t.tn > t.ts*c.cn
                  THEN 1 << (b % 16) ELSE 0 END) AS BIGINT) AS q3
       FROM cell_agg c JOIN tot t USING (d) GROUP BY c.d
+    ), qw AS (
+      -- bucket_cap mirror (round 9, same contract as the audio fpw
+      -- CTE): a quarter bucket over the cap is excluded from THAT
+      -- quarter's pairing — degenerate flat/periodic quarters pile
+      -- hundreds of images onto one key and carry no signal
+      SELECT q.*,
+             COUNT(*) OVER (PARTITION BY q0) AS n0,
+             COUNT(*) OVER (PARTITION BY q1) AS n1,
+             COUNT(*) OVER (PARTITION BY q2) AS n2,
+             COUNT(*) OVER (PARTITION BY q3) AS n3
+      FROM q
     ), pairs AS (
       SELECT DISTINCT a.d AS doc_id_1, b.d AS doc_id_2,
              a.q0 AS a0, a.q1 AS a1, a.q2 AS a2, a.q3 AS a3,
              b.q0 AS b0, b.q1 AS b1, b.q2 AS b2, b.q3 AS b3
-      FROM q a JOIN q b
+      FROM qw a JOIN qw b
         ON a.d < b.d
-       AND (a.q0 = b.q0 OR a.q1 = b.q1 OR a.q2 = b.q2 OR a.q3 = b.q3)
+       AND ((a.q0 = b.q0 AND a.n0 <= 256) OR (a.q1 = b.q1 AND a.n1 <= 256)
+         OR (a.q2 = b.q2 AND a.n2 <= 256) OR (a.q3 = b.q3 AND a.n3 <= 256))
     )
     SELECT doc_id_1, doc_id_2,
            CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
@@ -161,6 +181,8 @@ def png_ahash_quarters(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     "encode/decode/hash round-trip lossless.",
 )
 def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.llmdata.dedup import capped_band_pairs
+
     ids = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isNotNull())
@@ -170,41 +192,29 @@ def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = png_ahash_quarters(attach_png_payload(ids)).filter(
         F.col("q0").isNotNull()
     )
-
-    def quarter_join(col: str) -> DataFrame:
-        a = q.select(
-            F.col("doc_id").alias("doc_id_1"),
-            F.col("q0").alias("a0"), F.col("q1").alias("a1"),
-            F.col("q2").alias("a2"), F.col("q3").alias("a3"),
-            F.col(col).alias("__k"),
-        )
-        b = q.select(
-            F.col("doc_id").alias("doc_id_2"),
-            F.col("q0").alias("b0"), F.col("q1").alias("b1"),
-            F.col("q2").alias("b2"), F.col("q3").alias("b3"),
-            F.col(col).alias("__k"),
-        )
-        return (
-            a.join(b, "__k")
-            .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-            .drop("__k")
-        )
-
-    pairs = (
-        quarter_join("q0")
-        .unionAll(quarter_join("q1"))
-        .unionAll(quarter_join("q2"))
-        .unionAll(quarter_join("q3"))
-        .distinct()
+    # round 9: the quarter joins moved onto capped_band_pairs (audio's
+    # machinery) with cap 256 — the 10x shuffle audit measured the
+    # uncapped joins at 60x growth because DEGENERATE quarters (flat /
+    # periodic patterns hashing to 0, 0x5555, ...) pile hundreds of
+    # images into one bucket, and a flat quarter carries no
+    # discriminative signal: the image analog of the text boilerplate
+    # the LSH bucket cap drops.  No-op at sf0.1 (max observed bucket
+    # ~60), trips only the degenerate values at 10x (~390-590).
+    pairs = capped_band_pairs(
+        q, ("q0", "q1", "q2", "q3"), _IMAGE_BUCKET_CAP, id_col="doc_id"
     )
     hamming = (
-        F.bit_count(F.expr("a0 ^ b0"))
-        + F.bit_count(F.expr("a1 ^ b1"))
-        + F.bit_count(F.expr("a2 ^ b2"))
-        + F.bit_count(F.expr("a3 ^ b3"))
+        F.bit_count(F.expr("x0 ^ y0"))
+        + F.bit_count(F.expr("x1 ^ y1"))
+        + F.bit_count(F.expr("x2 ^ y2"))
+        + F.bit_count(F.expr("x3 ^ y3"))
     ).cast("int")
     return (
-        pairs.select("doc_id_1", "doc_id_2", hamming.alias("hamming"))
+        pairs.select(
+            F.col("vid_1").alias("doc_id_1"),
+            F.col("vid_2").alias("doc_id_2"),
+            hamming.alias("hamming"),
+        )
         .filter(F.col("hamming") <= 3)
         .orderBy("doc_id_1", "doc_id_2")
     )

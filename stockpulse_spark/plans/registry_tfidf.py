@@ -170,12 +170,23 @@ WITH RECURSIVE corpus3 AS (
          md5(array_to_string(
            (string_split(text, ' '))[{_N_WORDS} - 9:{_N_WORDS}], ' ')) AS sfx
   FROM corpus3
+), pfx_ok AS (
+  -- boilerplate guard (round 9): a prefix-10 shared by more than 64
+  -- docs is a banner/header, not duplication evidence — the 10x
+  -- replicated corpus measured the uncapped self-join at 23x shuffle
+  -- growth because its planted banner bucket is quadratic in exactly
+  -- this join.  Same cap doctrine as minhash_lsh_pairs.
+  SELECT pfx FROM keyed GROUP BY pfx HAVING COUNT(*) <= 64
+), sfx_ok AS (
+  SELECT sfx FROM keyed GROUP BY sfx HAVING COUNT(*) <= 64
 ), edges AS (
   SELECT l.doc_id AS src, r.doc_id AS dst
   FROM keyed l JOIN keyed r ON l.pfx = r.pfx AND l.doc_id < r.doc_id
+  JOIN pfx_ok ok ON ok.pfx = l.pfx
   UNION
   SELECT l.doc_id, r.doc_id
   FROM keyed l JOIN keyed r ON l.sfx = r.sfx AND l.doc_id < r.doc_id
+  JOIN sfx_ok ok ON ok.sfx = l.sfx
 ), sym AS (
   SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges
 ), reach AS (
@@ -246,6 +257,20 @@ def q_dedup_keeper_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     for key in ("pfx", "sfx"):
         l = keyed.select(F.col("doc_id").alias("src"), key)
         r = keyed.select(F.col("doc_id").alias("dst"), key)
+        # boilerplate guard (round 9): drop over-64 key buckets before
+        # the self-join — a prefix shared by hundreds of docs is a
+        # banner, and its bucket is quadratic in exactly this join
+        # (measured 23x shuffle growth at 10x on the planted-banner
+        # corpus before the cap).  Hot-bucket set is tiny: broadcast
+        # anti-join, same shape as minhash_lsh_pairs' cap.
+        hot = (
+            keyed.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 64)
+            .select(key)
+        )
+        l = l.join(F.broadcast(hot), key, "left_anti")
+        r = r.join(F.broadcast(hot), key, "left_anti")
         e = (
             l.join(r, key)
             .filter(F.col("src") < F.col("dst"))

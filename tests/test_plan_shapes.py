@@ -490,6 +490,9 @@ BOUNDED_GLOBAL_WINDOWS = {
     "config-enumerated constants)",
     "shard_assignment_balance": "16-row shard-balance frame (shard "
     "count is a config constant)",
+    "freshness_decay_weights": "per-priority share frame (|order "
+    "priorities|, a schema-enumerated set — 5 rows; the window runs "
+    "on the AGGREGATE output, never the orders table)",
     # bpe_first_merge_stats left this list in round 8: charset^2 on
     # Unicode web text is ~1e10 pairs, not metadata — it was rebuilt
     # on with_global_rank's prefix-sum instead of being allowlisted.
