@@ -67,6 +67,11 @@ FUZZ_PINNED = [
     "hill_tail_index",  # NaN/±inf money masked before the top-k
     "customer_cf_neighbors",  # df cap + NULL keys through the CF index
     "code_detect_eval",  # NULL/empty/unicode text through the feature scan
+    # round-9 wave representatives:
+    "lsh_precision_sample",  # exact verify over degenerate LSH candidates
+    "domain_cap_enforcement",  # NULL text/source through the grouped rank
+    "freshness_decay_weights",  # NULL dates out of the decay buckets
+    "dedup_token_savings",  # NULL-text never-dropped contract under dup rows
 ]
 
 
@@ -154,6 +159,9 @@ EMPTY_PINNED = [
     "hill_tail_index",  # empty top frame -> NULL estimator, 1 row
     "popularity_rec_hitrate",  # NULL cutoff path: one all-NULL-safe row
     "hash_partition_skew_report",  # 0-row keys stay balanced=TRUE
+    # round-9 wave representatives:
+    "chunk_stride_plan",  # empty in, empty out (no 0-token chunk row)
+    "lsh_band_churn",  # empty corpus -> 0 band rows, no 0/0 churn
 ]
 
 

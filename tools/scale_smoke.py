@@ -151,6 +151,14 @@ QUERIES = [
     "join_cardinality_estimate", "code_detect_eval",
     "hill_tail_index", "customer_cf_neighbors",
     "popularity_rec_hitrate", "hash_partition_skew_report",
+    # round 9: the wave-10 curation-economics queries (scan-shaped or
+    # candidate-bounded by construction — the smoke verifies it), the
+    # newly bucket-capped keeper-chain cluster stats, and the LSH
+    # precision harness (exact verify over LSH-bounded candidates)
+    "lsh_precision_sample", "domain_cap_enforcement",
+    "chunk_stride_plan", "freshness_decay_weights",
+    "lsh_band_churn", "dedup_token_savings",
+    "dup_cluster_size_stats",
 ]
 
 # SPARK_SMOKE_ONLY=q1,q2 restricts the run (fast iteration on a new
