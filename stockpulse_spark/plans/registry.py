@@ -118,8 +118,9 @@ def _register(
 # tools/rotate_window.py each round until all oracle-backed queries
 # have driver rows.  Round 9: the 9 round-8b governance/planner/
 # recommender queries (judge-verified green through tools/parity.py
-# in the round-8 verdict) lead the window, taking cumulative driver
-# coverage to 296/296 oracle-backed queries.  The remaining 41 slots
+# in the round-8 verdict) plus the 6 round-9 curation-economics
+# queries lead the window, taking cumulative driver coverage to
+# 302/302 oracle-backed queries.  The remaining 35 slots
 # backfill with the longest-unchecked covered queries (the round-1
 # headline set) so every window stays full and re-certifies old
 # results against current source.
@@ -131,6 +132,12 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "code_detect_eval",
     "lsh_tuning_curve",
     "hill_tail_index",
+    "lsh_precision_sample",
+    "domain_cap_enforcement",
+    "chunk_stride_plan",
+    "freshness_decay_weights",
+    "lsh_band_churn",
+    "dedup_token_savings",
     "customer_cf_neighbors",
     "popularity_rec_hitrate",
     "pricing_summary",
@@ -168,12 +175,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_text_stats",
     "doc_dedup_exact",
     "doc_minhash_lsh",
-    "doc_simhash",
-    "doc_ngram_jaccard",
-    "embedding_cosine_topk",
-    "embedding_srp_ann",
-    "media_metadata",
-    "minhash_lsh_recall_eval",
 )
 
 
