@@ -166,6 +166,15 @@ DOC_QUERIES = (
     "bm25_topk_docs",
     "source_log_odds_terms",
     "tokenizer_fertility_by_lang",
+    # round-9 wave: LSH precision exact-verify arithmetic, grouped-rank
+    # cap boundaries, chunk closed form at degenerate lengths, band
+    # churn on NULL/short texts, and the NULL-text keeper contract,
+    # all over random degenerate shapes
+    "lsh_precision_sample",
+    "domain_cap_enforcement",
+    "chunk_stride_plan",
+    "lsh_band_churn",
+    "dedup_token_savings",
 )
 
 
