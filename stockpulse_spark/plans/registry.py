@@ -118,9 +118,9 @@ def _register(
 # tools/rotate_window.py each round until all oracle-backed queries
 # have driver rows.  Round 9: the 9 round-8b governance/planner/
 # recommender queries (judge-verified green through tools/parity.py
-# in the round-8 verdict) plus the 6 round-9 curation-economics
-# queries lead the window, taking cumulative driver coverage to
-# 302/302 oracle-backed queries.  The remaining 35 slots
+# in the round-8 verdict) plus the 9 round-9 curation-economics /
+# layout / lift queries lead the window, taking cumulative driver
+# coverage to 305/305 oracle-backed queries.  The remaining slots
 # backfill with the longest-unchecked covered queries (the round-1
 # headline set) so every window stays full and re-certifies old
 # results against current source.
@@ -138,6 +138,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "freshness_decay_weights",
     "lsh_band_churn",
     "dedup_token_savings",
+    "file_compaction_plan",
+    "quality_keeper_selection",
+    "score_decile_lift",
     "customer_cf_neighbors",
     "popularity_rec_hitrate",
     "pricing_summary",
@@ -172,9 +175,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "bounded_ffill",
     "market_hours",
     "missing_slots",
-    "doc_text_stats",
-    "doc_dedup_exact",
-    "doc_minhash_lsh",
 )
 
 

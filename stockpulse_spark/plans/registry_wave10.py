@@ -33,7 +33,7 @@ no driver collects, no Python rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stockpulse_spark.llmdata.dedup import (
@@ -635,3 +635,319 @@ def q_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 10b: layout planning, quality-aware canonicalization, model lift
+
+_COMPACT_TARGET = 16384  # bytes per output file (SF-scaled stand-in)
+
+
+@_register(
+    "file_compaction_plan",
+    oracle=f"""
+    WITH base AS (
+      SELECT source, doc_id,
+             CAST(coalesce(n_chars, 0) AS BIGINT) AS bytes
+      FROM documents
+    ), packed AS (
+      SELECT source, doc_id, bytes,
+             coalesce(SUM(bytes) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {_COMPACT_TARGET} AS file_idx
+      FROM base
+    ), files AS (
+      SELECT source, file_idx, SUM(bytes) AS fbytes, COUNT(*) AS fdocs
+      FROM packed GROUP BY source, file_idx
+    )
+    SELECT source,
+           CAST(SUM(fdocs) AS BIGINT) AS n_docs,
+           CAST(SUM(fbytes) AS BIGINT) AS total_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST((SUM(fbytes) + {_COMPACT_TARGET} - 1)
+                // {_COMPACT_TARGET} AS BIGINT) AS ideal_files,
+           CAST(MAX(fbytes) AS BIGINT) AS max_file_bytes,
+           ROUND(SUM(fbytes) * 1.0
+                 / nullif(COUNT(*) * {_COMPACT_TARGET}, 0), 6) AS fill_ratio
+    FROM files GROUP BY source ORDER BY source
+    """,
+    tags=("curation", "layout"),
+    doc=f"Write-layout compaction plan: pack each source's documents "
+    f"(in id order) into ~{_COMPACT_TARGET}-byte output files by "
+    "EXCLUSIVE prefix-sum bucketing (file = cum_bytes_before // "
+    "target — a doc larger than the target gets its own file and "
+    "overflows it, the same contract as parquet row-group sizing), "
+    "then report per-source file counts vs the bin-packing ideal and "
+    "the fill ratio — the small-files report a table-maintenance "
+    "job consumes.  Scale shape: the per-source cumsum rides "
+    "with_grouped_running_sum's range-partitioned prefix "
+    "decomposition (parallelism = cluster width, never |sources| "
+    "window tasks); two keyed aggregates after it.  All-integer "
+    "except the final ratio (one divide).",
+)
+def q_file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.operators.rank import with_grouped_running_sum
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("bytes"),
+    )
+    packed = with_grouped_running_sum(
+        d, ["source"], ["doc_id"], "bytes", out_col="__pre", inclusive=False
+    ).select(
+        "source",
+        "bytes",
+        F.floor(F.col("__pre") / _COMPACT_TARGET).cast("long").alias("file_idx"),
+    )
+    files = packed.groupBy("source", "file_idx").agg(
+        F.sum("bytes").alias("fbytes"), F.count(F.lit(1)).alias("fdocs")
+    )
+    return (
+        files.groupBy("source")
+        .agg(
+            F.sum("fdocs").cast("bigint").alias("n_docs"),
+            F.sum("fbytes").cast("bigint").alias("total_bytes"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.max("fbytes").cast("bigint").alias("max_file_bytes"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_bytes",
+            "n_files",
+            (
+                F.floor(
+                    (F.col("total_bytes") + _COMPACT_TARGET - 1)
+                    / _COMPACT_TARGET
+                )
+            ).cast("bigint").alias("ideal_files"),
+            "max_file_bytes",
+            _r6(
+                F.col("total_bytes")
+                * 1.0
+                / F.nullif(
+                    F.col("n_files") * F.lit(_COMPACT_TARGET), F.lit(0)
+                )
+            ).alias("fill_ratio"),
+        )
+        .select(
+            "source", "n_docs", "total_bytes", "n_files", "ideal_files",
+            "max_file_bytes", "fill_ratio",
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
+    "quality_keeper_selection",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source,
+             md5(array_to_string((string_split(text, ' '))[1:10], ' '))
+               AS pfx,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_unique,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents WHERE text IS NOT NULL
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY pfx
+                                ORDER BY n_unique DESC, doc_id) AS q_rnk,
+             MIN(doc_id) OVER (PARTITION BY pfx) AS min_id,
+             COUNT(*) OVER (PARTITION BY pfx) AS csize
+      FROM base
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT pfx) AS BIGINT) AS n_clusters,
+           CAST(COUNT(DISTINCT CASE WHEN csize > 1 THEN pfx END)
+                AS BIGINT) AS n_multi,
+           CAST(SUM(CASE WHEN q_rnk = 1 AND doc_id != min_id
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keeper_changed,
+           CAST(SUM(CASE WHEN q_rnk = 1 THEN n_tok ELSE 0 END)
+              - SUM(CASE WHEN doc_id = min_id THEN n_tok ELSE 0 END)
+                AS BIGINT) AS tokens_kept_delta
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+    tags=("llmdata", "dedup", "curation"),
+    doc="Quality-aware canonical selection: within each prefix-10 "
+    "near-dup cluster, compare the MIN-ID keeper rule (what "
+    "doc_dedup_exact / the keeper chain use) against a QUALITY rule "
+    "(keep the member with the most distinct words, ties to the "
+    "smaller id) — production pipelines keep the best copy, not the "
+    "first, and this measures per source how often the rules "
+    "disagree and the token delta of upgrading.  Quality is an "
+    "INTEGER (distinct-word count), so the argmax is exact on both "
+    "engines — no float-ranking hazard.  Scale shape: one pfx-keyed "
+    "shuffle carries (two window functions + a rank) over clusters "
+    "that are near-dup-sized by construction; one |sources| "
+    "aggregate.  doc_id-attributed so a cluster spanning sources "
+    "bills each side's own docs.",
+)
+def q_quality_keeper_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = F.split("text", " ")
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.encode(F.concat_ws(" ", F.slice(w, 1, 10)), "utf-8")
+            ).alias("pfx"),
+            F.size(F.array_distinct(w)).cast("long").alias("n_unique"),
+            F.size(w).cast("long").alias("n_tok"),
+        )
+    )
+    cw = Window.partitionBy("pfx")
+    ranked = base.select(
+        "*",
+        F.row_number()
+        .over(cw.orderBy(F.col("n_unique").desc(), F.col("doc_id")))
+        .alias("q_rnk"),
+        F.min("doc_id").over(cw).alias("min_id"),
+        F.count(F.lit(1)).over(cw).alias("csize"),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.countDistinct("pfx").alias("n_clusters"),
+            F.countDistinct(
+                F.when(F.col("csize") > 1, F.col("pfx"))
+            ).alias("n_multi"),
+            F.sum(
+                F.when(
+                    (F.col("q_rnk") == 1) & (F.col("doc_id") != F.col("min_id")),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_keeper_changed"),
+            (
+                F.sum(F.when(F.col("q_rnk") == 1, F.col("n_tok")).otherwise(0))
+                - F.sum(
+                    F.when(F.col("doc_id") == F.col("min_id"), F.col("n_tok"))
+                    .otherwise(0)
+                )
+            ).cast("bigint").alias("tokens_kept_delta"),
+        )
+        .orderBy("source")
+    )
+
+
+_LIFT_K = 10
+_LIFT_HOLDOUT_DAYS = 90
+
+
+@_register(
+    "score_decile_lift",
+    oracle=f"""
+    WITH cut AS (
+      SELECT MAX(o_orderdate) - INTERVAL '{_LIFT_HOLDOUT_DAYS}' DAY
+               AS cutoff FROM orders
+    ), resp AS (
+      SELECT DISTINCT o_custkey AS c FROM orders CROSS JOIN cut
+      WHERE o_orderdate >= cut.cutoff
+    ), scored AS (
+      SELECT cu.c_custkey,
+             CASE WHEN r.c IS NOT NULL THEN 1 ELSE 0 END AS responded,
+             NTILE({_LIFT_K}) OVER (
+               ORDER BY cu.c_acctbal DESC, cu.c_custkey) AS decile
+      FROM customer cu LEFT JOIN resp r ON cu.c_custkey = r.c
+    ), agg AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(responded) AS BIGINT) AS n_responders
+      FROM scored GROUP BY decile
+    ), cum AS (
+      SELECT decile, n_customers, n_responders,
+             SUM(n_customers) OVER (ORDER BY decile) AS cum_c,
+             SUM(n_responders) OVER (ORDER BY decile) AS cum_r,
+             SUM(n_customers) OVER () AS tot_c,
+             SUM(n_responders) OVER () AS tot_r
+      FROM agg
+    )
+    SELECT CAST(decile AS INT) AS decile, n_customers, n_responders,
+           ROUND(n_responders * 1.0 / nullif(n_customers, 0), 6)
+             AS response_rate,
+           ROUND(cum_r * tot_c * 1.0 / nullif(cum_c * tot_r, 0), 6)
+             AS cum_lift
+    FROM cum ORDER BY decile
+    """,
+    tags=("ml", "evaluation"),
+    doc=f"Decile lift table — the campaign-targeting companion to "
+    "score_auc_rank: customers ranked by account balance (stand-in "
+    f"model score, ties broken on key), cut into {_LIFT_K} deciles "
+    "via the CLOSED-FORM ntile over the range-partitioned global "
+    f"rank (never a single NTILE window task), responders = bought "
+    f"within {_LIFT_HOLDOUT_DAYS} days of the data's max date; per "
+    "decile the response rate and cumulative lift vs the base rate.  "
+    "cum_lift is computed as a ratio of exact INTEGER products "
+    "(cum_r*tot_c)/(cum_c*tot_r) — one correctly-rounded divide, no "
+    "float accumulation.  The cumulative window runs on the 10-row "
+    "decile aggregate (metadata-sized).",
+)
+def q_score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.operators.rank import (
+        ntile_from_rank,
+        with_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    cut = o.agg(
+        (
+            F.max("o_orderdate") - F.expr(f"INTERVAL {_LIFT_HOLDOUT_DAYS} DAYS")
+        ).alias("cutoff")
+    )
+    resp = (
+        o.crossJoin(F.broadcast(cut))
+        .filter(F.col("o_orderdate") >= F.col("cutoff"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("__resp", F.lit(1))
+    )
+    scored = cu.join(resp, "c_custkey", "left").select(
+        "c_custkey",
+        "c_acctbal",
+        F.coalesce("__resp", F.lit(0)).alias("responded"),
+    )
+    ranked = with_global_rank(
+        scored, "-c_acctbal", "c_custkey", rank_col="__rnk"
+    )
+    total = ranked.agg(F.count(F.lit(1)).cast("long").alias("__tot"))
+    decd = ranked.crossJoin(F.broadcast(total)).select(
+        "responded",
+        ntile_from_rank(F.col("__rnk"), F.col("__tot"), _LIFT_K).alias(
+            "decile"
+        ),
+    )
+    agg = decd.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("responded").cast("bigint").alias("n_responders"),
+    )
+    # cumulative/total windows run on the 10-row decile frame
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = agg.select(
+        "decile",
+        "n_customers",
+        "n_responders",
+        F.sum("n_customers").over(wcum).alias("cum_c"),
+        F.sum("n_responders").over(wcum).alias("cum_r"),
+        F.sum("n_customers").over(wall).alias("tot_c"),
+        F.sum("n_responders").over(wall).alias("tot_r"),
+    )
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_customers",
+        "n_responders",
+        _r6(
+            F.col("n_responders") * 1.0 / F.nullif(F.col("n_customers"), F.lit(0))
+        ).alias("response_rate"),
+        _r6(
+            F.col("cum_r") * F.col("tot_c") * 1.0
+            / F.nullif(F.col("cum_c") * F.col("tot_r"), F.lit(0))
+        ).alias("cum_lift"),
+    ).orderBy("decile")

@@ -72,6 +72,8 @@ FUZZ_PINNED = [
     "domain_cap_enforcement",  # NULL text/source through the grouped rank
     "freshness_decay_weights",  # NULL dates out of the decay buckets
     "dedup_token_savings",  # NULL-text never-dropped contract under dup rows
+    "quality_keeper_selection",  # NULL/short texts through the prefix windows
+    "score_decile_lift",  # NULL dates/balances through rank + ntile
 ]
 
 
@@ -162,6 +164,8 @@ EMPTY_PINNED = [
     # round-9 wave representatives:
     "chunk_stride_plan",  # empty in, empty out (no 0-token chunk row)
     "lsh_band_churn",  # empty corpus -> 0 band rows, no 0/0 churn
+    "file_compaction_plan",  # empty in, empty out (no 0-byte file row)
+    "score_decile_lift",  # 0 customers -> 0 decile rows, no 0/0 lift
 ]
 
 

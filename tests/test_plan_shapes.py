@@ -493,6 +493,9 @@ BOUNDED_GLOBAL_WINDOWS = {
     "freshness_decay_weights": "per-priority share frame (|order "
     "priorities|, a schema-enumerated set — 5 rows; the window runs "
     "on the AGGREGATE output, never the orders table)",
+    "score_decile_lift": "cumulative/total windows over the 10-row "
+    "decile AGGREGATE frame (k is a config constant; the per-customer "
+    "ranking itself rides with_global_rank's prefix sum)",
     # bpe_first_merge_stats left this list in round 8: charset^2 on
     # Unicode web text is ~1e10 pairs, not metadata — it was rebuilt
     # on with_global_rank's prefix-sum instead of being allowlisted.

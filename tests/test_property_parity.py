@@ -175,6 +175,8 @@ DOC_QUERIES = (
     "chunk_stride_plan",
     "lsh_band_churn",
     "dedup_token_savings",
+    "file_compaction_plan",
+    "quality_keeper_selection",
 )
 
 

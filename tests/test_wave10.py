@@ -235,3 +235,52 @@ def test_keeper_chain_banner_bucket_capped(spark, tmp_path):
     for r in out:
         assert r["keeper_id"] == r["doc_id"], r
         assert not r["is_duplicate"]
+
+
+# ------------------------------------------------------------------ #
+# wave 10b: compaction plan, quality keeper, decile lift
+# ------------------------------------------------------------------ #
+
+
+def test_compaction_plan_closed_form(spark, tmp_path):
+    """Six 10-char docs against a 16384-byte target pack into one
+    file; a single doc bigger than the target gets its own overflowing
+    file (parquet row-group contract)."""
+    rows = [(i, "abcdefghij", "en", "tiny") for i in range(6)]
+    rows += [(50, "x" * 20000, "en", "jumbo"), (51, "y" * 100, "en", "jumbo")]
+    _write_documents(str(tmp_path), rows)
+    out = {r["source"]: r for r in _rows(spark, "file_compaction_plan", str(tmp_path))}
+    assert out["tiny"]["n_files"] == 1
+    assert out["tiny"]["total_bytes"] == 60
+    # jumbo: doc 50 starts file 0 and overflows it (20000 > target);
+    # doc 51's prefix (20000) lands in file 20000//16384 = 1
+    assert out["jumbo"]["n_files"] == 2
+    assert out["jumbo"]["max_file_bytes"] == 20000
+    assert out["jumbo"]["ideal_files"] == 2  # ceil(20100/16384)
+
+
+def test_quality_keeper_prefers_more_unique_words(spark, tmp_path):
+    """Two docs sharing a prefix-10: the min-id rule keeps doc 0, the
+    quality rule keeps doc 1 (more distinct words) — one changed
+    keeper, token delta = len(doc1) - len(doc0)."""
+    pfx = "p0 p1 p2 p3 p4 p5 p6 p7 p8 p9"
+    low = pfx + " rep rep rep rep"  # 14 tokens, 11 unique
+    high = pfx + " uniq1 uniq2 uniq3 uniq4"  # 14 tokens, 14 unique
+    _write_documents(str(tmp_path), [(0, low, "en", "s"), (1, high, "en", "s")])
+    (r,) = _rows(spark, "quality_keeper_selection", str(tmp_path))
+    assert r["n_clusters"] == 1 and r["n_multi"] == 1
+    assert r["n_keeper_changed"] == 1
+    assert r["tokens_kept_delta"] == 0  # same length, different content
+
+
+def test_decile_lift_monotone_bookkeeping(spark):
+    rows = _rows(spark, "score_decile_lift", "/root/testdata/sf0.01")
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    total = sum(r["n_customers"] for r in rows)
+    # ntile balance: deciles differ by at most one customer
+    sizes = [r["n_customers"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # decile 10 cumulative lift is exactly 1.0 (everything / base)
+    assert abs(rows[-1]["cum_lift"] - 1.0) < 1e-9
+    for r in rows:
+        assert 0 <= r["n_responders"] <= r["n_customers"]

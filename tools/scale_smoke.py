@@ -159,6 +159,8 @@ QUERIES = [
     "chunk_stride_plan", "freshness_decay_weights",
     "lsh_band_churn", "dedup_token_savings",
     "dup_cluster_size_stats",
+    "file_compaction_plan", "quality_keeper_selection",
+    "score_decile_lift",
 ]
 
 # SPARK_SMOKE_ONLY=q1,q2 restricts the run (fast iteration on a new

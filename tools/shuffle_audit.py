@@ -115,6 +115,10 @@ QUERIES = [
     "daily_order_ship_reconciliation",
     "dedup_keeper_transitive",
     "orders_merge_upsert",
+    # round-9 wave-10b
+    "file_compaction_plan",
+    "quality_keeper_selection",
+    "score_decile_lift",
 ]
 
 _only = os.environ.get("SPARK_SMOKE_ONLY")
