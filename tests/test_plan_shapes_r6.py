@@ -45,7 +45,14 @@ def test_phash_pairs_equi_joins_only(spark):
     plan = _plan(spark, "image_phash_near_dup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "MapInPandas" in plan  # the real decode kernel
+    # round 9: the quarter joins moved onto capped_band_pairs, whose
+    # localCheckpoint pins the hash frame (the PNG decode kernel would
+    # otherwise re-run 12x — once per quarter x count/left/right), so
+    # the MapInPandas decode sits BEHIND the checkpoint boundary here,
+    # exactly like the audio twin below; the kernel itself is pinned
+    # by test_llmdata's PNG round-trip tests.
+    assert "Scan ExistingRDD" in plan
+    assert "MapInPandas" not in plan  # all pair work reads the pin
 
 
 def test_audio_fingerprint_equi_joins_only(spark):
