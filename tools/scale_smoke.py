@@ -170,7 +170,7 @@ if _only:
     QUERIES = [q for q in QUERIES if q in set(_only.split(","))]
 
 
-def _rotate_text(col, i: int):
+def _rotate_text(col, i):
     """Decorrelate replica i's text from the original: suffix every
     word with the replica id.  Round 8 replaced the previous circular
     ROTATION, which failed at its stated purpose — a rotation keeps
@@ -185,21 +185,35 @@ def _rotate_text(col, i: int):
     Heaps'-law shape for the vocabulary-sized frames.  The planted
     boilerplate banner is applied AFTER this, so the hot shared
     bucket the LSH cap guards against is still planted identically
-    in every replica."""
+    in every replica.  `i` is the replica-index COLUMN (round 9)."""
     w = F.split(col, " ")
-    return F.when(F.lit(i) == 0, col).otherwise(
+    suffix = F.concat(F.lit("_"), i.cast("string"))
+    return F.when(i == 0, col).otherwise(
         F.concat_ws(
             " ",
-            F.transform(w, lambda x: F.concat(x, F.lit(f"_{i}"))),
+            F.transform(w, lambda x: F.concat(x, suffix)),
         )
     )
 
 
 def _replicate(df: DataFrame, n: int, exprs) -> DataFrame:
-    parts = [df.select(*exprs(i)) for i in range(n)]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
+    """Nx replication as ONE crossJoin with a replica-index frame.
+
+    Round 9 replaced the n-way unionAll: at the new 1000x decade tier
+    a 1000-branch Union plan costs Catalyst minutes of analysis and
+    megabytes of plan, while `input CROSS JOIN range(n)` is a single
+    plan node at ANY n.  `exprs(i)` receives the replica index as a
+    COLUMN; all existing per-replica arithmetic (`key + K * i`) and
+    the word-suffix rotation work unchanged on columns, producing
+    content identical to the union form (verified at 10x: counts,
+    key offsets, banner plant, suffix rotation, embedding reversal,
+    and oracle hash-parity on the result).  The n-row replica frame
+    is broadcast."""
+    rep = (
+        df.sparkSession.range(n)
+        .select(F.col("id").cast("long").alias("__rep"))
+    )
+    out = df.crossJoin(F.broadcast(rep)).select(*exprs(F.col("__rep")))
     return _ntz(out)
 
 
@@ -220,7 +234,8 @@ def _ntz(df: DataFrame) -> DataFrame:
 
 
 def build_big_dir(
-    spark, src: str, n: int, catalog_growth: bool = False
+    spark, src: str, n: int, catalog_growth: bool = False,
+    tables: set[str] | None = None,
 ) -> str:
     """Replicate the sf dir Nx.  Two axes:
 
@@ -243,83 +258,95 @@ def build_big_dir(
     )
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
-    ev = load_table(spark, src, "events")
-    _replicate(
-        ev, n,
-        lambda i: [
-            (F.col("event_id") + 10_000_000 * i).alias("event_id"),
-            F.col("ts"),
-            (F.col("user_id") + 10_000 * i).alias("user_id"),
-            "event_type", "value", "props",
-        ],
-    ).write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    def _want(t: str) -> bool:
+        # tables=None replicates everything; a set restricts the build
+        # (the 1000x decade tier skips the 1B-row events write when no
+        # events query is in the subset — ~30 GB of parquet for nothing)
+        return tables is None or t in tables
 
-    docs = load_table(spark, src, "documents")
-    # planted hot boilerplate bucket: ~2% of docs in every replica get
-    # one shared crawl-banner text, so at Nx the banner bucket holds
-    # ~0.02*N*|docs| members — far past the LSH bucket cap. The
-    # doc_minhash_lsh / doc_dedup_funnel ratios below stay near-linear
-    # only because minhash_lsh_pairs drops that bucket before the
-    # self-join; without the cap the banner alone contributes
-    # O((0.02*N*|docs|)^2) candidate pairs.
-    banner = " ".join(f"accept cookies privacy banner w{j}" for j in range(12))
-    boiler = F.col("doc_id") % 50 == 0
-    _replicate(
-        docs, n,
-        lambda i: [
-            (F.col("doc_id") + 100_000 * i).alias("doc_id"),
-            F.when(boiler, F.lit(banner))
-            .otherwise(_rotate_text(F.col("text"), i))
-            .alias("text"),
-            "lang", "source", "n_chars",
-        ],
-    ).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    if _want("events"):
+        ev = load_table(spark, src, "events")
+        _replicate(
+            ev, n,
+            lambda i: [
+                (F.col("event_id") + 10_000_000 * i).alias("event_id"),
+                F.col("ts"),
+                (F.col("user_id") + 10_000 * i).alias("user_id"),
+                "event_type", "value", "props",
+            ],
+        ).write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
 
-    emb = load_table(spark, src, "embeddings")
-    _replicate(
-        emb, n,
-        lambda i: [
-            (F.col("vec_id") + 100_000 * i).alias("vec_id"),
-            # reverse every other replica so vectors decorrelate
-            (F.reverse("embedding") if i % 2 else F.col("embedding")).alias(
-                "embedding"
-            ),
-            "label",
-        ],
-    ).write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    if _want("documents"):
+        docs = load_table(spark, src, "documents")
+        # planted hot boilerplate bucket: ~2% of docs in every replica get
+        # one shared crawl-banner text, so at Nx the banner bucket holds
+        # ~0.02*N*|docs| members — far past the LSH bucket cap. The
+        # doc_minhash_lsh / doc_dedup_funnel ratios below stay near-linear
+        # only because minhash_lsh_pairs drops that bucket before the
+        # self-join; without the cap the banner alone contributes
+        # O((0.02*N*|docs|)^2) candidate pairs.
+        banner = " ".join(f"accept cookies privacy banner w{j}" for j in range(12))
+        boiler = F.col("doc_id") % 50 == 0
+        _replicate(
+            docs, n,
+            lambda i: [
+                (F.col("doc_id") + 100_000 * i).alias("doc_id"),
+                F.when(boiler, F.lit(banner))
+                .otherwise(_rotate_text(F.col("text"), i))
+                .alias("text"),
+                "lang", "source", "n_chars",
+            ],
+        ).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
 
-    li = load_table(spark, src, "lineitem")
+    if _want("embeddings"):
+        emb = load_table(spark, src, "embeddings")
+        _replicate(
+            emb, n,
+            lambda i: [
+                (F.col("vec_id") + 100_000 * i).alias("vec_id"),
+                # reverse every other replica so vectors decorrelate
+                F.when(i % 2 == 1, F.reverse("embedding"))
+                .otherwise(F.col("embedding"))
+                .alias("embedding"),
+                "label",
+            ],
+        ).write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+
     _part_off = 1_000_000 if catalog_growth else 0
     _supp_off = 100_000 if catalog_growth else 0
-    _replicate(
-        li, n,
-        lambda i: [
-            (F.col("l_orderkey") + 10_000_000 * i).alias("l_orderkey"),
-            (F.col("l_partkey") + _part_off * i).alias("l_partkey"),
-            (F.col("l_suppkey") + _supp_off * i).alias("l_suppkey"),
-            "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
-            "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
-        ],
-    ).write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+    if _want("lineitem"):
+        li = load_table(spark, src, "lineitem")
+        _replicate(
+            li, n,
+            lambda i: [
+                (F.col("l_orderkey") + 10_000_000 * i).alias("l_orderkey"),
+                (F.col("l_partkey") + _part_off * i).alias("l_partkey"),
+                (F.col("l_suppkey") + _supp_off * i).alias("l_suppkey"),
+                "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+                "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+            ],
+        ).write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
 
-    orders = load_table(spark, src, "orders")
-    _replicate(
-        orders, n,
-        lambda i: [
-            (F.col("o_orderkey") + 10_000_000 * i).alias("o_orderkey"),
-            (F.col("o_custkey") + 1_000_000 * i).alias("o_custkey"),
-            "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
-        ],
-    ).write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+    if _want("orders"):
+        orders = load_table(spark, src, "orders")
+        _replicate(
+            orders, n,
+            lambda i: [
+                (F.col("o_orderkey") + 10_000_000 * i).alias("o_orderkey"),
+                (F.col("o_custkey") + 1_000_000 * i).alias("o_custkey"),
+                "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+            ],
+        ).write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
 
-    cust = load_table(spark, src, "customer")
-    _replicate(
-        cust, n,
-        lambda i: [
-            (F.col("c_custkey") + 1_000_000 * i).alias("c_custkey"),
-            "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
-        ],
-    ).write.mode("overwrite").parquet(os.path.join(out, "customer.parquet"))
+    if _want("customer"):
+        cust = load_table(spark, src, "customer")
+        _replicate(
+            cust, n,
+            lambda i: [
+                (F.col("c_custkey") + 1_000_000 * i).alias("c_custkey"),
+                "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+            ],
+        ).write.mode("overwrite").parquet(os.path.join(out, "customer.parquet"))
 
     if catalog_growth:
         part = load_table(spark, src, "part")
