@@ -541,7 +541,12 @@ WITH RECURSIVE batch AS (
   WHERE doc_id % 5 = 0
   UNION ALL
   SELECT doc_id + 1000000,
+         -- <=5-word guard: DuckDB reads a negative slice end from the
+         -- END of the list (a 4-word doc would keep all its words),
+         -- while the Spark side's greatest(len-5, 0) gives '' — same
+         -- divergence class the round-9 deep hunt caught in _MUT_CTE
          CASE WHEN text IS NULL THEN NULL
+              WHEN len(string_split(text, ' ')) <= 5 THEN ''
               ELSE coalesce(array_to_string(
                 (string_split(text, ' '))[1:len(string_split(text, ' ')) - 5],
                 ' '), '')

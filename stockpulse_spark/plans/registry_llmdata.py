@@ -90,10 +90,17 @@ _MUT_CTE = """
 WITH corpus AS (
   SELECT doc_id * 2 AS doc_id, source, text FROM documents
   UNION ALL
-  -- coalesce: array_to_string of the EMPTY slice (a <6-word doc) is
-  -- NULL in DuckDB but Spark's concat_ws gives ''; NULL text stays NULL
+  -- <=5-word docs mutate to '' EXPLICITLY: DuckDB list slicing reads
+  -- a NEGATIVE end index from the END of the list, so the unguarded
+  -- l[1:len-5] KEPT words for 1-4-word docs (a 4-word doc's
+  -- "mutation" was the original minus nothing) while Spark's
+  -- slice(w, 1, greatest(len-5, 0)) gives '' — the round-9 deep
+  -- property hunt caught the divergence (duck-only est=1.0 LSH
+  -- pairs).  coalesce: array_to_string of an empty slice is NULL in
+  -- DuckDB but Spark's concat_ws gives ''; NULL text stays NULL
   SELECT doc_id * 2 + 1 AS doc_id, source,
          CASE WHEN text IS NULL THEN NULL
+              WHEN len(string_split(text, ' ')) <= 5 THEN ''
               ELSE coalesce(array_to_string((string_split(text, ' '))[1:len(string_split(text, ' ')) - 5], ' '), '')
          END AS text
   FROM documents
