@@ -54,13 +54,24 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
+    import os
+
     src = "/root/testdata/sf0.1"
     spark = get_spark("decade1000")
     spark.sparkContext.setLogLevel("ERROR")
-    t0 = time.time()
-    big = build_big_dir(spark, src, 1000, tables=TABLES)
-    print(f"# build: {time.time() - t0:.1f}s -> {big}", file=sys.stderr)
+    big = os.environ.get("SPARK_DECADE_DIR")
+    if not big:
+        t0 = time.time()
+        big = build_big_dir(spark, src, 1000, tables=TABLES)
+        print(f"# build: {time.time() - t0:.1f}s -> {big}", file=sys.stderr)
     base = time_queries(spark, src)
+    # partition sizing is data-proportional (SCALE.md doctrine: a
+    # partition must fit in executor memory at the target SF): 32
+    # partitions at 600M-row shuffles put ~19M rows in one hash-agg
+    # task and the first run died UNABLE_TO_ACQUIRE_MEMORY.  256 here
+    # ~ what cluster_conf prescribes; AQE coalesces the small stages
+    # back down, so only the big shuffles actually fan out.
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
     scaled = time_queries(spark, big)
     print(
         json.dumps(
