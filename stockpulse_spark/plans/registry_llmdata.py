@@ -81,9 +81,16 @@ def _mutated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("text"),
     )
-    return orig.unionAll(mut).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # width from spark.sql.shuffle.partitions, NOT defaultParallelism:
+    # the session default keeps them equal (32 locally), but a
+    # data-proportional run (the 1000x decade smoke sets 256) must be
+    # able to shrink the per-task row count — at 6M mutated docs the
+    # 32-wide pin put 190k docs' shingle/md5 work in ONE task (~50 min
+    # per task wave, G1 humongous-allocation storms), which is a
+    # local-harness artifact a real cluster never sees precisely
+    # because its partition count scales with the data.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return orig.unionAll(mut).repartition(n_part)
 
 
 _MUT_CTE = """

@@ -38,6 +38,12 @@ QUERIES = [
 
 TABLES = {"lineitem", "orders", "customer", "documents", "embeddings"}
 
+import os as _os  # noqa: E402
+
+_only = _os.environ.get("SPARK_SMOKE_ONLY")
+if _only:
+    QUERIES = [q for q in QUERIES if q in set(_only.split(","))]
+
 
 def time_queries(spark, sf_dir: str) -> dict[str, float]:
     out = {}
