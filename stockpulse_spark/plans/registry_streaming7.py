@@ -1,0 +1,243 @@
+"""Driver-visible streaming parity: the `*_twin_diff` family (round
+10, verdict item 4).
+
+The 12 streaming queries are rows-only by design — a stateful
+availableNow replay has no batch-SQL oracle.  Their stream==batch
+equality lived only in pytest (test_streaming*.py, test_kalman_stream,
+test_transform_state, test_asof_generic, test_wave6_streaming); the
+driver's hash gate never saw it.  Each query here REPLAYS one
+streaming query in-process, computes the exact multiset difference
+against its oracle-backed batch twin with the SAME canonicalization
+its pytest assertion uses, and returns ONE row `(mismatches BIGINT)`.
+The oracle is `SELECT CAST(0 AS BIGINT) AS mismatches` — so a driver
+hash-match PROVES stream==batch on the driver's own run, not just on
+the builder's pytest run.
+
+Canonicalizations mirrored from the tests, query by query:
+
+- plain twins (dedup_hourly, session_windows, asof_enrich,
+  purchase_attribution, enriched_segment_counts, sliding_windows,
+  dedup_within_watermark, weekly_rollup): full-row multiset symmetric
+  difference on the twin's column list (`exceptAll` both ways — a
+  duplicate emission of a correct row still counts as a mismatch,
+  matching the tests' "appended exactly once" assertions).
+- up_streaks / kalman: the stream emits a running row per key per
+  micro-batch; the final row per key (arg-max of the running count)
+  must equal the batch twin.  Kalman compares at the twin's ROUND(,6)
+  grain exactly like kalman_events_batch's own projection.
+- attribution_outer: matched rows equal purchase_attribution_batch;
+  null-padded rows equal unattributed_purchases restricted to
+  purchases older than the final watermark the engine itself reported
+  (`stockpulse.lastOuterWatermark`) — the frontier is engine state,
+  not re-derived.
+- abandoned_views: event-time-timeout emissions are frontier-
+  bracketed, not pointwise equal: every emission must be a may-fire
+  twin row (ts + 4h <= wm), every must-fire twin row (ts + 4h < wm)
+  must be emitted.  mismatches counts violations of either bound.
+
+Scale posture: each diff is two frames' exceptAll — a hash shuffle on
+all columns, linear in the twin size; the streaming replay itself is
+the operator under test.  These are correctness probes, not
+throughput paths, and none enter bench.py.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stockpulse_spark.plans.registry import REGISTRY, _register, _t
+
+_ZERO = "SELECT CAST(0 AS BIGINT) AS mismatches"
+
+
+def _count_mismatches(*diffs: DataFrame) -> DataFrame:
+    """Union the (possibly differently-shaped) diff frames as bare
+    markers and count — one row, BIGINT, 0 iff every diff is empty."""
+    marks = [d.select(F.lit(1).alias("x")) for d in diffs]
+    out = marks[0]
+    for m in marks[1:]:
+        out = out.unionAll(m)
+    return out.agg(F.count(F.lit(1)).cast("bigint").alias("mismatches"))
+
+
+def _sym_diff(stream_df: DataFrame, batch_df: DataFrame) -> DataFrame:
+    """Multiset symmetric difference on the TWIN's column list (the
+    stream frame may carry extra columns; the twin's projection is the
+    contract the pytest assertions compare)."""
+    cols = list(batch_df.columns)
+    s = stream_df.select(*cols)
+    b = batch_df.select(*cols)
+    return s.exceptAll(b).unionAll(b.exceptAll(s))
+
+
+def _run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return REGISTRY[name].builder(spark, sf_dir)
+
+
+_PLAIN_TWINS: dict[str, str] = {
+    "stream_dedup_hourly": "stream_dedup_hourly_batch",
+    "stream_session_windows": "session_windows_batch",
+    "stream_asof_enrich": "asof_prev_close",
+    "stream_purchase_attribution": "purchase_attribution_batch",
+    "stream_enriched_segment_counts": "enriched_segment_counts_batch",
+    "stream_sliding_windows": "sliding_windows_batch",
+    "stream_dedup_within_watermark": "dedup_keys_batch",
+    "stream_weekly_rollup": "weekly_rollup_closed_batch",
+}
+
+
+def _make_plain(stream_name: str, twin_name: str):
+    @_register(
+        f"{stream_name}_twin_diff",
+        oracle=_ZERO,
+        tags=("streaming", "parity"),
+        doc=f"driver-visible streaming parity: replays {stream_name} "
+        f"(availableNow) and counts the full-row multiset symmetric "
+        f"difference vs its oracle-backed batch twin {twin_name}. "
+        "0 == the stream emitted exactly the twin's rows, no more, "
+        "no fewer, no duplicates.",
+    )
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        s = _run(spark, sf_dir, stream_name)
+        b = _run(spark, sf_dir, twin_name)
+        return _count_mismatches(_sym_diff(s, b))
+
+    q.__name__ = f"q_{stream_name}_twin_diff"
+    return q
+
+
+for _s, _b in _PLAIN_TWINS.items():
+    _make_plain(_s, _b)
+
+
+def _final_per_key(df: DataFrame, key: str, order: str) -> DataFrame:
+    """Last emission per key: arg-max of the running counter (strictly
+    increasing across micro-batches, so unique)."""
+    vals = [c for c in df.columns if c != key]
+    return (
+        df.groupBy(key)
+        .agg(F.max_by(F.struct(*vals), order).alias("__st"))
+        .select(key, "__st.*")
+    )
+
+
+@_register(
+    "stream_up_streaks_twin_diff",
+    oracle=_ZERO,
+    tags=("streaming", "parity", "stateful"),
+    doc="driver-visible parity for the custom stateful operator: "
+    "replays stream_up_streaks, reduces to the final per-user "
+    "emission (arg-max n_events), and counts the symmetric "
+    "difference vs the oracle-backed up_streak_batch.",
+)
+def q_stream_up_streaks_twin_diff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    s = _final_per_key(
+        _run(spark, sf_dir, "stream_up_streaks"), "user_id", "n_events"
+    )
+    b = _run(spark, sf_dir, "up_streak_batch")
+    return _count_mismatches(_sym_diff(s, b))
+
+
+@_register(
+    "stream_kalman_filter_twin_diff",
+    oracle=_ZERO,
+    tags=("streaming", "parity", "stateful", "statespace"),
+    doc="driver-visible parity for the online Kalman operator: final "
+    "per-user state (arg-max n_obs) vs kalman_events_batch at the "
+    "twin's own ROUND(,6) grain.",
+)
+def q_stream_kalman_filter_twin_diff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    fin = _final_per_key(
+        _run(spark, sf_dir, "stream_kalman_filter"), "user_id", "n_obs"
+    )
+    s = fin.select(
+        "user_id",
+        "n_obs",
+        F.round("level", 6).alias("level"),
+        F.round("err_var", 6).alias("err_var"),
+    )
+    b = _run(spark, sf_dir, "kalman_events_batch")
+    return _count_mismatches(_sym_diff(s, b))
+
+
+@_register(
+    "stream_attribution_outer_twin_diff",
+    oracle=_ZERO,
+    tags=("streaming", "parity", "join"),
+    doc="driver-visible parity for the watermarked LEFT OUTER "
+    "stream-stream join: matched emissions must equal "
+    "purchase_attribution_batch; null-padded emissions must equal "
+    "unattributed_purchases restricted to purchases older than the "
+    "engine-reported final watermark (stockpulse.lastOuterWatermark).",
+)
+def q_stream_attribution_outer_twin_diff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    out = _run(spark, sf_dir, "stream_attribution_outer").localCheckpoint(
+        eager=True
+    )
+    wm = datetime.strptime(
+        spark.conf.get("stockpulse.lastOuterWatermark"),
+        "%Y-%m-%dT%H:%M:%S.%fZ",
+    )
+    b = _run(spark, sf_dir, "purchase_attribution_batch")
+    matched = out.filter(F.col("click_id").isNotNull())
+    d1 = _sym_diff(matched, b)
+    purchase_ts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "ts")
+    )
+    want_nulls = (
+        _run(spark, sf_dir, "unattributed_purchases")
+        .join(purchase_ts, "purchase_id")
+        .filter(F.col("ts") < F.lit(wm))
+        .select("purchase_id")
+    )
+    nulls = out.filter(F.col("click_id").isNull()).select("purchase_id")
+    d2 = _sym_diff(nulls, want_nulls)
+    return _count_mismatches(d1, d2)
+
+
+@_register(
+    "stream_abandoned_views_twin_diff",
+    oracle=_ZERO,
+    tags=("streaming", "parity", "stateful"),
+    doc="driver-visible parity for the event-time-timeout operator: "
+    "emissions are frontier-bracketed against abandoned_views_batch — "
+    "every emission must be a may-fire twin row (view_ts + 4h <= "
+    "engine-reported watermark), every must-fire twin row (strict <) "
+    "must have been emitted exactly once.",
+)
+def q_stream_abandoned_views_twin_diff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stockpulse_spark.plans.registry_streaming6 import _T_US
+
+    out = _run(spark, sf_dir, "stream_abandoned_views").localCheckpoint(
+        eager=True
+    )
+    wm_us = int(
+        datetime.strptime(
+            spark.conf.get("stockpulse.lastAbandonWatermark"),
+            "%Y-%m-%dT%H:%M:%S.%fZ",
+        )
+        .replace(tzinfo=timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )
+    cols = ["user_id", "view_id", "view_ts_us"]
+    emitted = out.select(*cols)
+    twin = _run(spark, sf_dir, "abandoned_views_batch").select(*cols)
+    may_fire = twin.filter(F.col("view_ts_us") + _T_US <= F.lit(wm_us))
+    must_fire = twin.filter(F.col("view_ts_us") + _T_US < F.lit(wm_us))
+    bad_emit = emitted.exceptAll(may_fire)
+    missing = must_fire.exceptAll(emitted)
+    return _count_mismatches(bad_emit, missing)
