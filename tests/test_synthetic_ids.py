@@ -20,8 +20,15 @@ SRC = Path(__file__).resolve().parent.parent / "stockpulse_spark"
 #: *_id / *key column class rather than six hardcoded names, and
 #: catches offsets routed through F.lit() — so renamed intermediates
 #: (planted_id, __key) and single-quoted spellings can't slip the gate.
+#: Round 10 (advisor): the bare `key` suffix is anchored to the known
+#: id stems — `_key`/`_id` plus the TPC-H `*key` family (orderkey,
+#: partkey, ... carry no underscore) — so an identifier merely ending
+#: in the letters 'key' (`monkey + 1000000`) no longer false-positives
+#: while `band_hash_key` and `l_orderkey` still trip the gate.
 _PATTERN = re.compile(
-    r"[A-Za-z_]\w*(?:_id|key)['\"]?\s*\)*\s*\+\s*(?:F\.lit\(\s*)?[1-9][0-9]{5,}"
+    r"[A-Za-z_]\w*(?:_id|_key"
+    r"|(?:order|part|supp|cust|nation|region|vec|event|doc|user)_?key)"
+    r"['\"]?\s*\)*\s*\+\s*(?:F\.lit\(\s*)?[1-9][0-9]{5,}"
 )
 
 #: file -> why its additive offsets are collision-tolerant

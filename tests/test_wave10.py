@@ -138,6 +138,7 @@ def test_freshness_weights_are_exact_dyadics(spark):
         r["o_orderpriority"]: r["sum_weight"]
         for r in _rows(spark, "freshness_decay_weights", "/root/testdata/sf0.01")
     }
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "7")
     try:
         b = {
@@ -147,7 +148,7 @@ def test_freshness_weights_are_exact_dyadics(spark):
             )
         }
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
     shares = [
         r["weight_share"]
