@@ -32,22 +32,41 @@ from pyspark.sql import functions as F
 from stockpulse_spark.llmdata.hashing import word32_sql
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column.
+def word_ngrams(text: Column, n: int) -> Column:
+    """Ordered (non-distinct) word n-grams of a text column, joined
+    by single spaces.
 
-    Guarded for docs shorter than n words: Spark's sequence(1, 0)
-    yields a DESCENDING [1, 0] (not empty), which would feed slice()
-    an illegal start of 0 — short docs get an empty shingle set.
+    Round 10 (the 1000x decade finding): built with zip_with over n
+    word-offset slices instead of `transform(sequence, i ->
+    slice(w, i, n))`.  Higher-order functions are CodegenFallback —
+    they ALWAYS run interpreted — and an interpreted lambda re-
+    evaluates every expression it CAPTURES once per element, so the
+    old form re-ran split(text) (and the whole upstream text-mutation
+    expression feeding it) for each of the w shingle positions:
+    O(w * (L + mutation)) per doc, the stall that pinned the 1000x
+    doc_minhash_lsh run at ~47 CPU-minutes per task.  zip_with's
+    lambda touches only its own lambda variables (no capture), and
+    the n slice children are evaluated once per ROW: O(n * L) per
+    doc.  Same output bit-for-bit, including the short-doc guard
+    (docs under n words get an empty array, never an illegal slice)
+    and NULL text -> NULL.
     """
     w = F.split(text, " ")
-    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-            )
+    m = F.size(w) - (n - 1)  # n-gram count when positive
+    z: Column | None = None
+    for k in range(n):
+        part = F.slice(w, k + 1, m)
+        z = part if z is None else F.zip_with(
+            z, part, lambda a, b: F.concat_ws(" ", a, b)
         )
-    )
+    assert z is not None
+    return F.when(m < 1, F.array().cast("array<string>")).otherwise(z)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (word_ngrams +
+    array_distinct; see word_ngrams for the round-10 zip_with form)."""
+    return F.array_distinct(word_ngrams(text, n))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -68,21 +87,42 @@ def minhash_signature(text: Column, k: int = 16, shingle_n: int = 3) -> Column:
     the lexicographic min over shingle digests — order-free, merge-
     friendly (min is associative → partial aggregation works).
 
-    NOTE the per-permutation lambda must stay single-argument: PySpark
+    Round 10 (the 1000x decade finding, same class as shingles): the
+    old form built k separate `array_min(transform(sh, ...))`
+    expressions, and since higher-order functions run interpreted
+    (CodegenFallback), each of the k transforms re-evaluated the
+    captured `sh` — the full shingle set INCLUDING split and any
+    upstream text-mutation expression — once per row, k times over.
+    Now `sh` is the array ARGUMENT of one transform (evaluated once
+    per row); the per-element lambda emits the k salted digests of
+    its own lambda variable (no outer capture), and one
+    aggregate/zip_with/least fold takes the per-permutation minima.
+    Output is bit-identical: least() and array_min() share the UTF8
+    binary string ordering and both skip NULLs, an empty shingle set
+    folds to the all-NULL init exactly as array_min(empty) was NULL,
+    and NULL text still yields an array of k NULLs via the guard.
+
+    NOTE the per-shingle lambda must stay single-argument: PySpark
     calls a two-parameter transform() lambda as (element, INDEX), so a
-    `lambda s, j=j:` closure would silently salt by shingle position.
+    two-arg closure would silently salt by shingle position.
     """
     sh = shingles(text, shingle_n)
-
-    def salted_min(j: int):
-        salt = f"{j}|"
-        return F.array_min(
-            F.transform(
-                sh, lambda s: F.md5(F.encode(F.concat(F.lit(salt), s), "utf-8"))
-            )
-        )
-
-    return F.array(*[salted_min(j) for j in range(k)])
+    per_shingle = F.transform(
+        sh,
+        lambda s: F.array(
+            *[
+                F.md5(F.encode(F.concat(F.lit(f"{j}|"), s), "utf-8"))
+                for j in range(k)
+            ]
+        ),
+    )
+    nulls = F.array_repeat(F.lit(None).cast("string"), k)
+    folded = F.aggregate(
+        per_shingle,
+        nulls,
+        lambda acc, hs: F.zip_with(acc, hs, lambda a, b: F.least(a, b)),
+    )
+    return F.when(sh.isNull(), nulls).otherwise(folded)
 
 
 # Most-recent signature DataFrames kept persisted, keyed by semantic

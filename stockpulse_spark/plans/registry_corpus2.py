@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stockpulse_spark.functions.nullsafe import corr_nn
+from stockpulse_spark.llmdata.dedup import word_ngrams
 from stockpulse_spark.llmdata.hashing import hex_to_int_sql
 from stockpulse_spark.plans.registry import _r6, _register, _t
 
@@ -218,14 +219,10 @@ def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    words = F.split("text", " ")
-    shingles = F.when(
-        F.size(words) >= _NGRAM_N,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - _NGRAM_N),
-            lambda i: F.array_join(F.slice(words, i + 1, _NGRAM_N), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # round 10: zip_with n-grams — the old transform(sequence, slice)
+    # re-split the text per gram position (interpreted HOF capture;
+    # see llmdata/dedup.word_ngrams)
+    shingles = word_ngrams(F.col("text"), _NGRAM_N)
     b = d.select(
         "doc_id",
         "source",
@@ -412,14 +409,10 @@ def q_decontamination_bloom_funnel(spark: SparkSession, sf_dir: str) -> DataFram
         .select("doc_id", "source", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    words = F.split("text", " ")
-    shingles = F.when(
-        F.size(words) >= _NGRAM_N,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - _NGRAM_N),
-            lambda i: F.array_join(F.slice(words, i + 1, _NGRAM_N), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # round 10: zip_with n-grams — the old transform(sequence, slice)
+    # re-split the text per gram position (interpreted HOF capture;
+    # see llmdata/dedup.word_ngrams)
+    shingles = word_ngrams(F.col("text"), _NGRAM_N)
     b = d.select(
         "doc_id",
         "source",
@@ -632,14 +625,8 @@ def q_decontamination_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         )
     )
-    words = F.split("text", " ")
-    grams = F.when(
-        F.size(words) >= _NGRAM_N,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - _NGRAM_N),
-            lambda i: F.array_join(F.slice(words, i + 1, _NGRAM_N), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # round 10: zip_with n-grams (see llmdata/dedup.word_ngrams)
+    grams = word_ngrams(F.col("text"), _NGRAM_N)
     eval_grams = (
         ev.select(F.explode(grams).alias("g"))
         .select(F.md5("g").alias("gh"))

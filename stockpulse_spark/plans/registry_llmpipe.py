@@ -478,14 +478,12 @@ def q_training_data_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = kept.withColumn(
         "bucket", F.expr(hex_to_int_sql("md5(text)")) % 100
     )
-    words = F.split("text", " ")
-    grams = F.when(
-        F.size(words) >= 5,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - 5),
-            lambda i: F.md5(F.array_join(F.slice(words, i + 1, 5), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from stockpulse_spark.llmdata.dedup import word_ngrams
+
+    # round 10: zip_with n-grams, md5 over the lambda variable only —
+    # the old transform(sequence, slice) re-split the text per gram
+    # position (interpreted HOF capture; see llmdata/dedup.word_ngrams)
+    grams = F.transform(word_ngrams(F.col("text"), 5), lambda g: F.md5(g))
     eval_grams = (
         b.filter(F.col("bucket") >= 90)
         .select(F.explode(grams).alias("gh"))

@@ -217,14 +217,11 @@ def q_doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    words = F.split("text", " ")
-    grams = F.when(
-        F.size(words) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - 3),
-            lambda i: F.array_join(F.slice(words, i + 1, 3), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from stockpulse_spark.llmdata.dedup import word_ngrams
+
+    # round 10: zip_with n-grams — the old transform(sequence, slice)
+    # re-split the text per gram position (interpreted HOF capture)
+    grams = word_ngrams(F.col("text"), 3)
     per_doc = d.select(
         "source",
         F.size(grams).alias("n_grams"),

@@ -151,19 +151,13 @@ def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins are equi-joins on doc-id keys.  No broadcast hints — every
     frame here is corpus- or vocabulary-sized.
     """.format(cap=_CONTAIN_DF_CAP)
+    from stockpulse_spark.llmdata.dedup import shingles as _sh3
+
     corpus = _planted_corpus(spark, sf_dir)
-    w = F.split("text", " ")
-    shingle3 = F.when(
-        F.size(w) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - 2),
-                lambda i: F.concat_ws(
-                    " ", F.slice(w, i, 3)
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # round 10: shared zip_with shingles — the old transform(sequence,
+    # slice) form re-split the text per shingle position (interpreted
+    # HOF capture; see llmdata/dedup.word_ngrams)
+    shingle3 = _sh3(F.col("text"), 3)
     sh = corpus.select("doc_id", F.explode(shingle3).alias("g"))
     sdf = (
         sh.groupBy("g")
