@@ -25,11 +25,19 @@ over 4 bands guarantees one untouched band at ANY width (pigeonhole:
 (unioned + distinct) generate candidates and exact popcount verifies.
 The width choice is one O(1)-row driver-side count on the id frame —
 the same posture as the bloom literal build (operators/bloom.py), the
-only other scalar action in the repo.  The recall trade is real and
-measured (tools/fp_width_curve.py, SHUFFLE_r10.md): expected twin bit
-flips grow ~0.03*W with frame count W = 4w, so wider fingerprints are
-more selective AND slightly stricter; the fixed tau=3 budget keeps
-planted-twin recall >= ~0.8 through w=20 on the synthetic corpus.
+only other scalar action in the repo.
+
+SECOND KEY AXIS — duration prefilter: the join key is the COMPOSITE
+band_value * 4096 + n_samples (a re-encode preserves sample count, so
+twins always share it; every candidate pair agrees on ns, so the xor
+popcount verify is unchanged).  The round-10 width curve
+(tools/fp_width_curve.py at the 10x corpus, 100k vids, SHUFFLE_r10.md)
+measured both axes: band-value-only keys left 207M-1.1M candidates
+across w=8..20 because clip-energy band values cluster (and the
+bucket cap then EATS twins: recall fell to 0.37 at w=17 from
+cap-dropped content buckets, not bit flips); with the composite keys
+candidates are 0.57M-0.25M — ~5 per item, Theta(n) — and planted-twin
+recall is >= 0.995 at EVERY width including the corpus-sized one.
 
 Near-dup ground truth is planted, not hoped for: each doc contributes
 its generated clip AND a "re-encode" twin whose every sample is +8
@@ -46,7 +54,7 @@ the measured candidate volume is the operator's, not an artifact of a
 
 The DuckDB oracle integrates the generator's closed form
 (sample[i] = ((sd*7919 + i*31 + 8*variant) % 2048) - 1024,
-n = d % 256 + 16) without touching a byte — including the SAME width
+n = d % 2048 + 256) without touching a byte — including the SAME width
 ladder, computed in SQL from COUNT(*) — so agreement proves the WAV
 encode/decode/fingerprint round-trip lossless at every corpus size.
 Same 100 TB posture as image_phash_near_dup: one Arrow mapInPandas
@@ -67,18 +75,45 @@ from stockpulse_spark.llmdata.dedup import capped_band_pairs
 from stockpulse_spark.llmdata.multimodal import decode_wav, encode_wav
 from stockpulse_spark.plans.registry import _register, _t
 
-# Band-bucket cap for the pigeonhole joins: even with a corpus-sized
-# key space a degenerate corpus (every clip near-silent -> same energy
-# profile) piles everything into one bucket and the self-join goes
-# quadratic on it.  4096 is a no-op at every tested SF (max observed
-# bucket ~160 at sf0.1) but bounds the adversary; the oracle mirrors
-# the cap exactly (fpw CTE), so the two engines agree even when a
-# corpus trips it.
-_AUDIO_BUCKET_CAP = 4096
-
 _N_BANDS = 4
 _W_MIN, _W_MAX = 8, 20
-_FP_SCHEMA = "vid long, b0 long, b1 long, b2 long, b3 long"
+_FP_SCHEMA = "vid long, ns long, b0 long, b1 long, b2 long, b3 long"
+
+# Duration prefilter (round 10, second axis): a re-encode preserves
+# the sample COUNT, so the pigeonhole join key is the composite
+# band_value * 4096 + n_samples — the standard audio-matching duration
+# bucket.  Key space multiplies by the corpus's length diversity at
+# ZERO recall cost (twins share ns exactly), and because every
+# candidate pair agrees on ns by construction, xor(composite_x,
+# composite_y) = xor(b_x, b_y) << 12 — the popcount verify is
+# unchanged.  The corpus-sized width (fp_width_bits) remains the
+# guard for uniform-duration corpora where length carries no keys.
+_NS_MOD = 4096
+
+# Band-bucket cap headroom: with the corpus-sized width the EXPECTED
+# band bucket holds <= 1 item, so 64 = 64x headroom — content-bearing
+# buckets never trip it.  What does trip it (round-10 width-curve
+# measurement, SHUFFLE_r10.md): clips SHORTER than the fingerprint
+# frame count carry fewer informative bits than the key width, so the
+# short-clip subpopulation degenerates into a handful of near-zero
+# band patterns whose pairwise hamming really is <= 3 — a genuinely
+# Theta(n^2)-pair content class (the audio analog of the text
+# boilerplate banner).  The old fixed cap of 4096 let those clusters
+# through: 220M candidate pairs / 13.5M emitted pairs on a 100k-vid
+# corpus.  Dropping over-cap buckets from pairing is the same
+# editorial call the MinHash bucket_cap makes for banner text; their
+# members still pair through any content-bearing band.
+_CAP_HEADROOM = 64
+
+
+def band_bucket_cap(n_vids: int, w_bits: int) -> int:
+    """Cap = headroom x expected bucket size (ceil(n/2^w), min 1).
+    With auto width this is the constant 64 at every tier below the
+    w=20 clamp; past the clamp it grows Theta(n/2^20), keeping the
+    per-bucket pair bound Theta(cap^2) = Theta((n/2^w)^2) — linear
+    candidates overall.  Mirrored in the oracle's ws CTE."""
+    expected = max(1, -(-n_vids // (1 << w_bits)))
+    return _CAP_HEADROOM * expected
 
 
 def fp_width_bits(n_vids: int) -> int:
@@ -118,7 +153,7 @@ def _attach_wav_variants(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             vids, payloads = [], []
             for doc_id in pdf[id_col]:
                 d = int(doc_id)
-                n = d % 256 + 16
+                n = d % 2048 + 256
                 sd = _sample_seed(d)
                 for variant in (0, 1):
                     samples = [
@@ -161,12 +196,12 @@ def wav_fingerprint_bands(df: DataFrame, w_bits: int = 8) -> DataFrame:
                         if bits[f]:
                             b[f // w_bits] |= 1 << (f % w_bits)
                     rows.append(
-                        dict(vid=int(vid), b0=b[0], b1=b[1],
+                        dict(vid=int(vid), ns=n, b0=b[0], b1=b[1],
                              b2=b[2], b3=b[3])
                     )
                 except ValueError:
                     rows.append(
-                        dict(vid=int(vid), b0=None, b1=None,
+                        dict(vid=int(vid), ns=None, b0=None, b1=None,
                              b2=None, b3=None)
                     )
             yield pd.DataFrame(rows)
@@ -180,13 +215,17 @@ def wav_fingerprint_bands(df: DataFrame, w_bits: int = 8) -> DataFrame:
     "audio_fingerprint_near_dup",
     oracle=f"""
     WITH ws AS (
-      -- corpus-sized per-band width: same ladder as fp_width_bits
-      SELECT {_width_case_sql()} AS w
-      FROM (SELECT 2 * COUNT(*) AS n
-            FROM (SELECT DISTINCT doc_id FROM documents
-                  WHERE doc_id IS NOT NULL))
+      -- corpus-sized per-band width (same ladder as fp_width_bits)
+      -- and bucket cap (same formula as band_bucket_cap)
+      SELECT w,
+             {_CAP_HEADROOM} * GREATEST(1, (n + (1 << w) - 1) // (1 << w))
+               AS cap
+      FROM (SELECT {_width_case_sql()} AS w, n
+            FROM (SELECT 2 * COUNT(*) AS n
+                  FROM (SELECT DISTINCT doc_id FROM documents
+                        WHERE doc_id IS NOT NULL)))
     ), docs AS (
-      SELECT d, v, d * 2 + v AS vid, d % 256 + 16 AS n,
+      SELECT d, v, d * 2 + v AS vid, d % 2048 + 256 AS n,
              xor(xor(d, d // 2048), d // 4194304) AS sd
       FROM (SELECT DISTINCT doc_id AS d FROM documents
             WHERE doc_id IS NOT NULL),
@@ -195,7 +234,7 @@ def wav_fingerprint_bands(df: DataFrame, w_bits: int = 8) -> DataFrame:
       SELECT vid, n, (ii.i * {_N_BANDS} * ws.w) // n AS f, ws.w AS w,
              (((sd * 7919 + ii.i * 31 + 8 * v) % 2048) - 1024)
                * (((sd * 7919 + ii.i * 31 + 8 * v) % 2048) - 1024) AS e
-      FROM docs, ws, range(0, 272) AS ii(i)
+      FROM docs, ws, range(0, 2304) AS ii(i)
       WHERE ii.i < n
     ), frame_agg AS (
       SELECT vid, f, ANY_VALUE(w) AS w, SUM(e) AS fe, COUNT(*) AS fn
@@ -203,15 +242,22 @@ def wav_fingerprint_bands(df: DataFrame, w_bits: int = 8) -> DataFrame:
     ), tot AS (
       SELECT vid, SUM(e) AS te, COUNT(*) AS tn FROM px GROUP BY vid
     ), fp AS (
+      -- composite (band value, duration) keys: b*4096 + n mirrors the
+      -- Spark side; candidates always agree on n, so the xor popcount
+      -- below is unchanged
       SELECT a.vid,
         CAST(SUM(CASE WHEN f // w = 0 AND a.fe*t.tn > t.te*a.fn
-                 THEN 1 << (f % w) ELSE 0 END) AS BIGINT) AS b0,
+                 THEN 1 << (f % w) ELSE 0 END) AS BIGINT)
+          * {_NS_MOD} + ANY_VALUE(t.tn) AS b0,
         CAST(SUM(CASE WHEN f // w = 1 AND a.fe*t.tn > t.te*a.fn
-                 THEN 1 << (f % w) ELSE 0 END) AS BIGINT) AS b1,
+                 THEN 1 << (f % w) ELSE 0 END) AS BIGINT)
+          * {_NS_MOD} + ANY_VALUE(t.tn) AS b1,
         CAST(SUM(CASE WHEN f // w = 2 AND a.fe*t.tn > t.te*a.fn
-                 THEN 1 << (f % w) ELSE 0 END) AS BIGINT) AS b2,
+                 THEN 1 << (f % w) ELSE 0 END) AS BIGINT)
+          * {_NS_MOD} + ANY_VALUE(t.tn) AS b2,
         CAST(SUM(CASE WHEN f // w = 3 AND a.fe*t.tn > t.te*a.fn
-                 THEN 1 << (f % w) ELSE 0 END) AS BIGINT) AS b3
+                 THEN 1 << (f % w) ELSE 0 END) AS BIGINT)
+          * {_NS_MOD} + ANY_VALUE(t.tn) AS b3
       FROM frame_agg a JOIN tot t USING (vid) GROUP BY a.vid
     ), fpw AS (
       -- bucket_cap mirror: per-band bucket sizes; a band bucket over
@@ -229,10 +275,10 @@ def wav_fingerprint_bands(df: DataFrame, w_bits: int = 8) -> DataFrame:
              y.b0 AS y0, y.b1 AS y1, y.b2 AS y2, y.b3 AS y3
       FROM fpw x JOIN fpw y
         ON x.vid < y.vid
-       AND ((x.b0 = y.b0 AND x.n0 <= {_AUDIO_BUCKET_CAP})
-         OR (x.b1 = y.b1 AND x.n1 <= {_AUDIO_BUCKET_CAP})
-         OR (x.b2 = y.b2 AND x.n2 <= {_AUDIO_BUCKET_CAP})
-         OR (x.b3 = y.b3 AND x.n3 <= {_AUDIO_BUCKET_CAP}))
+       AND ((x.b0 = y.b0 AND x.n0 <= (SELECT cap FROM ws))
+         OR (x.b1 = y.b1 AND x.n1 <= (SELECT cap FROM ws))
+         OR (x.b2 = y.b2 AND x.n2 <= (SELECT cap FROM ws))
+         OR (x.b3 = y.b3 AND x.n3 <= (SELECT cap FROM ws)))
     )
     SELECT vid_1, vid_2,
            CAST(bit_count(xor(x0, y0)) + bit_count(xor(x1, y1))
@@ -269,11 +315,24 @@ def q_audio_fingerprint_near_dup(
     # the measurement-only curve runs (tools/fp_width_curve.py), never
     # for parity (the oracle always computes the auto width).
     override = os.environ.get("SPARK_AUDIO_FP_WIDTH")
-    w_bits = int(override) if override else fp_width_bits(2 * ids.count())
+    n_vids = 2 * ids.count()
+    w_bits = int(override) if override else fp_width_bits(n_vids)
     fp = wav_fingerprint_bands(
         _attach_wav_variants(ids), w_bits=w_bits
     ).filter(F.col("b0").isNotNull())
-    pairs = capped_band_pairs(fp, ("b0", "b1", "b2", "b3"), _AUDIO_BUCKET_CAP)
+    # composite (band value, duration) join keys — candidates must
+    # agree on ns, so xor(k_x, k_y) = xor(b_x, b_y) << 12 and the
+    # popcount verify below needs no change
+    keyed = fp.select(
+        "vid",
+        *[
+            (F.col(f"b{i}") * _NS_MOD + F.col("ns")).alias(f"k{i}")
+            for i in range(4)
+        ],
+    )
+    pairs = capped_band_pairs(
+        keyed, ("k0", "k1", "k2", "k3"), band_bucket_cap(n_vids, w_bits)
+    )
     hamming = (
         F.bit_count(F.expr("x0 ^ y0"))
         + F.bit_count(F.expr("x1 ^ y1"))

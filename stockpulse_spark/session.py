@@ -38,7 +38,14 @@ def get_spark(
         .master(f"local[{cpus}]")
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or (os.cpu_count() or 32)),
+            # SPARK_SHUFFLE_PARTITIONS: the data-proportional sizing
+            # knob (SCALE.md doctrine) — scale-tier harnesses raise it
+            # with the corpus the way a cluster operator would
+            str(
+                shuffle_partitions
+                or os.environ.get("SPARK_SHUFFLE_PARTITIONS")
+                or (os.cpu_count() or 32)
+            ),
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

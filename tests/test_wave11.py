@@ -63,6 +63,28 @@ def test_fp_width_ladder_python_sql_parity():
         assert sql_w == fp_width_bits(n), f"n={n}: {sql_w} != ladder"
 
 
+def test_band_bucket_cap_python_sql_parity():
+    """The oracle's cap expression (ws CTE) and band_bucket_cap must
+    agree — same integer-ceil, same headroom, same clamp behavior."""
+    from stockpulse_spark.plans.registry_multimodal4 import (
+        _CAP_HEADROOM,
+        band_bucket_cap,
+    )
+
+    con = duckdb.connect()
+    for n in [0, 1, 255, 256, 257, 10_000, 100_000, 10_000_000]:
+        w = fp_width_bits(n)
+        (sql_cap,) = con.execute(
+            f"SELECT {_CAP_HEADROOM} * GREATEST(1, "
+            f"({n} + (1 << {w}) - 1) // (1 << {w}))"
+        ).fetchone()
+        assert sql_cap == band_bucket_cap(n, w), (n, w)
+    # below the w=20 clamp the auto cap is the constant headroom
+    assert band_bucket_cap(100_000, fp_width_bits(100_000)) == _CAP_HEADROOM
+    # past the clamp it grows with n/2^20 (keeps candidates linear)
+    assert band_bucket_cap(10_000_000, 20) == _CAP_HEADROOM * 10
+
+
 def test_fp_width_scales_with_corpus():
     """The property the round-9 weak mark was about: per-band key
     space 2^w must track the corpus, clamped to [8, 20]."""

@@ -32,8 +32,9 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from stockpulse_spark.llmdata.dedup import capped_band_pairs  # noqa: E402
 from stockpulse_spark.plans.registry_multimodal4 import (  # noqa: E402
-    _AUDIO_BUCKET_CAP,
+    _NS_MOD,
     _attach_wav_variants,
+    band_bucket_cap,
     fp_width_bits,
     wav_fingerprint_bands,
 )
@@ -50,6 +51,10 @@ def main() -> None:
     )
     spark = get_spark("fp_width_curve")
     spark.sparkContext.setLogLevel("ERROR")
+    # data-proportional sizing at the 10x tier (SCALE.md doctrine): the
+    # w=8 floor point is Theta(n^2/256) candidate rows through the
+    # distinct — 32 partitions would put GBs in one hash-agg task
+    spark.conf.set("spark.sql.shuffle.partitions", "128")
     ids = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isNotNull())
@@ -65,27 +70,38 @@ def main() -> None:
         fp = wav_fingerprint_bands(_attach_wav_variants(ids), w_bits=w).filter(
             F.col("b0").isNotNull()
         )
-        pairs = capped_band_pairs(
-            fp, ("b0", "b1", "b2", "b3"), _AUDIO_BUCKET_CAP
-        ).localCheckpoint(eager=True)
-        n_cand = pairs.count()
+        cap = band_bucket_cap(2 * n_docs, w)
+        # composite (band, duration) keys — mirrors the registered query
+        keyed = fp.select(
+            "vid",
+            *[
+                (F.col(f"b{i}") * _NS_MOD + F.col("ns")).alias(f"k{i}")
+                for i in range(4)
+            ],
+        )
+        pairs = capped_band_pairs(keyed, ("k0", "k1", "k2", "k3"), cap)
         hamming = (
             F.bit_count(F.expr("x0 ^ y0"))
             + F.bit_count(F.expr("x1 ^ y1"))
             + F.bit_count(F.expr("x2 ^ y2"))
             + F.bit_count(F.expr("x3 ^ y3"))
         ).cast("int")
-        verified = pairs.select(
-            "vid_1", "vid_2", hamming.alias("h")
-        ).filter(F.col("h") <= 3)
-        n_ver = verified.count()
-        # planted-twin recall: pair (2d, 2d+1) present
-        n_twin = verified.filter(
-            (F.col("vid_2") == F.col("vid_1") + 1)
-            & (F.col("vid_1") % 2 == 0)
-        ).count()
+        is_ver = hamming <= 3
+        is_twin = is_ver & (F.col("vid_2") == F.col("vid_1") + 1) & (
+            F.col("vid_1") % 2 == 0
+        )
+        # ONE aggregation pass — materializing the candidate frame at
+        # w=8 (Theta(n^2/256) rows at 100k vids) OOMs a 16g heap
+        row = pairs.agg(
+            F.count(F.lit(1)).alias("cand"),
+            F.sum(is_ver.cast("long")).alias("ver"),
+            F.sum(is_twin.cast("long")).alias("twin"),
+        ).collect()[0]
+        n_cand, n_ver = row["cand"], row["ver"] or 0
+        n_twin = row["twin"] or 0
         el = round(time.time() - t0, 2)
         out[str(w)] = {
+            "cap": cap,
             "candidates": n_cand,
             "verified": n_ver,
             "twin_recall": round(n_twin / n_docs, 4),
@@ -93,7 +109,7 @@ def main() -> None:
             "auto": w == auto_w,
         }
         print(
-            f"# w={w}: cand={n_cand} verified={n_ver} "
+            f"# w={w} cap={cap}: cand={n_cand} verified={n_ver} "
             f"recall={n_twin}/{n_docs} {el}s",
             file=sys.stderr,
         )
@@ -104,7 +120,6 @@ def main() -> None:
                 "sf_dir": sf_dir,
                 "n_docs": n_docs,
                 "auto_width": auto_w,
-                "bucket_cap": _AUDIO_BUCKET_CAP,
                 "widths": out,
             }
         )
