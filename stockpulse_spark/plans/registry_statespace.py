@@ -247,10 +247,14 @@ def q_ewma_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kalman_events_batch",
     oracle=f"""
     WITH RECURSIVE bt AS (
+      -- finite-tick substream: round-6 sensor-garbage contract,
+      -- mirrored in the streaming kernel (_finite_ticks) and the
+      -- Spark batch twin so all three agree on degenerate corpora
       SELECT user_id, value,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS t,
              COUNT(*) OVER (PARTITION BY user_id) AS n
       FROM events
+      WHERE value IS NOT NULL AND isfinite(value)
     ), state AS (
       SELECT user_id, 0 AS t, n, CAST(value AS DOUBLE) AS l,
              CAST({_KF_R!r} AS DOUBLE) AS p
@@ -281,9 +285,14 @@ def q_ewma_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arrays — final state only); oracle: lockstep recursive CTE.",
 )
 def q_kalman_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_spark.functions.nullsafe import not_finite
     from stockpulse_spark.plans.registry import _t
 
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "value")
+        .filter(F.col("value").isNotNull() & ~not_finite("value"))
+    )
     fold = (
         "aggregate("
         "  slice(sv, 2, size(sv) - 1), "

@@ -183,12 +183,17 @@ def q_stream_up_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "up_streak_batch",
     oracle="""
-    WITH ordered AS (
+    WITH fe AS (
+      -- finite-tick substream (round-6 sensor-garbage contract; see
+      -- the Spark body / _finite_ticks)
+      SELECT user_id, ts, value FROM events
+      WHERE value IS NOT NULL AND isfinite(value)
+    ), ordered AS (
       SELECT user_id, ts, value,
              CASE WHEN value > lag(value)
                     OVER (PARTITION BY user_id ORDER BY ts)
                   THEN 1 ELSE 0 END AS up
-      FROM events
+      FROM fe
     ), isl AS (
       SELECT user_id, up,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts)
@@ -203,7 +208,7 @@ def q_stream_up_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.user_id, COUNT(*) AS n_events, MAX(e.value) AS max_value,
            COALESCE(ANY_VALUE(b.best), 0) AS best_up_streak
-    FROM events e LEFT JOIN best b ON e.user_id = b.user_id
+    FROM fe e LEFT JOIN best b ON e.user_id = b.user_id
     GROUP BY e.user_id ORDER BY e.user_id
     """,
     tags=("streaming", "window", "islands"),
@@ -216,7 +221,19 @@ def q_stream_up_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_up_streak_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    from stockpulse_spark.functions.nullsafe import not_finite
+
+    # finite-tick substream (round-6 sensor-garbage contract, round-10
+    # fuzz twin-diff finding): the pandas stream kernel cannot
+    # represent the NULL/NaN distinction across the Arrow boundary and
+    # JVM max/comparisons order NaN greatest — masking at ingestion is
+    # the only semantics all three (kernel, this twin, the oracle) can
+    # share; mirrored in the oracle WHERE and _finite_ticks
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "value")
+        .filter(F.col("value").isNotNull() & ~not_finite("value"))
+    )
     w = Window.partitionBy("user_id").orderBy("ts")
     up = (
         F.when(F.col("value") > F.lag("value").over(w), 1).otherwise(0)

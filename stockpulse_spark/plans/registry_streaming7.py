@@ -195,13 +195,23 @@ def q_stream_attribution_outer_twin_diff(
         .filter(F.col("event_type") == "purchase")
         .select(F.col("event_id").alias("purchase_id"), "ts")
     )
+    # SET semantics on the null half, mirroring the pytest assertion
+    # (it compares id sets): the fuzz corpus plants duplicate purchase
+    # ROWS, which multiply differently through the stream's state join
+    # than through the batch anti-join + ts-join — the per-id frontier
+    # membership is the contract, not the duplicate-row multiplicity
     want_nulls = (
         _run(spark, sf_dir, "unattributed_purchases")
         .join(purchase_ts, "purchase_id")
         .filter(F.col("ts") < F.lit(wm))
         .select("purchase_id")
+        .distinct()
     )
-    nulls = out.filter(F.col("click_id").isNull()).select("purchase_id")
+    nulls = (
+        out.filter(F.col("click_id").isNull())
+        .select("purchase_id")
+        .distinct()
+    )
     d2 = _sym_diff(nulls, want_nulls)
     return _count_mismatches(d1, d2)
 

@@ -156,12 +156,33 @@ def active_state_binding() -> str:
     )
 
 
+def _finite_ticks(stream_df):
+    """Round-6 sensor-garbage contract, applied at the stateful
+    operators' ingestion edge (round 10 — the fuzz twin-diff found
+    stream/batch forking on degenerate ticks): NULL and non-finite
+    values never enter keyed state.  The pandas kernels CANNOT carry
+    the distinction anyway (NULL becomes NaN in a float64 column on
+    the way in, and NaN becomes NULL through Arrow nan_as_null on the
+    way out), while the JVM batch twins keep NaN ordered greatest —
+    masking at the edge is the only semantics both engines can share
+    bit-for-bit.  Batch twins + oracles apply the identical filter."""
+    from pyspark.sql import functions as F
+
+    from stockpulse_spark.functions.nullsafe import not_finite
+
+    return stream_df.filter(
+        F.col("value").isNotNull() & ~not_finite("value")
+    )
+
+
 def running_series_stats(stream_df):
     """Attach the processor: one output row per user per micro-batch
-    carrying the updated running aggregate.
+    carrying the updated running aggregate over the finite-tick
+    substream (see _finite_ticks).
 
     Binds to transformWithStateInPandas when its runtime dependency is
     available, else to applyInPandasWithState (same kernel)."""
+    stream_df = _finite_ticks(stream_df)
     if has_transform_with_state_runtime():
         return stream_df.groupBy("user_id").transformWithStateInPandas(
             RunningSeriesProcessor(),
@@ -259,9 +280,11 @@ def _kalman_group_pandas(key, pdf_iter, state):
 def running_kalman_filter(stream_df):
     """Attach the online Kalman filter: one output row per user per
     micro-batch carrying the updated (n, level, err_var) state —
-    the streaming form of `kalman_events_batch`. Binds to whichever
+    the streaming form of `kalman_events_batch`, folding the
+    finite-tick substream (see _finite_ticks). Binds to whichever
     state API this runtime supports (same rule as
     `running_series_stats`)."""
+    stream_df = _finite_ticks(stream_df)
     if has_transform_with_state_runtime():
         return stream_df.groupBy("user_id").transformWithStateInPandas(
             KalmanProcessor(),
