@@ -173,8 +173,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "embedding_near_dup_pairs",
     "value_percentiles",
     "embedding_ivf_topk",
-    "corpus_top_terms",
-    "term_counts_cms",
+    "kalman_events_batch",
+    "up_streak_batch",
     "tfidf_top_terms",
     "dedup_keeper_transitive",
 )
