@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from stockpulse_spark.functions.nullsafe import nan_nn, max_by_nn, min_by_nn
 
 from stockpulse_spark.operators.asof import asof_join
+from stockpulse_spark.sources.tables import read_events_stream
 from stockpulse_spark.plans.registry import _r6, _register, _t
 
 
@@ -333,19 +334,7 @@ def q_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev_static = _t(spark, sf_dir, "events")  # pins TZ/nanos confs
     eod = _eod_dim(ev_static)
-    raw_schema = spark.read.parquet(
-        os.path.join(sf_dir, "events.parquet")
-    ).schema
-    s = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    if dict(s.dtypes).get("ts") == "bigint":
-        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif dict(s.dtypes).get("ts") == "timestamp_ntz":
-        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+    s = read_events_stream(spark, sf_dir)
 
     out_dir = tempfile.mkdtemp(prefix="sp_asof_stream_")
 

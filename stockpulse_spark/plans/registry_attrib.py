@@ -121,25 +121,12 @@ def q_purchase_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_purchase_attribution(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    load_table(spark, sf_dir, "events")  # pin TZ + nanosAsLong confs
-    raw_schema = spark.read.parquet(
-        os.path.join(sf_dir, "events.parquet")
-    ).schema
-
     def stream() -> DataFrame:
-        s = (
-            spark.readStream.schema(raw_schema)
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
+        from stockpulse_spark.sources.tables import read_events_stream
+
+        return read_events_stream(spark, sf_dir).withWatermark(
+            "ts", "2 hours"
         )
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        elif dict(s.dtypes).get("ts") == "timestamp_ntz":
-            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
-        return s.withWatermark("ts", "2 hours")
 
     pairs = _attrib_pairs(
         stream().filter(F.col("event_type") == "click"),

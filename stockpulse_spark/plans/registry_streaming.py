@@ -19,7 +19,10 @@ from pyspark.sql import functions as F
 from stockpulse_spark.functions.nullsafe import nan_nn, max_by_nn, min_by_nn
 
 from stockpulse_spark.plans.registry import _register, _t
-from stockpulse_spark.sources.tables import load_table
+from stockpulse_spark.sources.tables import (
+    load_table,
+    read_events_stream,
+)
 
 
 @_register(
@@ -38,21 +41,7 @@ def q_stream_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # normalize to microsecond timestamps exactly like load_table
     load_table(spark, sf_dir, "events")
     import os
-
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
-        # driver sessions with inferTimestampNTZ=true read the tz-less
-        # parquet ts as NTZ, which withWatermark rejects — UTC session
-        # makes this cast value-identical (see sources/tables.normalize_ntz)
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = read_events_stream(spark, sf_dir)
     deduped = stream.withWatermark("ts", "2 hours").dropDuplicates(
         ["user_id", "ts"]
     )
@@ -106,21 +95,7 @@ def q_stream_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events")
     import os
-
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
-        # driver sessions with inferTimestampNTZ=true read the tz-less
-        # parquet ts as NTZ, which withWatermark rejects — UTC session
-        # makes this cast value-identical (see sources/tables.normalize_ntz)
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = read_events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))

@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stockpulse_spark.plans.registry import _register, _t
-from stockpulse_spark.sources.tables import load_table
+from stockpulse_spark.sources.tables import (
+    load_table,
+    read_events_stream,
+)
 
 
 def _sliding_agg(df: DataFrame) -> DataFrame:
@@ -53,21 +56,7 @@ def _sliding_agg(df: DataFrame) -> DataFrame:
 )
 def q_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events")  # pin TZ + reader confs
-    raw_schema = spark.read.parquet(
-        os.path.join(sf_dir, "events.parquet")
-    ).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = read_events_stream(spark, sf_dir)
     agg = _sliding_agg(stream.withWatermark("ts", "2 hours"))
     name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
     q = (
@@ -149,21 +138,7 @@ def q_stream_up_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
-    raw_schema = spark.read.parquet(
-        os.path.join(sf_dir, "events.parquet")
-    ).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = read_events_stream(spark, sf_dir)
     out = running_series_stats(stream.select("user_id", "ts", "value"))
     name = f"stream_streaks_{uuid.uuid4().hex[:8]}"
     q = (
@@ -286,21 +261,7 @@ def q_stream_dedup_within_watermark(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     load_table(spark, sf_dir, "events")
-    raw_schema = spark.read.parquet(
-        os.path.join(sf_dir, "events.parquet")
-    ).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = read_events_stream(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark(["user_id", "ts"])

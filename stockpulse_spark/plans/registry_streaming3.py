@@ -23,7 +23,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stockpulse_spark.plans.registry import _register, _t
-from stockpulse_spark.sources.tables import load_table
+from stockpulse_spark.sources.tables import (
+    load_table,
+    read_events_stream,
+)
 
 
 def _enriched_agg(events: DataFrame, cust: DataFrame) -> DataFrame:
@@ -68,21 +71,7 @@ def q_stream_enriched_segment_counts(
 ) -> DataFrame:
     load_table(spark, sf_dir, "events")  # pin TZ + reader confs
     cust = load_table(spark, sf_dir, "customer")
-    raw_schema = spark.read.parquet(
-        os.path.join(sf_dir, "events.parquet")
-    ).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = read_events_stream(spark, sf_dir)
     agg = _enriched_agg(stream.withWatermark("ts", "2 hours"), cust)
     name = f"stream_enriched_{uuid.uuid4().hex[:8]}"
     q = (

@@ -27,7 +27,10 @@ from pyspark.sql import functions as F
 
 from stockpulse_spark.functions.nullsafe import nan_nn
 from stockpulse_spark.plans.registry import _r6, _register, _t
-from stockpulse_spark.sources.tables import load_table
+from stockpulse_spark.sources.tables import (
+    load_table,
+    read_events_stream,
+)
 
 
 def _weekly_states(df: DataFrame) -> DataFrame:
@@ -87,21 +90,7 @@ def _finalize(states: DataFrame) -> DataFrame:
 )
 def q_stream_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events")  # pin TZ + reader confs
-    raw_schema = spark.read.parquet(
-        os.path.join(sf_dir, "events.parquet")
-    ).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = read_events_stream(spark, sf_dir)
     agg = _finalize(_weekly_states(stream.withWatermark("ts", "2 hours")))
     name = f"stream_weekly_rollup_{uuid.uuid4().hex[:8]}"
     q = (
@@ -197,21 +186,7 @@ def q_stream_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
-    raw_schema = spark.read.parquet(
-        os.path.join(sf_dir, "events.parquet")
-    ).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = read_events_stream(spark, sf_dir)
     out = running_kalman_filter(stream.select("user_id", "ts", "value"))
     name = f"stream_kalman_{uuid.uuid4().hex[:8]}"
     q = (

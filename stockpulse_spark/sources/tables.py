@@ -164,3 +164,36 @@ def footer_row_count(sf_dir: str, name: str) -> int | None:
     if not files:
         return None
     return sum(pq.read_metadata(f).num_rows for f in files)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str):
+    """File-source stream over the events table, layout-agnostic.
+
+    Round 10: the driver testdata stores events as ONE parquet file
+    (`sf_dir/events.parquet`), while replicated scale corpora are
+    Spark-written DIRECTORIES of part files under the same name.  The
+    file stream source requires a directory path, so the single-file
+    layout streams `sf_dir` with a pathGlobFilter and the directory
+    layout streams the directory itself (a glob filter there would
+    match no files — part files sit one level down; this is the
+    UNABLE_TO_INFER_SCHEMA the 10x parity tier caught on every
+    streaming reader).  Timestamps are normalized exactly like
+    load_table: nanos-as-long div 1000, NTZ cast to session-TZ.
+    """
+    load_table(spark, sf_dir, "events")  # pin TZ + reader confs
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(raw_schema).format("parquet")
+    if os.path.isdir(path):
+        stream = reader.load(path)
+    else:
+        stream = reader.option("pathGlobFilter", "events.parquet").load(
+            sf_dir
+        )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
