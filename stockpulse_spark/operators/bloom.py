@@ -39,7 +39,7 @@ so the composed operator is semantically EXACT (Bloom filters have no
 false negatives) — which is why its DuckDB oracle is a plain semi-join.
 
 Reference parity: the reference has no >broadcast-sized joins (its
-warehouse queries join symbol-sized dims, app/database.py), so this is
+warehouse queries join symbol-sized dims, app/dashboard.py), so this is
 part of the 100 TB design surface, not reference surface.
 """
 

@@ -116,67 +116,65 @@ def _register(
 # Driver-window rotation.  The driver's correctness gate samples the
 # FIRST 50 entries of queries() (dict insertion order); rotate via
 # tools/rotate_window.py each round until all oracle-backed queries
-# have driver rows.  Round 10: the 12 NEW stream_twin_diff queries
-# (driver-visible streaming parity — each hash-checks mismatches=0
-# against SELECT 0), the 2 REWORKED multimodal near-dups (corpus-sized
-# audio width + full-entropy generators), and the 11 queries sharing
-# the _MUT_CTE mutated corpus (its <=5-word guard changed in round 9's
-# final commits; their driver rows must postdate the change) lead the
-# window; dedup_token_savings rides along per the round-9 verdict.
-# The remaining 24 slots backfill with the longest-unchecked covered
-# queries (oldest driver row first) so old results keep getting
-# re-certified against current source.
+# have driver rows.  Round 11: every oracle-backed query now has a
+# driver row, so the window becomes a pure freshness rotation — the
+# 50 queries whose LATEST driver-green row is oldest (the 28 r4 rows:
+# doc_chunking, mmr_diversified_topk, corpus_top_terms, zipf_slope,
+# word_pmi_collocations, embedding_knn_classify, ... plus the 22
+# oldest r5 rows) so old results keep getting re-certified against
+# current source.  This completes a full refresh: after r11, no
+# driver row predates round 5.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    "stream_dedup_hourly_twin_diff",
-    "stream_session_windows_twin_diff",
-    "stream_asof_enrich_twin_diff",
-    "stream_purchase_attribution_twin_diff",
-    "stream_enriched_segment_counts_twin_diff",
-    "stream_sliding_windows_twin_diff",
-    "stream_dedup_within_watermark_twin_diff",
-    "stream_weekly_rollup_twin_diff",
-    "stream_up_streaks_twin_diff",
-    "stream_kalman_filter_twin_diff",
-    "stream_attribution_outer_twin_diff",
-    "stream_abandoned_views_twin_diff",
-    "image_phash_near_dup",
-    "audio_fingerprint_near_dup",
-    "doc_dedup_funnel",
-    "doc_simhash_hamming_pairs",
-    "doc_edit_distance_pairs",
-    "doc_dedup_pipeline_full",
-    "incremental_dedup_gate",
-    "doc_minhash_lsh",
-    "doc_ngram_jaccard",
-    "minhash_lsh_recall_eval",
-    "dedup_keeper_assignment",
-    "lsh_precision_sample",
-    "lsh_band_churn",
-    "dedup_token_savings",
-    "range_join_hour_stats",
-    "distinct_users_by_type",
-    "doc_text_stats",
-    "doc_dedup_exact",
-    "doc_simhash",
-    "embedding_cosine_topk",
-    "embedding_srp_ann",
-    "media_metadata",
-    "new_keys_anti_join",
-    "live_metrics",
-    "ohlcv_weekly",
-    "global_sort_topk",
-    "rollup_revenue",
-    "indicator_panel",
-    "session_windows_batch",
-    "stream_dedup_hourly_batch",
-    "asof_prev_close",
-    "embedding_near_dup_pairs",
-    "value_percentiles",
-    "embedding_ivf_topk",
-    "kalman_events_batch",
-    "up_streak_batch",
-    "tfidf_top_terms",
-    "dedup_keeper_transitive",
+    "bpe_first_merge_stats",
+    "copurchase_pagerank",
+    "corpus_drift_jsd",
+    "corpus_heaps_stats",
+    "corpus_top_terms",
+    "doc_bigram_logprob",
+    "doc_chunking",
+    "doc_oov_ratio",
+    "doc_quality_filter",
+    "doc_stratified_sample",
+    "doc_substring_dup_pairs",
+    "doc_unigram_logprob",
+    "doc_weighted_sample",
+    "doc_weighted_sample_by_source",
+    "doc_word_entropy",
+    "dup_cluster_size_stats",
+    "embedding_dim_correlation",
+    "embedding_knn_classify",
+    "embedding_power_iteration",
+    "kmeans_lloyd_2iter",
+    "lang_id_confusion",
+    "media_frame_sample",
+    "mmr_diversified_topk",
+    "pii_redaction_audit",
+    "term_counts_cms",
+    "url_domain_stats",
+    "word_pmi_collocations",
+    "zipf_slope",
+    "ann_recall_eval",
+    "anova_hour_effect",
+    "burst_detection_viterbi",
+    "candle_patterns",
+    "daily_order_ship_reconciliation",
+    "decontamination_bloom_funnel",
+    "decontamination_overlap",
+    "decontamination_recall_eval",
+    "disjunctive_filter",
+    "distinct_users_approx",
+    "distinct_users_sketch_rollup",
+    "doc_blocklist_filter",
+    "doc_ngram_novelty",
+    "doc_pack_sequences",
+    "doc_repetition_score",
+    "doc_token_budget_sample",
+    "doc_train_test_split",
+    "dq_expectation_suite",
+    "drawdown_durations",
+    "embedding_label_outliers",
+    "embedding_quantize_int8",
+    "growth_accounting_weekly",
 )
 
 

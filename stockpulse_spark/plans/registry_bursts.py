@@ -2,7 +2,7 @@
 the Kleinberg burst-detection shape over hourly event arrivals.
 
 Reference parity: the reference's dashboard shows raw hourly volume
-(app/main.py volume panel) and `hourly_count_autocorr` diagnoses
+(app/dashboard.py volume panel) and `hourly_count_autocorr` diagnoses
 burstiness as one number; this operator LABELS the bursts — an
 optimal (min-cost) segmentation of each type's hourly count series
 into baseline vs burst states, with a switching penalty that

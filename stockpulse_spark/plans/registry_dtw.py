@@ -2,7 +2,7 @@
 Spark has no operator for.
 
 Reference parity: the reference eyeballs 'which symbols move alike'
-from overlaid dashboard charts (app/main.py compare view);
+from overlaid dashboard charts (app/dashboard.py compare view);
 `pairwise_return_corr` answers it for synchronized series, but
 correlation collapses when two series trace the same shape shifted
 or stretched in time. DTW is the standard remedy: the minimum-cost

@@ -3,7 +3,7 @@ leakage-free target encoding, weight-of-evidence binning, and
 population-stability drift monitoring.
 
 Reference parity: the reference feeds raw indicator columns straight
-to charts (app/main.py); a training pipeline needs the encode /
+to charts (app/dashboard.py); a training pipeline needs the encode /
 bin / monitor layer between the warehouse and the model. These are
 the three canonical pieces: leave-one-out mean-target encoding (the
 encoding that does not leak the row's own label), WOE/IV binning

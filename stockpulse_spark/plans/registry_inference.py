@@ -2,7 +2,7 @@
 intervals and a chi-square independence test.
 
 Reference parity: the reference reports point metrics with no
-uncertainty (app/main.py KPI tiles); these add the error bars — the
+uncertainty (app/dashboard.py KPI tiles); these add the error bars — the
 Poisson bootstrap is THE cluster-scale resampling method (per-row
 Poisson(1) weights make every replicate a single streaming pass;
 classical resampling would need n draws per replicate and a shuffle

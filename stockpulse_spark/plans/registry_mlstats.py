@@ -4,7 +4,7 @@ rollup (the incremental-view-maintenance contract), and one-way
 ANOVA for hour-of-day effects.
 
 Reference parity: the reference hard-codes its analytics
-(app/main.py); these supply the train->apply->evaluate loop a data
+(app/dashboard.py); these supply the train->apply->evaluate loop a data
 platform layers on top — a generative classifier trained in-plan
 from corpus counts (vs `lang_id_confusion`'s fixed stopword argmax),
 outlier-resistant location estimates, and the partial-aggregate

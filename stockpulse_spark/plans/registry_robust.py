@@ -3,7 +3,7 @@ trend, single-changepoint detection, and a multi-lag autocorrelation
 profile.
 
 Reference parity: the reference fits visual trendlines and eyeballs
-regime changes on its dashboard charts (app/main.py); these are the
+regime changes on its dashboard charts (app/dashboard.py); these are the
 estimator-grade versions — a median-of-slopes trend immune to the
 outlier spikes the quality filters (operators/quality.py) otherwise
 have to catch, an exact least-squares changepoint, and the ACF

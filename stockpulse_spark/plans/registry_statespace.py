@@ -2,7 +2,7 @@
 Kalman filter and RiskMetrics EWMA volatility.
 
 Reference parity: the reference's dashboard smooths price series with
-moving averages (app/main.py chart panels); these are the two
+moving averages (app/dashboard.py chart panels); these are the two
 state-space upgrades of that smoothing a quant pipeline reaches for —
 an optimal-gain level tracker (Kalman) and the exponentially-weighted
 variance estimator (RiskMetrics lambda=0.94) that backs its VaR

@@ -2,7 +2,7 @@
 evaluation, and bitmap activity rollups.
 
 Reference parity: the reference tracks per-symbol activity and
-dashboard KPIs (app/main.py metric tiles); these are the
+dashboard KPIs (app/dashboard.py metric tiles); these are the
 retention-engineering upgrades of those KPIs — a Kaplan-Meier churn
 curve (the estimator behind every retention chart that must respect
 censoring), a Gini concentration index, a Mann-Whitney AUC for

@@ -5,7 +5,7 @@ family begun in registry_subqueries (Q18/Q19/Q22/Q17): correlated MIN,
 global-scalar HAVING, and max-of-aggregated-view.
 
 Reference parity: the reference exposes ad-hoc SQL over its warehouse
-(app/database.py query surface); these are the next relational shapes a
+(app/dashboard.py query surface); these are the next relational shapes a
 user of that surface writes once they outgrow the fixed dashboard
 queries.
 """

@@ -20,7 +20,8 @@ retrieval core the earlier waves built:
 
 Reference parity: outside the reference's indicator scope (its dedup
 is drop_duplicates on a pandas frame — StockPulse
-src/data/processors.py); these extend the LLM-data pipeline family
+src/preprocessing/preprocessing_pipeline.py:125); these extend the
+LLM-data pipeline family
 the north-star extensions call for.
 
 Scale posture: every query is scan-shaped or candidate-bounded. The

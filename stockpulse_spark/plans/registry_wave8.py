@@ -6,7 +6,7 @@ corpus-curation operators a 100 TB training-data pipeline runs that
 the existing dedup/quality/sampling families don't cover.
 
 Reference parity: the reference's analytics stop at indicator math
-(app/main.py); these extend the LLM-data suite the way the MinHash /
+(app/dashboard.py); these extend the LLM-data suite the way the MinHash /
 decontamination / sampling families did in rounds 3-7.
 
 Scale posture (shared by every query here):

@@ -6,7 +6,7 @@ codeified cohort, the closed-form LSH (bands, rows) tuning table,
 and a Hill tail-index estimator for heavy-tail monitoring.
 
 Reference parity: the reference stops at indicator math
-(app/main.py); these are the remaining governance / planning
+(app/dashboard.py); these are the remaining governance / planning
 operators a 100 TB training-data pipeline runs around the dedup and
 sampling families: can this corpus slice be released (k-anonymity),
 does the split leak near-duplicates (the property the content-keyed
