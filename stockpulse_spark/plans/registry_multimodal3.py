@@ -5,20 +5,37 @@ for text and vectors; this adds images).
 Average-hash (aHash) over REALLY DECODED pixels: the Spark kernel
 zlib-inflates and unfilters each PNG (decode_png_pixels — chunk walk,
 CRC check, all five filter types), projects the 3-channel image onto
-an 8x8 grid of cell luminance sums, and sets bit (cy*8+cx) where the
-cell's mean exceeds the global mean. All comparisons are integer
-cross-multiplications (cell_sum * tot_n > tot_sum * cell_n) so the
-hash is bit-exact reproducible with no float in sight. The 64 bits
-are carried as FOUR 16-bit quarter values (q0..q3) rather than one
-BIGINT — bit 63 would wrap a signed 64-bit assembly and ">>" sign
-semantics differ across engines; four small non-negative ints have no
-such hazards and are exactly what the pigeonhole join needs anyway.
+a 4 x w grid of cell luminance sums (4 quarter-rows by w columns),
+and sets bit (qy*w + bx) where the cell's mean exceeds the global
+mean. All comparisons are integer cross-multiplications
+(cell_sum * tot_n > tot_sum * cell_n) so the hash is bit-exact
+reproducible with no float in sight.  The 4w bits are carried as FOUR
+w-bit quarter values (q0..q3) rather than one BIGINT — a wide single
+assembly would wrap signed 64-bit and ">>" sign semantics differ
+across engines; four small non-negative ints have no such hazards and
+are exactly what the pigeonhole join needs anyway.
 
-Pairing is the SimHash recipe (registry_funnel): hamming <= 3 over 64
-bits guarantees at least one of the 4 quarters is untouched, so four
-quarter-equality equi-joins (unioned + distinct — never an OR join,
-which would plan as a nested loop) generate candidates and an exact
-popcount(xor) sum verifies.
+SCALABLE KEY SPACE (round 11 — the audio cell's round-10 machinery,
+generalized via llmdata/widths.py): the per-quarter width is the
+CORPUS-SIZED parameter w = fp_width_bits(n_vids) in [8, 20], so the
+per-quarter key space 2^w tracks the corpus and the expected quarter
+bucket stays O(1): candidate volume is Theta(n^2 / 2^w) per quarter =
+Theta(n) once 2^w tracks n.  The old fixed 8x8/16-bit layout is
+(roughly) the w=16 member of this family; small corpora now get w=8
+(a 4x8 grid) and 1M+ corpora get w=20 without a code change.
+
+SECOND KEY AXIS — dimensions prefilter (the image analog of the audio
+duration axis): a re-export preserves pixel dimensions, so the join
+key is the COMPOSITE quarter_value * 4096 + (w_px*36 + h_px).  Every
+candidate pair therefore agrees on dims, so xor(k_x, k_y) =
+xor(q_x, q_y) << 12 and the popcount verify is unchanged.
+
+Pairing is the SimHash recipe (registry_funnel): hamming <= 3 over
+the 4w bits guarantees at least one of the 4 quarters is untouched
+(pigeonhole: 3 flips touch at most 3 quarters — width-independent),
+so four quarter-equality equi-joins (unioned + distinct — never an
+OR join, which would plan as a nested loop) generate candidates and
+an exact popcount(xor) sum verifies.
 
 ROUND 10 — content entropy + planted twins: the round-9 corpus reused
 attach_png_payload's closed form, whose pixel value depends on doc_id
@@ -43,18 +60,23 @@ The DuckDB oracle never decodes a PNG: it recomputes the SAME hash
 analytically from the generator's closed form (pixel(y,x,c) =
 (pd + 31y + 7x + 83c) % 256, posterized to //8*8 for variant 1, at
 w = d%32+4, h = (7d)%32+4), enumerating pixels with range() cross
-joins. The Spark side must round-trip the real bytes; agreement means
-encode -> decode -> hash is lossless end-to-end.
+joins — INCLUDING the width ladder and cap, computed in SQL from
+COUNT(*) (llmdata/widths.py), so no constant edit can desynchronize
+the engines. The Spark side must round-trip the real bytes; agreement
+means encode -> decode -> hash is lossless end-to-end at every corpus
+size.
 
 At 100 TB: hashing is one mapInPandas scan (Arrow-batched, payloads
-never leave executors); the candidate join shuffles on 16-bit quarter
-values — 65536 keys per quarter, so band buckets stay O(n/65536) and
-degenerate quarters (letterboxed black quadrants — the boilerplate-
-cluster problem) take the bucket_cap guard below.
+never leave executors); the candidate join shuffles on composite
+(quarter value, dims) keys whose space 2^w x dims tracks the corpus,
+so quarter buckets stay O(1) and degenerate quarters (letterboxed
+black quadrants — the boilerplate-cluster problem) take the
+band_bucket_cap guard.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -66,17 +88,19 @@ from stockpulse_spark.llmdata.multimodal import (
     decode_png_pixels,
     encode_png,
 )
+from stockpulse_spark.llmdata.widths import (
+    band_bucket_cap,
+    fp_width_bits,
+    width_cap_cte_sql,
+)
 from stockpulse_spark.plans.registry import _register, _t
 
-_AHASH_SCHEMA = "vid long, q0 long, q1 long, q2 long, q3 long"
+_AHASH_SCHEMA = "vid long, dims long, q0 long, q1 long, q2 long, q3 long"
 
-# Quarter-bucket cap for the pigeonhole joins (round 9): degenerate
-# flat/periodic quarters (q = 0, 0x5555, ...) pile hundreds of images
-# onto one 16-bit key — the 10x audit measured the uncapped join at
-# 60x shuffle growth.  256 is a no-op at sf0.1 (max observed bucket
-# ~60) and trips only the degenerate values at 10x (~390-590); the
-# oracle mirrors it in the qw CTE so both engines agree when it fires.
-_IMAGE_BUCKET_CAP = 256
+# Composite-key modulus for the dims axis: dims = w_px*36 + h_px <
+# 36*36 = 1296 < 4096, so quarter_value * 4096 + dims is collision-
+# free.  Same constant role as the audio cell's _NS_MOD.
+_DIMS_MOD = 4096
 
 
 def _attach_png_variants(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -111,8 +135,11 @@ def _attach_png_variants(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def png_ahash_quarters(df: DataFrame, id_col: str = "vid") -> DataFrame:
-    """payload -> 8x8 average-hash as four 16-bit quarters.  Decode
+def png_ahash_quarters(
+    df: DataFrame, id_col: str = "vid", w_bits: int = 16
+) -> DataFrame:
+    """payload -> 4 x w_bits average-hash as four w_bits-bit quarters
+    plus the dims code (w_px*36 + h_px — the second key axis).  Decode
     failures dead-letter to NULL quarters (excluded from pairing)."""
     import numpy as np
 
@@ -128,27 +155,27 @@ def png_ahash_quarters(df: DataFrame, id_col: str = "vid") -> DataFrame:
                         .reshape(h, w, ch)
                     )
                     g = arr.sum(axis=2)
-                    cy = (np.arange(h) * 8) // h
-                    cx = (np.arange(w) * 8) // w
-                    cell = (cy[:, None] * 8 + cx[None, :]).ravel()
-                    cs = np.zeros(64, dtype=np.int64)
-                    cn = np.zeros(64, dtype=np.int64)
+                    qy = (np.arange(h) * 4) // h
+                    bx = (np.arange(w) * w_bits) // w
+                    cell = (qy[:, None] * w_bits + bx[None, :]).ravel()
+                    cs = np.zeros(4 * w_bits, dtype=np.int64)
+                    cn = np.zeros(4 * w_bits, dtype=np.int64)
                     np.add.at(cs, cell, g.ravel())
                     np.add.at(cn, cell, 1)
                     tot_s = int(g.sum())
                     tot_n = w * h
                     bits = cs * tot_n > tot_s * cn
                     q = [0, 0, 0, 0]
-                    for b in range(64):
+                    for b in range(4 * w_bits):
                         if bits[b]:
-                            q[b // 16] |= 1 << (b % 16)
+                            q[b // w_bits] |= 1 << (b % w_bits)
                     rows.append(
-                        dict(vid=int(vid), q0=q[0], q1=q[1],
-                             q2=q[2], q3=q[3])
+                        dict(vid=int(vid), dims=w * 36 + h, q0=q[0],
+                             q1=q[1], q2=q[2], q3=q[3])
                     )
                 except ValueError:
                     rows.append(
-                        dict(vid=int(vid), q0=None, q1=None,
+                        dict(vid=int(vid), dims=None, q0=None, q1=None,
                              q2=None, q3=None)
                     )
             yield pd.DataFrame(rows)
@@ -161,7 +188,17 @@ def png_ahash_quarters(df: DataFrame, id_col: str = "vid") -> DataFrame:
 @_register(
     "image_phash_near_dup",
     oracle=f"""
-    WITH docs AS (
+    WITH ws AS (
+      -- corpus-sized per-quarter width (same ladder as fp_width_bits)
+      -- and bucket cap (same formula as band_bucket_cap) — the audio
+      -- cell's machinery, shared via llmdata/widths.py
+      {width_cap_cte_sql(
+          "SELECT 2 * COUNT(*) AS n "
+          "FROM (SELECT DISTINCT doc_id FROM documents "
+          "WHERE doc_id IS NOT NULL)",
+          width_col="wb",
+      )}
+    ), docs AS (
       SELECT d, v, d * 2 + v AS vid,
              d % 32 + 4 AS w,
              (d * 7) % 32 + 4 AS h,
@@ -184,43 +221,67 @@ def png_ahash_quarters(df: DataFrame, id_col: str = "vid") -> DataFrame:
                   ELSE p0 + p1 + p2 END AS g
       FROM px0
     ), cell_agg AS (
-      SELECT vid, ((y*8)//h)*8 + (x*8)//w AS b,
+      -- 4 quarter-rows x wb columns (the corpus-sized grid)
+      SELECT vid, ((y*4)//h)*ws.wb + (x*ws.wb)//w AS b,
              SUM(g) AS cs, COUNT(*) AS cn
-      FROM px GROUP BY vid, b
+      FROM px, ws GROUP BY vid, b
     ), tot AS (
-      SELECT vid, SUM(g) AS ts, COUNT(*) AS tn FROM px GROUP BY vid
+      SELECT vid, ANY_VALUE(w*36 + h) AS dims,
+             SUM(g) AS ts, COUNT(*) AS tn
+      FROM px GROUP BY vid
     ), q AS (
+      -- composite (quarter value, dimensions) keys: q*{_DIMS_MOD} + dims
+      -- mirrors the Spark side; every candidate pair agrees on dims,
+      -- so the xor popcount below is unchanged
       SELECT c.vid,
-        CAST(SUM(CASE WHEN b // 16 = 0 AND c.cs*t.tn > t.ts*c.cn
-                 THEN 1 << (b % 16) ELSE 0 END) AS BIGINT) AS q0,
-        CAST(SUM(CASE WHEN b // 16 = 1 AND c.cs*t.tn > t.ts*c.cn
-                 THEN 1 << (b % 16) ELSE 0 END) AS BIGINT) AS q1,
-        CAST(SUM(CASE WHEN b // 16 = 2 AND c.cs*t.tn > t.ts*c.cn
-                 THEN 1 << (b % 16) ELSE 0 END) AS BIGINT) AS q2,
-        CAST(SUM(CASE WHEN b // 16 = 3 AND c.cs*t.tn > t.ts*c.cn
-                 THEN 1 << (b % 16) ELSE 0 END) AS BIGINT) AS q3
-      FROM cell_agg c JOIN tot t USING (vid) GROUP BY c.vid
+        CAST(SUM(CASE WHEN b // ws.wb = 0 AND c.cs*t.tn > t.ts*c.cn
+                 THEN 1 << (b % ws.wb) ELSE 0 END) AS BIGINT)
+          * {_DIMS_MOD} + ANY_VALUE(t.dims) AS q0,
+        CAST(SUM(CASE WHEN b // ws.wb = 1 AND c.cs*t.tn > t.ts*c.cn
+                 THEN 1 << (b % ws.wb) ELSE 0 END) AS BIGINT)
+          * {_DIMS_MOD} + ANY_VALUE(t.dims) AS q1,
+        CAST(SUM(CASE WHEN b // ws.wb = 2 AND c.cs*t.tn > t.ts*c.cn
+                 THEN 1 << (b % ws.wb) ELSE 0 END) AS BIGINT)
+          * {_DIMS_MOD} + ANY_VALUE(t.dims) AS q2,
+        CAST(SUM(CASE WHEN b // ws.wb = 3 AND c.cs*t.tn > t.ts*c.cn
+                 THEN 1 << (b % ws.wb) ELSE 0 END) AS BIGINT)
+          * {_DIMS_MOD} + ANY_VALUE(t.dims) AS q3
+      FROM cell_agg c JOIN tot t USING (vid), ws GROUP BY c.vid
     ), qw AS (
-      -- bucket_cap mirror (round 9, same contract as the audio fpw
-      -- CTE): a quarter bucket over the cap is excluded from THAT
-      -- quarter's pairing — degenerate flat/periodic quarters pile
-      -- hundreds of images onto one key and carry no signal
+      -- band_bucket_cap mirror: a quarter bucket over the cap is
+      -- excluded from THAT quarter's pairing (members still pair
+      -- through their other quarters) in BOTH engines
       SELECT q.*,
              COUNT(*) OVER (PARTITION BY q0) AS n0,
              COUNT(*) OVER (PARTITION BY q1) AS n1,
              COUNT(*) OVER (PARTITION BY q2) AS n2,
              COUNT(*) OVER (PARTITION BY q3) AS n3
       FROM q
+    ), cand AS (
+      -- four hash equi-joins + UNION dedup — the Spark side's exact
+      -- candidate shape (never an OR join: DuckDB would nested-loop
+      -- it, the quadratic-oracle class the round-10 sf1 sweep hit)
+      SELECT a.vid AS vid_1, b.vid AS vid_2 FROM qw a JOIN qw b
+        ON a.q0 = b.q0 AND a.vid < b.vid
+       WHERE a.n0 <= (SELECT cap FROM ws)
+      UNION
+      SELECT a.vid, b.vid FROM qw a JOIN qw b
+        ON a.q1 = b.q1 AND a.vid < b.vid
+       WHERE a.n1 <= (SELECT cap FROM ws)
+      UNION
+      SELECT a.vid, b.vid FROM qw a JOIN qw b
+        ON a.q2 = b.q2 AND a.vid < b.vid
+       WHERE a.n2 <= (SELECT cap FROM ws)
+      UNION
+      SELECT a.vid, b.vid FROM qw a JOIN qw b
+        ON a.q3 = b.q3 AND a.vid < b.vid
+       WHERE a.n3 <= (SELECT cap FROM ws)
     ), pairs AS (
-      SELECT DISTINCT a.vid AS vid_1, b.vid AS vid_2,
-             a.q0 AS a0, a.q1 AS a1, a.q2 AS a2, a.q3 AS a3,
-             b.q0 AS b0, b.q1 AS b1, b.q2 AS b2, b.q3 AS b3
-      FROM qw a JOIN qw b
-        ON a.vid < b.vid
-       AND ((a.q0 = b.q0 AND a.n0 <= {_IMAGE_BUCKET_CAP})
-         OR (a.q1 = b.q1 AND a.n1 <= {_IMAGE_BUCKET_CAP})
-         OR (a.q2 = b.q2 AND a.n2 <= {_IMAGE_BUCKET_CAP})
-         OR (a.q3 = b.q3 AND a.n3 <= {_IMAGE_BUCKET_CAP}))
+      SELECT c.vid_1, c.vid_2,
+             x.q0 AS a0, x.q1 AS a1, x.q2 AS a2, x.q3 AS a3,
+             y.q0 AS b0, y.q1 AS b1, y.q2 AS b2, y.q3 AS b3
+      FROM cand c JOIN q x ON x.vid = c.vid_1
+                  JOIN q y ON y.vid = c.vid_2
     )
     SELECT vid_1, vid_2,
            CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
@@ -232,17 +293,22 @@ def png_ahash_quarters(df: DataFrame, id_col: str = "vid") -> DataFrame:
     ORDER BY vid_1, vid_2
     """,
     tags=("llmdata", "multimodal", "dedup", "join"),
-    doc="image near-dup via 8x8 average-hash over really-decoded PNG "
-    "pixels: integer-exact hash as four 16-bit quarters, pigeonhole "
-    "quarter-equality candidate joins (hamming <= 3 over 64 bits "
-    "guarantees one untouched quarter), exact popcount verify. The "
-    "corpus mixes the FULL doc_id into pixel content (period 2^32) "
-    "and plants a posterized (//8*8) re-export twin per doc (vid = "
-    "doc_id*2 + variant) — measured near-dup volume is the "
-    "operator's, not a 256-image generator artifact. The oracle "
-    "recomputes the hash from the closed form without touching a "
-    "byte — agreement proves the PNG encode/decode/hash round-trip "
-    "lossless.",
+    doc="image near-dup via corpus-width average-hash over really-"
+    "decoded PNG pixels: integer-exact hash on a 4 x w grid with "
+    "w = fp_width_bits(n_vids) in [8, 20] (per-quarter key space 2^w "
+    "tracks the corpus, so quarter buckets stay O(1) and the "
+    "pigeonhole joins stay linear — the audio cell's round-10 "
+    "machinery, shared via llmdata/widths.py), composite (quarter, "
+    "dims) keys (a re-export preserves pixel dimensions), bucket-"
+    "capped quarter-equality joins, exact popcount verify. hamming "
+    "<= 3 over 4 quarters guarantees one untouched quarter at ANY "
+    "width. The corpus mixes the FULL doc_id into pixel content "
+    "(period 2^32) and plants a posterized (//8*8) re-export twin "
+    "per doc (vid = doc_id*2 + variant). The oracle recomputes the "
+    "hash from the closed form without touching a byte — INCLUDING "
+    "the width ladder and cap, computed in SQL from COUNT(*) — so "
+    "agreement proves the PNG encode/decode/hash round-trip lossless "
+    "at every corpus size.",
 )
 def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stockpulse_spark.llmdata.dedup import capped_band_pairs
@@ -253,19 +319,28 @@ def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    q = png_ahash_quarters(_attach_png_variants(ids)).filter(
-        F.col("q0").isNotNull()
+    # one O(1)-row scalar action sizing the quarter width — the bloom-
+    # literal posture; SPARK_IMAGE_FP_WIDTH pins the width for the
+    # measurement-only curve runs (tools/fp_width_curve.py), never for
+    # parity (the oracle always computes the auto width).
+    override = os.environ.get("SPARK_IMAGE_FP_WIDTH")
+    n_vids = 2 * ids.count()
+    w_bits = int(override) if override else fp_width_bits(n_vids)
+    q = png_ahash_quarters(
+        _attach_png_variants(ids), w_bits=w_bits
+    ).filter(F.col("q0").isNotNull())
+    # composite (quarter value, dims) join keys — candidates must
+    # agree on dims, so xor(k_x, k_y) = xor(q_x, q_y) << 12 and the
+    # popcount verify below needs no change
+    keyed = q.select(
+        "vid",
+        *[
+            (F.col(f"q{i}") * _DIMS_MOD + F.col("dims")).alias(f"k{i}")
+            for i in range(4)
+        ],
     )
-    # round 9: the quarter joins moved onto capped_band_pairs (audio's
-    # machinery) with cap 256 — the 10x shuffle audit measured the
-    # uncapped joins at 60x growth because DEGENERATE quarters (flat /
-    # periodic patterns hashing to 0, 0x5555, ...) pile hundreds of
-    # images into one bucket, and a flat quarter carries no
-    # discriminative signal: the image analog of the text boilerplate
-    # the LSH bucket cap drops.  No-op at sf0.1 (max observed bucket
-    # ~60), trips only the degenerate values at 10x (~390-590).
     pairs = capped_band_pairs(
-        q, ("q0", "q1", "q2", "q3"), _IMAGE_BUCKET_CAP
+        keyed, ("k0", "k1", "k2", "k3"), band_bucket_cap(n_vids, w_bits)
     )
     hamming = (
         F.bit_count(F.expr("x0 ^ y0"))

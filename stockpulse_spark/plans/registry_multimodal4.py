@@ -76,7 +76,6 @@ from stockpulse_spark.llmdata.multimodal import decode_wav, encode_wav
 from stockpulse_spark.plans.registry import _register, _t
 
 _N_BANDS = 4
-_W_MIN, _W_MAX = 8, 20
 _FP_SCHEMA = "vid long, ns long, b0 long, b1 long, b2 long, b3 long"
 
 # Duration prefilter (round 10, second axis): a re-encode preserves
@@ -90,51 +89,27 @@ _FP_SCHEMA = "vid long, ns long, b0 long, b1 long, b2 long, b3 long"
 # guard for uniform-duration corpora where length carries no keys.
 _NS_MOD = 4096
 
-# Band-bucket cap headroom: with the corpus-sized width the EXPECTED
-# band bucket holds <= 1 item, so 64 = 64x headroom — content-bearing
-# buckets never trip it.  What does trip it (round-10 width-curve
-# measurement, SHUFFLE_r10.md): clips SHORTER than the fingerprint
-# frame count carry fewer informative bits than the key width, so the
-# short-clip subpopulation degenerates into a handful of near-zero
-# band patterns whose pairwise hamming really is <= 3 — a genuinely
-# Theta(n^2)-pair content class (the audio analog of the text
-# boilerplate banner).  The old fixed cap of 4096 let those clusters
-# through: 220M candidate pairs / 13.5M emitted pairs on a 100k-vid
-# corpus.  Dropping over-cap buckets from pairing is the same
-# editorial call the MinHash bucket_cap makes for banner text; their
-# members still pair through any content-bearing band.
-_CAP_HEADROOM = 64
-
-
-def band_bucket_cap(n_vids: int, w_bits: int) -> int:
-    """Cap = headroom x expected bucket size (ceil(n/2^w), min 1).
-    With auto width this is the constant 64 at every tier below the
-    w=20 clamp; past the clamp it grows Theta(n/2^20), keeping the
-    per-bucket pair bound Theta(cap^2) = Theta((n/2^w)^2) — linear
-    candidates overall.  Mirrored in the oracle's ws CTE."""
-    expected = max(1, -(-n_vids // (1 << w_bits)))
-    return _CAP_HEADROOM * expected
-
-
-def fp_width_bits(n_vids: int) -> int:
-    """Per-band fingerprint width for a corpus of `n_vids` items: the
-    smallest w in [8, 20] with 2^w >= n_vids, so the expected band
-    bucket holds O(1) items and each pigeonhole join stays linear.
-    The SQL ladder in the oracle (`ws` CTE) is generated from this
-    exact loop — integer threshold compares, no float log2."""
-    for w in range(_W_MIN, _W_MAX):
-        if n_vids <= (1 << w):
-            return w
-    return _W_MAX
-
-
-def _width_case_sql() -> str:
-    """The oracle's width ladder: CASE text generated from the same
-    thresholds as fp_width_bits so the engines cannot drift."""
-    whens = " ".join(
-        f"WHEN n <= {1 << w} THEN {w}" for w in range(_W_MIN, _W_MAX)
-    )
-    return f"CASE {whens} ELSE {_W_MAX} END"
+# Corpus-sized width + cap machinery: shared with the image cell
+# since round 11 (llmdata/widths.py — one implementation, no drift).
+# What trips the cap here (round-10 width-curve measurement,
+# SHUFFLE_r10.md): clips SHORTER than the fingerprint frame count
+# carry fewer informative bits than the key width, so the short-clip
+# subpopulation degenerates into a handful of near-zero band patterns
+# whose pairwise hamming really is <= 3 — a genuinely Theta(n^2)-pair
+# content class (the audio analog of the text boilerplate banner).
+# The old fixed cap of 4096 let those clusters through: 220M candidate
+# pairs / 13.5M emitted pairs on a 100k-vid corpus.  Dropping over-cap
+# buckets from pairing is the same editorial call the MinHash
+# bucket_cap makes for banner text; their members still pair through
+# any content-bearing band.
+from stockpulse_spark.llmdata.widths import (  # noqa: F401  (re-exported
+    _CAP_HEADROOM,  # for tests/test_wave11.py and the curve tools)
+    _W_MAX,
+    _W_MIN,
+    _width_case_sql,
+    band_bucket_cap,
+    fp_width_bits,
+)
 
 
 def _sample_seed(d: int) -> int:

@@ -85,6 +85,23 @@ def test_band_bucket_cap_python_sql_parity():
     assert band_bucket_cap(10_000_000, 20) == _CAP_HEADROOM * 10
 
 
+def test_oracles_interpolate_width_ladder_and_cap():
+    """Both multimodal near-dup oracles must embed the GENERATED width
+    ladder and cap formula (llmdata/widths.py f-string interpolation),
+    never a hardcoded width or cap literal — a constant edit that
+    reaches only one engine is the exact drift class the audio query's
+    CASE ladder was built to prevent (round-10 ADVICE item a asked for
+    the same pin on the image side)."""
+    from stockpulse_spark.llmdata.widths import _CAP_HEADROOM, _width_case_sql
+
+    ladder = _width_case_sql()
+    cap_formula = f"{_CAP_HEADROOM} * GREATEST(1,"
+    for q in ("image_phash_near_dup", "audio_fingerprint_near_dup"):
+        sql = REGISTRY[q].oracle
+        assert ladder in sql, f"{q}: width ladder not interpolated"
+        assert cap_formula in sql, f"{q}: cap formula not interpolated"
+
+
 def test_fp_width_scales_with_corpus():
     """The property the round-9 weak mark was about: per-band key
     space 2^w must track the corpus, clamped to [8, 20]."""

@@ -1,20 +1,25 @@
-"""Audio-fingerprint width curve (round 10, verdict item 2).
+"""Multimodal fingerprint width curve (round 10 audio, round 11 image).
 
-Measures, at the 10x documents corpus, how the pigeonhole candidate
-volume, verified-pair volume, planted-twin recall, and wall time move
-as the per-band fingerprint width w sweeps the supported range — the
-evidence behind fp_width_bits' corpus-sized choice.  The round-9
-design pinned w=8 (256 keys/band) forever: candidates are
-Theta(n^2/2^w) per band, so the fixed width is the measured 22.57x
-shuffle growth in SHUFFLE_r09.md.  This curve shows the volume
-collapsing toward Theta(n) as 2^w passes n, and what the fixed tau=3
-verify budget does to planted-twin recall as frames (4w) grow.
+Measures, at a replicated documents corpus, how the pigeonhole
+candidate volume, verified-pair volume, planted-twin recall, and wall
+time move as the per-band fingerprint width w sweeps the supported
+range — the evidence behind fp_width_bits' corpus-sized choice
+(llmdata/widths.py).  The round-9 audio design pinned w=8 (256
+keys/band) forever: candidates are Theta(n^2/2^w) per band, so the
+fixed width is the measured 22.57x shuffle growth in SHUFFLE_r09.md.
+This curve shows the volume collapsing toward Theta(n) as 2^w passes
+n, and what the fixed tau=3 verify budget does to planted-twin recall
+as the bit budget (4w) grows.
+
+Round 11 adds `--modality image`: the image cell shares the exact
+machinery (4 x w aHash grid, composite (quarter, dims) keys,
+band_bucket_cap), so the same curve certifies its scale shape.
 
 Usage:
-    python tools/fp_width_curve.py [sf_dir_10x] [widths...]
-    (default dir: a 10x replica with 50k docs; default widths:
-     8 10 12 14 16 17 18 20 — 17 is fp_width_bits(100k), the auto
-     choice at this corpus)
+    python tools/fp_width_curve.py [--modality audio|image]
+        [sf_dir_replica] [widths...]
+    (default widths: 8 10 12 14 16 17 18 20 — 17 is
+     fp_width_bits(100k), the auto choice at a 10x corpus)
 
 One JSON line to stdout; progress to stderr.
 """
@@ -31,28 +36,70 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F  # noqa: E402
 
 from stockpulse_spark.llmdata.dedup import capped_band_pairs  # noqa: E402
-from stockpulse_spark.plans.registry_multimodal4 import (  # noqa: E402
-    _NS_MOD,
-    _attach_wav_variants,
+from stockpulse_spark.llmdata.widths import (  # noqa: E402
     band_bucket_cap,
     fp_width_bits,
-    wav_fingerprint_bands,
 )
 from stockpulse_spark.session import get_spark  # noqa: E402
 from stockpulse_spark.sources.tables import load_table  # noqa: E402
 
 
+def _audio_keyed(ids, w: int):
+    from stockpulse_spark.plans.registry_multimodal4 import (
+        _NS_MOD,
+        _attach_wav_variants,
+        wav_fingerprint_bands,
+    )
+
+    fp = wav_fingerprint_bands(_attach_wav_variants(ids), w_bits=w).filter(
+        F.col("b0").isNotNull()
+    )
+    return fp.select(
+        "vid",
+        *[
+            (F.col(f"b{i}") * _NS_MOD + F.col("ns")).alias(f"k{i}")
+            for i in range(4)
+        ],
+    )
+
+
+def _image_keyed(ids, w: int):
+    from stockpulse_spark.plans.registry_multimodal3 import (
+        _DIMS_MOD,
+        _attach_png_variants,
+        png_ahash_quarters,
+    )
+
+    q = png_ahash_quarters(_attach_png_variants(ids), w_bits=w).filter(
+        F.col("q0").isNotNull()
+    )
+    return q.select(
+        "vid",
+        *[
+            (F.col(f"q{i}") * _DIMS_MOD + F.col("dims")).alias(f"k{i}")
+            for i in range(4)
+        ],
+    )
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sp_scale10x_a0pjeaht"
+    args = sys.argv[1:]
+    modality = "audio"
+    if "--modality" in args:
+        i = args.index("--modality")
+        modality = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/tmp/sp_scale10x_a0pjeaht"
     widths = (
-        [int(a) for a in sys.argv[2:]]
-        if len(sys.argv) > 2
+        [int(a) for a in args[1:]]
+        if len(args) > 1
         else [8, 10, 12, 14, 16, 17, 18, 20]
     )
+    keyed_fn = {"audio": _audio_keyed, "image": _image_keyed}[modality]
     spark = get_spark("fp_width_curve")
     spark.sparkContext.setLogLevel("ERROR")
-    # data-proportional sizing at the 10x tier (SCALE.md doctrine): the
-    # w=8 floor point is Theta(n^2/256) candidate rows through the
+    # data-proportional sizing at the 10x+ tiers (SCALE.md doctrine):
+    # the w=8 floor point is Theta(n^2/256) candidate rows through the
     # distinct — 32 partitions would put GBs in one hash-agg task
     spark.conf.set("spark.sql.shuffle.partitions", "128")
     ids = (
@@ -63,22 +110,15 @@ def main() -> None:
     )
     n_docs = ids.count()
     auto_w = fp_width_bits(2 * n_docs)
-    print(f"# corpus: {n_docs} docs, auto width {auto_w}", file=sys.stderr)
+    print(
+        f"# corpus: {n_docs} docs, modality {modality}, auto width {auto_w}",
+        file=sys.stderr,
+    )
     out = {}
     for w in widths:
         t0 = time.time()
-        fp = wav_fingerprint_bands(_attach_wav_variants(ids), w_bits=w).filter(
-            F.col("b0").isNotNull()
-        )
         cap = band_bucket_cap(2 * n_docs, w)
-        # composite (band, duration) keys — mirrors the registered query
-        keyed = fp.select(
-            "vid",
-            *[
-                (F.col(f"b{i}") * _NS_MOD + F.col("ns")).alias(f"k{i}")
-                for i in range(4)
-            ],
-        )
+        keyed = keyed_fn(ids, w)
         pairs = capped_band_pairs(keyed, ("k0", "k1", "k2", "k3"), cap)
         hamming = (
             F.bit_count(F.expr("x0 ^ y0"))
@@ -116,7 +156,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "audio_fp_width_curve",
+                "metric": f"{modality}_fp_width_curve",
                 "sf_dir": sf_dir,
                 "n_docs": n_docs,
                 "auto_width": auto_w,
