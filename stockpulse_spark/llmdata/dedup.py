@@ -24,8 +24,6 @@ docs) are handled by AQE skew-join or a bucket-size cap filter.
 
 from __future__ import annotations
 
-import threading
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -125,35 +123,22 @@ def minhash_signature(text: Column, k: int = 16, shingle_n: int = 3) -> Column:
     return F.when(sh.isNull(), nulls).otherwise(folded)
 
 
-# Most-recent signature DataFrames kept persisted, keyed by semantic
-# plan hash: same query re-run (driver gate, warm bench pass) reuses
-# the materialized 16×md5 signatures; older entries are unpersisted so
-# executor memory stays bounded however many corpora one session scans.
-_SIG_CACHE: dict[int, DataFrame] = {}
-_SIG_CACHE_MAX = 2
-# The parity sweep (tools/parity.py --jobs=N) calls into this cache
-# from worker threads; the lock keeps the eviction loop from racing
-# (pop on an already-evicted key) and from unpersisting an entry
-# another thread just took a reference to mid-collect.
-_SIG_CACHE_LOCK = threading.Lock()
+def _shared_signatures(sig: DataFrame) -> DataFrame:
+    """Materialize the signature table once PER QUERY INVOCATION so the
+    three plan branches that read it (banding + the two pair-side
+    rejoins) share one computation, without any reuse across
+    invocations.
 
-
-def _cached_signatures(sig: DataFrame) -> DataFrame:
-    try:
-        key = sig.semanticHash()
-    except Exception:
-        return sig.localCheckpoint(eager=False)
-    with _SIG_CACHE_LOCK:
-        hit = _SIG_CACHE.get(key)
-        if hit is not None:
-            return hit
-        while len(_SIG_CACHE) >= _SIG_CACHE_MAX:
-            evicted = _SIG_CACHE.pop(next(iter(_SIG_CACHE)), None)
-            if evicted is not None:
-                evicted.unpersist()
-        sig = sig.persist()
-        _SIG_CACHE[key] = sig
-    return sig
+    localCheckpoint — not persist() — is deliberate: persist() registers
+    the plan in Spark's CacheManager, which is keyed by the CANONICALIZED
+    plan, so a re-built identical query (every timed bench run rebuilds
+    the DataFrame) would silently read the previous run's materialized
+    signatures instead of computing from the parquet input. A lazy
+    localCheckpoint materializes fresh RDD partitions on each
+    invocation's first job and is garbage-collected with the DataFrame,
+    so every run pays the full signature computation while still
+    computing it exactly once within the run."""
+    return sig.localCheckpoint(eager=False)
 
 
 def minhash_lsh_pairs(
@@ -188,13 +173,10 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc_id"),
         minhash_signature(F.col(text_col), k, shingle_n).alias("sig"),
     )
-    # signatures are computed once and reused on three plan branches
-    # (banding + two pair-side joins) AND across repeated runs of the
-    # same query (gate runs, warm bench runs) — persist keyed by the
-    # plan's semantic hash, bounded to the most recent entries so
-    # repeated registry/gate runs in one session can't accumulate
-    # unbounded pinned executor memory
-    sig = _cached_signatures(sig)
+    # signatures are computed once per invocation and reused on three
+    # plan branches (banding + two pair-side joins); see
+    # _shared_signatures for why this must NOT persist across runs
+    sig = _shared_signatures(sig)
     banded = sig.select(
         "doc_id",
         "sig",
