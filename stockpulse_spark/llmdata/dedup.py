@@ -30,9 +30,49 @@ from pyspark.sql import functions as F
 from stockpulse_spark.llmdata.hashing import word32_sql
 
 
-def word_ngrams(text: Column, n: int) -> Column:
+def word_ngrams_sql(text_sql: str, n: int) -> str:
+    """SQL-text form of word_ngrams over a column reference / SQL
+    fragment — one F.expr() parse instead of ~30 py4j round trips of
+    Column-object construction (optimization r11: query construction
+    runs inside the bench's timed region; the JVM SQL parser builds the
+    same expression tree in one call). Semantically identical to
+    word_ngrams below — every function and guard mirrored 1:1."""
+    w = f"split({text_sql}, ' ')"
+    m = f"(size({w}) - {n - 1})"
+    z = f"slice({w}, 1, {m})"
+    for k in range(1, n):
+        z = (
+            f"zip_with({z}, slice({w}, {k + 1}, {m}), "
+            f"(a, b) -> concat_ws(' ', a, b))"
+        )
+    return f"CASE WHEN {m} < 1 THEN CAST(array() AS ARRAY<STRING>) ELSE {z} END"
+
+
+def shingles_sql(text_sql: str, n: int = 3) -> str:
+    """SQL-text form of shingles (array_distinct over word_ngrams)."""
+    return f"array_distinct({word_ngrams_sql(text_sql, n)})"
+
+
+def minhash_signature_sql(text_sql: str, k: int = 16, shingle_n: int = 3) -> str:
+    """SQL-text form of minhash_signature — same expression tree via
+    one parser call (see word_ngrams_sql)."""
+    sh = shingles_sql(text_sql, shingle_n)
+    digests = ", ".join(
+        f"md5(encode(concat('{j}|', s), 'utf-8'))" for j in range(k)
+    )
+    per_shingle = f"transform({sh}, s -> array({digests}))"
+    nulls = f"array_repeat(CAST(NULL AS STRING), {k})"
+    folded = (
+        f"aggregate({per_shingle}, {nulls}, "
+        f"(acc, hs) -> zip_with(acc, hs, (a, b) -> least(a, b)))"
+    )
+    return f"CASE WHEN ({sh}) IS NULL THEN {nulls} ELSE {folded} END"
+
+
+def word_ngrams(text: Column | str, n: int) -> Column:
     """Ordered (non-distinct) word n-grams of a text column, joined
-    by single spaces.
+    by single spaces. Accepts a column NAME (built via one F.expr
+    parse — see word_ngrams_sql) or a Column expression (tree form).
 
     Round 10 (the 1000x decade finding): built with zip_with over n
     word-offset slices instead of `transform(sequence, i ->
@@ -49,6 +89,8 @@ def word_ngrams(text: Column, n: int) -> Column:
     (docs under n words get an empty array, never an illegal slice)
     and NULL text -> NULL.
     """
+    if isinstance(text, str):
+        return F.expr(word_ngrams_sql(f"`{text}`", n))
     w = F.split(text, " ")
     m = F.size(w) - (n - 1)  # n-gram count when positive
     z: Column | None = None
@@ -61,9 +103,11 @@ def word_ngrams(text: Column, n: int) -> Column:
     return F.when(m < 1, F.array().cast("array<string>")).otherwise(z)
 
 
-def shingles(text: Column, n: int = 3) -> Column:
+def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (word_ngrams +
     array_distinct; see word_ngrams for the round-10 zip_with form)."""
+    if isinstance(text, str):
+        return F.expr(shingles_sql(f"`{text}`", n))
     return F.array_distinct(word_ngrams(text, n))
 
 
@@ -78,7 +122,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def minhash_signature(text: Column, k: int = 16, shingle_n: int = 3) -> Column:
+def minhash_signature(
+    text: Column | str, k: int = 16, shingle_n: int = 3
+) -> Column:
     """k-permutation MinHash signature as an array of k hex strings.
 
     Permutation j is the md5 keyed by the salt prefix 'j|'; the min is
@@ -104,6 +150,8 @@ def minhash_signature(text: Column, k: int = 16, shingle_n: int = 3) -> Column:
     calls a two-parameter transform() lambda as (element, INDEX), so a
     two-arg closure would silently salt by shingle position.
     """
+    if isinstance(text, str):
+        return F.expr(minhash_signature_sql(f"`{text}`", k, shingle_n))
     sh = shingles(text, shingle_n)
     per_shingle = F.transform(
         sh,
@@ -171,30 +219,21 @@ def minhash_lsh_pairs(
     r = k // bands
     sig = df.select(
         F.col(id_col).alias("doc_id"),
-        minhash_signature(F.col(text_col), k, shingle_n).alias("sig"),
+        minhash_signature(text_col, k, shingle_n).alias("sig"),
     )
     # signatures are computed once per invocation and reused on three
     # plan branches (banding + two pair-side joins); see
     # _shared_signatures for why this must NOT persist across runs
     sig = _shared_signatures(sig)
+    band_cells = ", ".join(
+        f"struct({b} AS band_idx, md5(encode(concat_ws('|', "
+        f"slice(sig, {b * r + 1}, {r})), 'utf-8')) AS band_hash)"
+        for b in range(bands)
+    )
     banded = sig.select(
         "doc_id",
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.md5(
-                            F.encode(
-                                F.concat_ws("|", F.slice("sig", b * r + 1, r)), "utf-8"
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
+        F.explode(F.expr(f"array({band_cells})")).alias("band"),
     ).select("doc_id", "sig", "band.band_idx", "band.band_hash")
 
     # candidate pairs carry ONLY ids through the band self-join and the
@@ -235,10 +274,8 @@ def minhash_lsh_pairs(
     s1 = sig.select(F.col("doc_id").alias("doc_id_1"), F.col("sig").alias("sig1"))
     s2 = sig.select(F.col("doc_id").alias("doc_id_2"), F.col("sig").alias("sig2"))
     enriched = pairs.join(s1, "doc_id_1").join(s2, "doc_id_2")
-    est = F.size(
-        F.filter(
-            F.zip_with("sig1", "sig2", lambda a, b: a == b), lambda x: x
-        )
+    est = F.expr(
+        f"size(filter(zip_with(sig1, sig2, (a, b) -> (a = b)), x -> x))"
     ) / F.lit(float(k))
     return (
         enriched.select("doc_id_1", "doc_id_2", est.alias("est_jaccard"))
