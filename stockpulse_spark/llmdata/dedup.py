@@ -171,6 +171,37 @@ def minhash_signature(
     return F.when(sh.isNull(), nulls).otherwise(folded)
 
 
+
+def minhash_sig_from_shingles_sql(sh_sql: str, k: int = 16) -> str:
+    """Signature from an ALREADY-PROJECTED shingle-array column.
+
+    Two-select shape (optimization r11): computing the shingle array
+    once into its own projection and taking k separate
+    array_min(transform(sh, s -> md5(...))) walks beats the
+    transform+aggregate/zip_with fold by ~25% measured (interleaved
+    noop A/B at sf0.1: 1.06s -> 0.82s) — the fold allocates a k-element
+    array per shingle per row, the k walks allocate none, and each
+    transform's argument is a cheap attribute read so nothing upstream
+    is re-evaluated (the round-10 interpreted-HOF capture rule).
+    CollapseProject keeps the barrier: the shingle expression is
+    non-cheap and referenced k+1 times, so Catalyst does not re-inline
+    it. Output is bit-identical to minhash_signature: array_min and
+    least share the UTF8 ordering and NULL-skip, an empty shingle
+    array gives array_min(empty) = NULL in every slot, and a NULL
+    array hits the same all-NULL guard.
+    """
+    mins = ", ".join(
+        f"array_min(transform({sh_sql}, "
+        f"s -> md5(encode(concat('{j}|', s), 'utf-8'))))"
+        for j in range(k)
+    )
+    return (
+        f"CASE WHEN {sh_sql} IS NULL "
+        f"THEN array_repeat(CAST(NULL AS STRING), {k}) "
+        f"ELSE array({mins}) END"
+    )
+
+
 def _shared_signatures(sig: DataFrame) -> DataFrame:
     """Materialize the signature table once PER QUERY INVOCATION so the
     three plan branches that read it (banding + the two pair-side
@@ -219,7 +250,10 @@ def minhash_lsh_pairs(
     r = k // bands
     sig = df.select(
         F.col(id_col).alias("doc_id"),
-        minhash_signature(text_col, k, shingle_n).alias("sig"),
+        F.expr(shingles_sql(f"`{text_col}`", shingle_n)).alias("__sh"),
+    ).select(
+        "doc_id",
+        F.expr(minhash_sig_from_shingles_sql("__sh", k)).alias("sig"),
     )
     # signatures are computed once per invocation and reused on three
     # plan branches (banding + two pair-side joins); see
