@@ -381,7 +381,7 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         *grp,
-        shingles(F.col(text_col), shingle_n).alias("sh"),
+        shingles(text_col, shingle_n).alias("sh"),
     )
     tok = sh.select("doc_id", "grp", F.explode("sh").alias("s"))
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
@@ -445,12 +445,12 @@ def dedup_gate(
     bsig = batch.select(
         F.col(batch_id_col),
         F.md5(text_col).alias("th"),
-        minhash_signature(F.col(text_col), k).alias("sig"),
+        minhash_signature(text_col, k).alias("sig"),
     )
     csig = corpus.select(
         F.col(corpus_id_col),
         F.md5(text_col).alias("th"),
-        minhash_signature(F.col(text_col), k).alias("sig"),
+        minhash_signature(text_col, k).alias("sig"),
     )
     exact = (
         bsig.join(csig.select("th").distinct(), "th", "left_semi")
@@ -542,7 +542,7 @@ def exact_jaccard_pairs_inverted(
     """
     sh0 = df.select(
         F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col), shingle_n).alias("sh"),
+        shingles(text_col, shingle_n).alias("sh"),
     ).filter(F.size("sh") > 0)
     tok = sh0.select("doc_id", F.explode("sh").alias("s"))
     if df_cap is not None:

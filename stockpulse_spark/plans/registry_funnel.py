@@ -67,7 +67,7 @@ def q_doc_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # stage 2: exact Jaccard computed ONLY for candidate pairs — the
     # expensive set intersection touches ~|near-dups| pairs, never n²
-    sh = corpus.select("doc_id", shingles(F.col("text")).alias("sh"))
+    sh = corpus.select("doc_id", shingles("text").alias("sh"))
     s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
     enriched = cand.join(s1, "doc_id_1").join(s2, "doc_id_2")
@@ -508,7 +508,7 @@ def q_doc_dedup_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = minhash_lsh_pairs(corpus, k=16, bands=8, threshold=0.0).select(
         "doc_id_1", "doc_id_2"
     )
-    sh = corpus.select("doc_id", shingles(F.col("text")).alias("sh"))
+    sh = corpus.select("doc_id", shingles("text").alias("sh"))
     s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
     jac = (

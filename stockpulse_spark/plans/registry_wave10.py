@@ -118,7 +118,7 @@ def q_lsh_precision_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _mutated_corpus(spark, sf_dir)
     pairs = minhash_lsh_pairs(corpus, k=16, bands=8, threshold=0.5)
     sh = corpus.select(
-        "doc_id", shingles(F.col("text"), 3).alias("sh")
+        "doc_id", shingles("text", 3).alias("sh")
     )
     a = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
     b = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
@@ -474,7 +474,7 @@ def q_lsh_band_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, bands = 16, 8
     r = k // bands
     sig = corpus.select(
-        "doc_id", minhash_signature(F.col("text"), k, 3).alias("sig")
+        "doc_id", minhash_signature("text", k, 3).alias("sig")
     )
     banded = sig.select(
         "doc_id",
