@@ -232,20 +232,38 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
-    signature (k mins) → `bands` band-hashes → self-join on
-    (band_idx, band_hash) → distinct (id1 < id2) pairs → estimated
-    Jaccard = fraction of matching signature positions ≥ threshold.
-    Sub-quadratic: only docs sharing a band bucket are compared.
+    signature (k mins) → `bands` band-hashes → ONE shuffle grouping
+    (band_idx, band_hash) into capped member buckets → in-bucket
+    pairwise expansion (id1 < id2) with the estimated Jaccard
+    (matching signature positions / k) computed at emission →
+    distinct → threshold filter. Sub-quadratic: only docs sharing a
+    band bucket are compared.
+
+    Shape (optimization r11): the earlier formulation read the
+    signature table on THREE plan branches (band self-join plus two
+    per-side signature rejoins), which required a per-invocation
+    localCheckpoint to avoid recomputing signatures and paid seven
+    exchanges end to end. Grouping members per bucket reads the
+    signatures exactly once — no checkpoint, no rejoins, two exchanges
+    total (band groupBy + pair distinct). The deliberate trade: the
+    band exchange carries the k-hash signature (k·33 B ≈ 0.5 KB) per
+    (doc, band) instead of the id alone, but the two whole-table
+    signature rejoin shuffles and the self-join's second side
+    disappear, and per-key state stays bounded — a bucket array holds
+    ≤ bucket_cap member structs (64 · 0.5 KB = 32 KB worst case), the
+    same bound the cap already imposed on pair fan-out.
 
     `bucket_cap` is the boilerplate guard: a band bucket holding B
     docs contributes B²/2 pairs, so one shared header/footer across a
-    web crawl (cookie banners, license preambles) turns the self-join
-    quadratic on exactly the hottest key. Buckets larger than the cap
-    are DROPPED before the join — a bucket that big is boilerplate
-    evidence, not duplication evidence (its members still pair through
-    their other, content-derived bands). The skew is removed at the
-    source rather than absorbed, which is what survives a 100 TB crawl
-    with a million-document banner bucket.
+    web crawl (cookie banners, license preambles) turns the bucket
+    expansion quadratic on exactly the hottest key. Buckets larger
+    than the cap are DROPPED before expansion — a bucket that big is
+    boilerplate evidence, not duplication evidence (its members still
+    pair through their other, content-derived bands). The skew is
+    removed at the source rather than absorbed, which is what survives
+    a 100 TB crawl with a million-document banner bucket; the cap now
+    also bounds the grouped-member arrays, giving the one stateful
+    stage an O(cap) per-key memory certificate.
     """
     r = k // bands
     sig = df.select(
@@ -255,10 +273,6 @@ def minhash_lsh_pairs(
         "doc_id",
         F.expr(minhash_sig_from_shingles_sql("__sh", k)).alias("sig"),
     )
-    # signatures are computed once per invocation and reused on three
-    # plan branches (banding + two pair-side joins); see
-    # _shared_signatures for why this must NOT persist across runs
-    sig = _shared_signatures(sig)
     band_cells = ", ".join(
         f"struct({b} AS band_idx, md5(encode(concat_ws('|', "
         f"slice(sig, {b * r + 1}, {r})), 'utf-8')) AS band_hash)"
@@ -269,50 +283,25 @@ def minhash_lsh_pairs(
         "sig",
         F.explode(F.expr(f"array({band_cells})")).alias("band"),
     ).select("doc_id", "sig", "band.band_idx", "band.band_hash")
-
-    # candidate pairs carry ONLY ids through the band self-join and the
-    # distinct — shuffling the 16-hash signature arrays through
-    # dropDuplicates would dominate the cost; rejoin them afterwards
-    lite = banded.select("doc_id", "band_idx", "band_hash")
-    if bucket_cap is not None:
-        # the OVER-cap bucket set is tiny by construction (a handful of
-        # boilerplate keys), so broadcast it as an anti-join — the
-        # inner-join-on-ok-buckets formulation shuffled every row of
-        # `lite` a second time to meet a mostly-trivial filter
-        hot_buckets = (
-            lite.groupBy("band_idx", "band_hash")
-            .agg(F.count(F.lit(1)).alias("bucket_n"))
-            .filter(F.col("bucket_n") > bucket_cap)
-            .select("band_idx", "band_hash")
-        )
-        lite = lite.join(
-            F.broadcast(hot_buckets), ["band_idx", "band_hash"], "left_anti"
-        )
-    left = lite.alias("l")
-    right = lite.alias("r")
-    pairs = (
-        left.join(
-            right,
-            on=[
-                F.col("l.band_idx") == F.col("r.band_idx"),
-                F.col("l.band_hash") == F.col("r.band_hash"),
-                F.col("l.doc_id") < F.col("r.doc_id"),
-            ],
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_id_1"),
-            F.col("r.doc_id").alias("doc_id_2"),
-        )
-        .distinct()
+    buckets = banded.groupBy("band_idx", "band_hash").agg(
+        F.collect_list(F.struct("doc_id", "sig")).alias("members")
     )
-    s1 = sig.select(F.col("doc_id").alias("doc_id_1"), F.col("sig").alias("sig1"))
-    s2 = sig.select(F.col("doc_id").alias("doc_id_2"), F.col("sig").alias("sig2"))
-    enriched = pairs.join(s1, "doc_id_1").join(s2, "doc_id_2")
-    est = F.expr(
-        f"size(filter(zip_with(sig1, sig2, (a, b) -> (a = b)), x -> x))"
-    ) / F.lit(float(k))
+    if bucket_cap is not None:
+        buckets = buckets.filter(F.size("members") <= bucket_cap)
+    # in-bucket pairwise expansion; est_jaccard is computed at emission
+    # (deterministic per pair), so the distinct collapses the same pair
+    # surfacing via several bands without any signature rejoin
+    pair_expr = (
+        "flatten(transform(members, m1 -> "
+        "transform(filter(members, m2 -> m1.doc_id < m2.doc_id), "
+        "m2 -> struct(m1.doc_id AS doc_id_1, m2.doc_id AS doc_id_2, "
+        "size(filter(zip_with(m1.sig, m2.sig, (a, b) -> (a = b)), x -> x)) "
+        f"/ CAST({k} AS DOUBLE) AS est_jaccard))))"
+    )
     return (
-        enriched.select("doc_id_1", "doc_id_2", est.alias("est_jaccard"))
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_id_1", "p.doc_id_2", "p.est_jaccard")
+        .distinct()
         .filter(F.col("est_jaccard") >= threshold)
     )
 
