@@ -162,7 +162,6 @@ def srp_lsh_topk(
         )
         bits = v.crossJoin(F.broadcast(planes_df)).select(
             idname,
-            f"{idname}_v",
             "tidx",
             F.when(
                 dot(F.col(f"{idname}_v"), F.col("plane")) > 0,
@@ -171,22 +170,40 @@ def srp_lsh_topk(
             .otherwise(F.lit(0))
             .alias("bit"),
         )
-        return bits.groupBy(idname, f"{idname}_v", "tidx").agg(
+        return bits.groupBy(idname, "tidx").agg(
             F.sum("bit").cast("int").alias("bucket")
         )
 
+    # ids-only through the bucket equi-join and the pair dedup
+    # (optimization r11): vectors are rejoined only for the post-dedup
+    # cosine, and the per-VECTOR norm is computed once per side rather
+    # than twice per candidate pair (the norm fold is an interpreted
+    # higher-order function — per-candidate evaluation multiplied it by
+    # the candidate count). Pair set and cosine bits are unchanged.
     q = with_buckets(queries, "query_id")
     c = with_buckets(corpus, "neighbor_id")
     cand = (
         q.join(c, on=["tidx", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "query_id_v", "neighbor_id_v")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("query_id_v"),
+    ).withColumn("qn", norm(F.col("query_id_v")))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("neighbor_id_v"),
+    ).withColumn("cn", norm(F.col("neighbor_id_v")))
     cos = dot(F.col("query_id_v"), F.col("neighbor_id_v")) / (
-        norm(F.col("query_id_v")) * norm(F.col("neighbor_id_v"))
+        F.col("qn") * F.col("cn")
     )
-    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

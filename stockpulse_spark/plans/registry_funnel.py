@@ -409,24 +409,43 @@ def q_semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0))
             .alias("bit"),
         )
-        .groupBy("vec_id", "e", "tidx")
+        .groupBy("vec_id", "tidx")
         .agg(F.sum("bit").cast("int").alias("bucket"))
     )
-    a = buckets.select(
-        F.col("vec_id").alias("id1"), F.col("e").alias("e1"), "tidx", "bucket"
-    )
-    b = buckets.select(
-        F.col("vec_id").alias("id2"), F.col("e").alias("e2"), "tidx", "bucket"
-    )
+    # ids-only through the bucket join and the pair dedup (optimization
+    # r11): the earlier shape carried both 64-double vectors through
+    # the join and the dropDuplicates shuffle (~60x the bytes) and
+    # recomputed norm() per CANDIDATE (2 interpreted 64-element folds
+    # on each of ~460k pairs at sf0.1); norms are per-VECTOR values,
+    # so compute them once per vector and rejoin vectors only for the
+    # post-dedup cosine. Pair set and cosine bits are unchanged.
+    a = buckets.select(F.col("vec_id").alias("id1"), "tidx", "bucket")
+    b = buckets.select(F.col("vec_id").alias("id2"), "tidx", "bucket")
     cand = (
         a.join(b, ["tidx", "bucket"])
         .filter(F.col("id1") < F.col("id2"))
         .dropDuplicates(["id1", "id2"])
     )
+    vec = spark_emb.select("vec_id", "e", norm(F.col("e")).alias("n"))
     edges = (
-        cand.filter(
-            dot(F.col("e1"), F.col("e2"))
-            / (norm(F.col("e1")) * norm(F.col("e2")))
+        cand.join(
+            vec.select(
+                F.col("vec_id").alias("id1"),
+                F.col("e").alias("e1"),
+                F.col("n").alias("n1"),
+            ),
+            "id1",
+        )
+        .join(
+            vec.select(
+                F.col("vec_id").alias("id2"),
+                F.col("e").alias("e2"),
+                F.col("n").alias("n2"),
+            ),
+            "id2",
+        )
+        .filter(
+            dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
             >= 0.5
         )
         .select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
