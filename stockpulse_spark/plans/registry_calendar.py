@@ -145,43 +145,51 @@ def q_market_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     "floor-bucketed, LEFT ANTI join, per-day collect.",
 )
 def q_missing_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Optimization r11: the grid/anti-join formulation exploded
+    # days x 78 slots (~2M rows at sf0.1) through two distinct
+    # shuffles and a left-anti shuffle before re-grouping. The same
+    # report is ONE partial-aggregating groupBy over the raw events:
+    # an event's observed slot index is arithmetic on unix_micros
+    # (5-min epoch bucket 114..191 of its UTC day), the per-day
+    # missing set is filter(sequence(0,77), not in observed), and the
+    # day/holiday gates apply to the ~78x-smaller grouped result.
+    # Days with a full grid drop out via size(mi) > 0 exactly as they
+    # produced no anti-join survivors before. Slot-time strings are
+    # built by minute arithmetic per element (no captured-expression
+    # higher-order lambda), ascending by construction — identical to
+    # the sorted date_format output.
     ev = _t(spark, sf_dir, "events")
     hol = us_federal_holidays(spark, _HOLIDAY_YEARS)
-    days = (
-        ev.select("user_id", F.to_date("ts").alias("d"))
-        .distinct()
+    slot = F.expr("(unix_micros(ts) div 300000000) % 288")
+    grouped = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            F.when(
+                slot.between(114, 191), (slot - 114).cast("int")
+            ).alias("i"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.collect_set("i").alias("obs"))
         .filter(F.dayofweek("d").isin(2, 3, 4, 5, 6))
         .join(
             F.broadcast(hol), on=F.col("d") == F.col("holiday_date"), how="left_anti"
         )
     )
-    grid = days.select(
-        "user_id",
-        "d",
-        F.explode(F.sequence(F.lit(0), F.lit(77))).alias("i"),
-    ).select(
-        "user_id",
-        "d",
-        (
-            F.to_timestamp("d")
-            + F.make_interval(mins=F.lit(570) + F.col("i") * 5)
-        ).alias("slot_ts"),
+    mi = F.expr("filter(sequence(0, 77), x -> NOT array_contains(obs, x))")
+    times = F.expr(
+        "transform(mi, x -> concat("
+        "lpad(CAST((570 + 5 * x) div 60 AS STRING), 2, '0'), ':', "
+        "lpad(CAST((570 + 5 * x) % 60 AS STRING), 2, '0'), ':00'))"
     )
-    observed = ev.select(
-        "user_id",
-        F.timestamp_seconds(F.expr("unix_micros(ts) div 300000000") * 300).alias(
-            "slot_ts"
-        ),
-    ).distinct()
-    missing = grid.join(observed, on=["user_id", "slot_ts"], how="left_anti")
     return (
-        missing.groupBy("user_id", F.col("d").alias("date"))
-        .agg(
-            F.count(F.lit(1)).alias("n_missing"),
-            F.concat_ws(
-                ",",
-                F.sort_array(F.collect_list(F.date_format("slot_ts", "HH:mm:ss"))),
-            ).alias("missing_times"),
+        grouped.select("user_id", F.col("d").alias("date"), mi.alias("mi"))
+        .filter(F.size("mi") > 0)
+        .select(
+            "user_id",
+            "date",
+            F.size("mi").cast("long").alias("n_missing"),
+            F.concat_ws(",", times).alias("missing_times"),
         )
         .orderBy("user_id", "date")
     )
