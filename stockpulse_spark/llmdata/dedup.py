@@ -367,11 +367,15 @@ def ngram_jaccard_pairs(
         if group_col
         else [F.lit(1).alias("grp")]
     )
+    # one per-invocation materialization of the shingle arrays: the
+    # frame feeds THREE plan branches (both self-join sides via tok,
+    # plus sizes) and shingling — split + n-grams + distinct per doc —
+    # is the expensive part; unpinned, each branch recomputes it
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         *grp,
         shingles(text_col, shingle_n).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)
     tok = sh.select("doc_id", "grp", F.explode("sh").alias("s"))
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     l, r = tok.alias("l"), tok.alias("r")
@@ -533,7 +537,14 @@ def exact_jaccard_pairs_inverted(
         F.col(id_col).alias("doc_id"),
         shingles(text_col, shingle_n).alias("sh"),
     ).filter(F.size("sh") > 0)
-    tok = sh0.select("doc_id", F.explode("sh").alias("s"))
+    # materialize the exploded index once per invocation: it feeds the
+    # document-frequency pass AND (df-capped) the sizes pass plus both
+    # self-join sides — unpinned, the shingle computation re-runs on
+    # every branch (4x); the df-capped frame is pinned a second time so
+    # the cap join itself also runs once, not three times
+    tok = sh0.select("doc_id", F.explode("sh").alias("s")).localCheckpoint(
+        eager=False
+    )
     if df_cap is not None:
         rare = (
             tok.groupBy("s")
@@ -541,7 +552,7 @@ def exact_jaccard_pairs_inverted(
             .filter(F.col("__df") <= df_cap)
             .select("s")
         )
-        tok = tok.join(rare, "s")
+        tok = tok.join(rare, "s").localCheckpoint(eager=False)
     sh = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     l, r = tok.alias("l"), tok.alias("r")
     inter = (

@@ -592,7 +592,11 @@ _LSH_CAND_CTES = f"""
     "shingle document-frequency, mirroring the band-bucket cap.",
 )
 def q_minhash_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _mutated_corpus(spark, sf_dir)
+    # pin the mutation CTE once per invocation: the truth and the
+    # candidate branches both consume it, and the mutation chain
+    # (regex text rewrites over the whole corpus) is itself a
+    # measurable fraction of the query
+    corpus = _mutated_corpus(spark, sf_dir).localCheckpoint(eager=False)
     truth = exact_jaccard_pairs_inverted(corpus)
     cand = minhash_lsh_pairs(corpus, k=16, bands=8, threshold=0.5).select(
         "doc_id_1", "doc_id_2", F.lit(1).alias("__hit")
