@@ -265,13 +265,46 @@ def minhash_lsh_pairs(
     also bounds the grouped-member arrays, giving the one stateful
     stage an O(cap) per-key memory certificate.
     """
-    r = k // bands
-    sig = df.select(
+    sh_df = df.select(
         F.col(id_col).alias("doc_id"),
         F.expr(shingles_sql(f"`{text_col}`", shingle_n)).alias("__sh"),
-    ).select(
-        "doc_id",
-        F.expr(minhash_sig_from_shingles_sql("__sh", k)).alias("sig"),
+    )
+    return minhash_lsh_pairs_from_shingles(
+        sh_df,
+        sh_col="__sh",
+        id_col="doc_id",
+        k=k,
+        bands=bands,
+        threshold=threshold,
+        bucket_cap=bucket_cap,
+    )
+
+
+def minhash_lsh_pairs_from_shingles(
+    sh_df: DataFrame,
+    sh_col: str = "sh",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    bucket_cap: int | None = 64,
+) -> DataFrame:
+    """minhash_lsh_pairs from an ALREADY-COMPUTED shingle-array frame
+    `(id_col, sh_col)`.
+
+    Callers that also need the shingle sets downstream (the funnel /
+    pipeline / precision queries all re-join shingles for the exact
+    Jaccard verify) compute the shingle frame once, pin it with one
+    lazy localCheckpoint, and pass it here — the candidate stage and
+    the verify stage then share one shingle computation per invocation
+    instead of running the corpus mutation + shingle transform twice
+    (optimization r11; same per-invocation-pin policy as
+    _shared_signatures, no reuse across invocations).
+    """
+    r = k // bands
+    sig = sh_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(minhash_sig_from_shingles_sql(f"`{sh_col}`", k)).alias("sig"),
     )
     band_cells = ", ".join(
         f"struct({b} AS band_idx, md5(encode(concat_ws('|', "
@@ -435,16 +468,22 @@ def dedup_gate(
     ('exact_dup', 'near_dup', 'new'); precedence exact > near > new.
     """
     r = k // bands
+    # pin both signature frames once per invocation: bsig is read on
+    # THREE plan branches (exact tier, band tier, final verdict spine)
+    # and csig on two (exact tier's distinct, band tier), so without
+    # the pins each branch re-ran the md5 + k-permutation MinHash over
+    # its input (optimization r11; same per-invocation-pin policy as
+    # _shared_signatures — no reuse across invocations)
     bsig = batch.select(
         F.col(batch_id_col),
         F.md5(text_col).alias("th"),
         minhash_signature(text_col, k).alias("sig"),
-    )
+    ).localCheckpoint(eager=False)
     csig = corpus.select(
         F.col(corpus_id_col),
         F.md5(text_col).alias("th"),
         minhash_signature(text_col, k).alias("sig"),
-    )
+    ).localCheckpoint(eager=False)
     exact = (
         bsig.join(csig.select("th").distinct(), "th", "left_semi")
         .select(batch_id_col)
@@ -536,6 +575,26 @@ def exact_jaccard_pairs_inverted(
     sh0 = df.select(
         F.col(id_col).alias("doc_id"),
         shingles(text_col, shingle_n).alias("sh"),
+    )
+    return exact_jaccard_pairs_inverted_from_shingles(
+        sh0, sh_col="sh", id_col="doc_id", df_cap=df_cap
+    )
+
+
+def exact_jaccard_pairs_inverted_from_shingles(
+    sh_df: DataFrame,
+    sh_col: str = "sh",
+    id_col: str = "doc_id",
+    df_cap: int | None = 64,
+) -> DataFrame:
+    """exact_jaccard_pairs_inverted from an ALREADY-COMPUTED shingle
+    frame `(id_col, sh_col)` — callers that run both the exact ground
+    truth and an approximate candidate stage over the same corpus
+    (minhash_lsh_recall_eval) pin ONE shingle frame and feed it to
+    both, so the corpus mutation + shingle transform run once per
+    invocation instead of once per stage (optimization r11)."""
+    sh0 = sh_df.select(
+        F.col(id_col).alias("doc_id"), F.col(sh_col).alias("sh")
     ).filter(F.size("sh") > 0)
     # materialize the exploded index once per invocation: it feeds the
     # document-frequency pass AND (df-capped) the sizes pass plus both

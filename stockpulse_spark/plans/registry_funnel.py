@@ -58,16 +58,27 @@ from stockpulse_spark.plans.registry_llmdata import (
     "the expensive exact Jaccard touches ~|near-dups| pairs, not n².",
 )
 def q_doc_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stockpulse_spark.llmdata.dedup import shingles
+    from stockpulse_spark.llmdata.dedup import (
+        minhash_lsh_pairs_from_shingles,
+        shingles,
+    )
 
     corpus = _mutated_corpus(spark, sf_dir)
+    # one shingle computation per invocation, shared by the candidate
+    # stage (signatures) and the verify stage (exact Jaccard): pin the
+    # shingle frame with a lazy per-invocation localCheckpoint
+    # (optimization r11 — the corpus mutation + shingle transform
+    # previously ran twice, once inside minhash_lsh_pairs and once for
+    # the verify rejoin)
+    sh = corpus.select(
+        "doc_id", shingles("text").alias("sh")
+    ).localCheckpoint(eager=False)
     # stage 1: sub-quadratic candidates (ids only)
-    cand = minhash_lsh_pairs(corpus, k=16, bands=8, threshold=0.0).select(
-        "doc_id_1", "doc_id_2"
-    )
+    cand = minhash_lsh_pairs_from_shingles(
+        sh, sh_col="sh", k=16, bands=8, threshold=0.0
+    ).select("doc_id_1", "doc_id_2")
     # stage 2: exact Jaccard computed ONLY for candidate pairs — the
     # expensive set intersection touches ~|near-dups| pairs, never n²
-    sh = corpus.select("doc_id", shingles("text").alias("sh"))
     s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
     enriched = cand.join(s1, "doc_id_1").join(s2, "doc_id_2")
@@ -163,12 +174,16 @@ def q_doc_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stockpulse_spark.llmdata.dedup import simhash32
 
     corpus = _mutated_corpus(spark, sf_dir)
+    # pin once per invocation: the two pigeonhole half-joins read this
+    # frame on FOUR plan branches (each join's two sides), and without
+    # the pin each branch re-ran simhash32's token explode + 32-vote
+    # aggregation over the mutated corpus (optimization r11)
     sim = simhash32(corpus).select(
         "doc_id",
         "simhash",
         F.expr("CAST(simhash div 65536 AS BIGINT)").alias("hi"),
         (F.col("simhash") % 65536).alias("lo"),
-    )
+    ).localCheckpoint(eager=False)
     # an OR join condition would plan as BroadcastNestedLoopJoin (n²);
     # pigeonhole as TWO hash equi-joins (one per half) unioned+distinct
     def half_join(col: str):
@@ -283,7 +298,12 @@ def q_doc_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pfx = F.md5(
         F.encode(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 10)), "utf-8")
     )
-    keyed = corpus.select("doc_id", "text", pfx.alias("pfx"))
+    # pin once per invocation: both sides of the blocking self-join
+    # read this frame, so the corpus mutation + prefix hash previously
+    # ran twice (optimization r11)
+    keyed = corpus.select(
+        "doc_id", "text", pfx.alias("pfx")
+    ).localCheckpoint(eager=False)
     l = keyed.select(
         F.col("doc_id").alias("doc_id_1"), F.col("text").alias("t1"), "pfx"
     )
@@ -520,14 +540,22 @@ def q_semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inherits the 100 TB posture.",
 )
 def q_doc_dedup_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stockpulse_spark.llmdata.dedup import shingles
+    from stockpulse_spark.llmdata.dedup import (
+        minhash_lsh_pairs_from_shingles,
+        shingles,
+    )
     from stockpulse_spark.operators.dedup import connected_components
 
     corpus = _mutated_corpus(spark, sf_dir)
-    cand = minhash_lsh_pairs(corpus, k=16, bands=8, threshold=0.0).select(
-        "doc_id_1", "doc_id_2"
-    )
-    sh = corpus.select("doc_id", shingles("text").alias("sh"))
+    # pin the shingle frame once per invocation — candidates, verify
+    # and the vertex set all read it (optimization r11; previously the
+    # corpus mutation ran three times and the shingle transform twice)
+    sh = corpus.select(
+        "doc_id", shingles("text").alias("sh")
+    ).localCheckpoint(eager=False)
+    cand = minhash_lsh_pairs_from_shingles(
+        sh, sh_col="sh", k=16, bands=8, threshold=0.0
+    ).select("doc_id_1", "doc_id_2")
     s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
     jac = (
@@ -540,8 +568,10 @@ def q_doc_dedup_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.6)
         .select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
     )
+    # vertices from the pinned frame (row-for-row the corpus ids) —
+    # avoids a third execution of the corpus mutation chain
     labels = connected_components(
-        verified, vertices=corpus.select("doc_id"), id_col="doc_id"
+        verified, vertices=sh.select("doc_id"), id_col="doc_id"
     )
     return labels.select(
         "doc_id",

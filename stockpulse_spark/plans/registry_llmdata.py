@@ -19,9 +19,11 @@ from pyspark.sql import functions as F
 
 from stockpulse_spark.llmdata.dedup import (
     exact_dedup,
-    exact_jaccard_pairs_inverted,
+    exact_jaccard_pairs_inverted_from_shingles,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_from_shingles,
     ngram_jaccard_pairs,
+    shingles,
     simhash32,
 )
 from stockpulse_spark.llmdata.hashing import word32_sql
@@ -592,15 +594,20 @@ _LSH_CAND_CTES = f"""
     "shingle document-frequency, mirroring the band-bucket cap.",
 )
 def q_minhash_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # pin the mutation CTE once per invocation: the truth and the
-    # candidate branches both consume it, and the mutation chain
-    # (regex text rewrites over the whole corpus) is itself a
-    # measurable fraction of the query
-    corpus = _mutated_corpus(spark, sf_dir).localCheckpoint(eager=False)
-    truth = exact_jaccard_pairs_inverted(corpus)
-    cand = minhash_lsh_pairs(corpus, k=16, bands=8, threshold=0.5).select(
-        "doc_id_1", "doc_id_2", F.lit(1).alias("__hit")
-    )
+    # pin ONE shingle frame once per invocation: the exact-Jaccard
+    # truth and the LSH candidate stage both consume it, so the
+    # mutation chain AND the shingle transform run once instead of
+    # once per stage (optimization r11 — this subsumes the earlier
+    # corpus-level pin: the only non-shingle column either stage needs
+    # is doc_id, which the shingle frame carries)
+    corpus = _mutated_corpus(spark, sf_dir)
+    sh = corpus.select(
+        "doc_id", shingles("text").alias("sh")
+    ).localCheckpoint(eager=False)
+    truth = exact_jaccard_pairs_inverted_from_shingles(sh, sh_col="sh")
+    cand = minhash_lsh_pairs_from_shingles(
+        sh, sh_col="sh", k=16, bands=8, threshold=0.5
+    ).select("doc_id_1", "doc_id_2", F.lit(1).alias("__hit"))
     j = truth.join(cand, ["doc_id_1", "doc_id_2"], "left")
     bucket = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("int")
     out = (

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from stockpulse_spark.llmdata.dedup import (
     minhash_lsh_pairs,
+    minhash_lsh_pairs_from_shingles,
     minhash_signature,
     shingles,
 )
@@ -116,9 +117,15 @@ from stockpulse_spark.plans.registry_llmdata import (
 )
 def q_lsh_precision_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _mutated_corpus(spark, sf_dir)
-    pairs = minhash_lsh_pairs(corpus, k=16, bands=8, threshold=0.5)
+    # pin the shingle frame once per invocation — the LSH candidate
+    # stage (signatures) and the exact-Jaccard scoring both read it
+    # (optimization r11; previously the corpus mutation + shingle
+    # transform ran twice)
     sh = corpus.select(
         "doc_id", shingles("text", 3).alias("sh")
+    ).localCheckpoint(eager=False)
+    pairs = minhash_lsh_pairs_from_shingles(
+        sh, sh_col="sh", k=16, bands=8, threshold=0.5
     )
     a = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"))
     b = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"))
@@ -497,6 +504,10 @@ def q_lsh_band_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
+    # pin once per invocation: the orig and mut branches both read the
+    # banded frame, so the MinHash signature previously computed twice
+    # (optimization r11)
+    banded = banded.localCheckpoint(eager=False)
     orig = banded.filter(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("oid"),
         "band_idx",
@@ -597,6 +608,11 @@ def q_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.size(F.split("text", " ")))
         .alias("n_tok"),
     )
+    # pin once per invocation: the keeper aggregation and the marking
+    # join both read this frame, so the md5 fingerprint + token count
+    # over the doubled corpus previously computed twice (optimization
+    # r11)
+    base = base.localCheckpoint(eager=False)
     keepers = (
         base.filter(F.col("fp").isNotNull())
         .groupBy("fp")
