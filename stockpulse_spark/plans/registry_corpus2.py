@@ -229,6 +229,11 @@ def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles.alias("grams"),
         (F.expr(hex_to_int_sql("md5(text)")) % 100).alias("bucket"),
     )
+    # pin once per invocation: b is read by the eval-gram pass, the
+    # train-gram pass and the final per-source join — unpinned, the
+    # n-gram transform over the whole corpus executed 3x
+    # (optimization r11)
+    b = b.localCheckpoint(eager=False)
     eval_grams = (
         b.filter(F.col("bucket") >= 90)
         .select(F.explode("grams").alias("g"))
@@ -419,11 +424,20 @@ def q_decontamination_bloom_funnel(spark: SparkSession, sf_dir: str) -> DataFram
         shingles.alias("grams"),
         (F.expr(hex_to_int_sql("md5(text)")) % 100).alias("bucket"),
     )
+    # pin once per invocation: b is read on four plan branches (the
+    # eval grams feed the bloom build EAGERLY and the exact residual
+    # join — see bloom_semi_join — plus the train-gram pass and the
+    # final per-source join), each of which otherwise re-ran the
+    # n-gram transform over the whole corpus (optimization r11)
+    b = b.localCheckpoint(eager=False)
+    # the eval gram-hash set is itself read twice (bloom build + exact
+    # residual semi-join) — pin the narrow distinct set too
     eval_grams = (
         b.filter(F.col("bucket") >= 90)
         .select(F.explode("grams").alias("g"))
         .select(F.md5("g").alias("gh"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     train = b.filter(F.col("bucket") < 90)
     train_grams = train.select(
@@ -591,6 +605,11 @@ def q_decontamination_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.expr(hex_to_int_sql("md5(text)")) % 100).alias("bucket"),
         F.split("text", " ").alias("w"),
     )
+    # pin once per invocation: b feeds the eval-gram pass plus all
+    # four planted-cohort branches, and the planted union is itself
+    # read twice (gram explode + final recall join) — unpinned, the
+    # split + md5-bucket scan executed up to 9x (optimization r11)
+    b = b.localCheckpoint(eager=False)
     ev = b.filter((F.col("bucket") >= 90) & (F.size("w") >= 25))
     # residue-class planted ids (k=4, offsets 0-3): injective for any
     # input id range — migrated round 9 off the additive +3M/+4M/+5M

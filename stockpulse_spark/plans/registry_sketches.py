@@ -62,6 +62,10 @@ _K = 15  # inclusion-exclusion bound multiplier (3 sketches wide)
     "so zero-overlap pairs are absent on both engines identically.",
 )
 def q_audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pin once per invocation: the distinct (type, user) frame is read
+    # on FOUR plan branches (both overlap self-join sides, the
+    # per-type sketch, and the pairwise union pass) — unpinned, the
+    # events scan + distinct shuffle executed 4x (optimization r11)
     du = (
         _t(spark, sf_dir, "events")
         .filter(
@@ -69,6 +73,7 @@ def q_audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "user_id")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     a = du.select(
         F.col("event_type").alias("type_a"), F.col("user_id").alias("u")

@@ -246,13 +246,18 @@ def q_dedup_keeper_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w2 = F.split("text", " ")
     n2 = F.size(w2)
+    # pin once per invocation: this frame is read on EIGHT plan
+    # branches (per key: both self-join sides + the hot-bucket agg;
+    # plus the CC vertex set and the final join spine), each of which
+    # otherwise re-ran the 3-way corpus union + both md5 block keys
+    # (optimization r11)
     keyed = corpus3.select(
         "doc_id",
         F.md5(F.encode(F.concat_ws(" ", F.slice(w2, 1, 10)), "utf-8")).alias("pfx"),
         F.md5(F.encode(F.concat_ws(" ", F.slice(w2, n2 - 9, 10)), "utf-8")).alias(
             "sfx"
         ),
-    )
+    ).localCheckpoint(eager=False)
     edges = None
     for key in ("pfx", "sfx"):
         l = keyed.select(F.col("doc_id").alias("src"), key)

@@ -158,14 +158,22 @@ def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slice) form re-split the text per shingle position (interpreted
     # HOF capture; see llmdata/dedup.word_ngrams)
     shingle3 = _sh3(F.col("text"), 3)
-    sh = corpus.select("doc_id", F.explode(shingle3).alias("g"))
+    # pin the exploded index and its df-capped form once per
+    # invocation (same policy as exact_jaccard_pairs_inverted): sh is
+    # read by the df pass and the cap join, keep by the sizes pass and
+    # both candidate self-join sides — unpinned, the planted-corpus
+    # shingle explode executed 4x (optimization r11)
+    sh = corpus.select(
+        "doc_id", F.explode(shingle3).alias("g")
+    ).localCheckpoint(eager=False)
     sdf = (
         sh.groupBy("g")
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") <= _CONTAIN_DF_CAP)
         .select("g")
     )
-    keep = sh.join(sdf, "g")  # unhinted: shingle-vocabulary-sized
+    # unhinted: shingle-vocabulary-sized
+    keep = sh.join(sdf, "g").localCheckpoint(eager=False)
     sizes = keep.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = keep.select(F.col("doc_id").alias("doc_id_1"), "g")
     b = keep.select(F.col("doc_id").alias("doc_id_2"), "g")
@@ -298,6 +306,12 @@ def q_containment_recall_eval(
             F.lit("copy_span4").alias("cohort"),
         )
     )
+    # pin once per invocation: the hit join AND the final recall join
+    # both read the planted union, and each branch of the union reads
+    # the md5-bucket + split filter — unpinned, that filter executed
+    # 4x. The pinned frame is three id/label columns, nothing wide
+    # (optimization r11).
+    planted = planted.localCheckpoint(eager=False)
     pairs = _containment_pairs(spark, sf_dir)
     hits = planted.join(
         pairs,
