@@ -120,11 +120,16 @@ def q_content_defined_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .filter(F.col("n_words") >= _MIN_WORDS)
     )
+    # pin once per invocation: the dedupable-mass total and the
+    # n_docs>=2 report branch both read this frame — unpinned, the
+    # whole chunk pipeline (posexplode + boundary window + two aggs)
+    # executed twice (optimization r11). The pinned frame is four
+    # narrow columns per distinct chunk hash.
     grp = chunks.groupBy("h").agg(
         F.max("n_words").alias("n_words"),
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_occurrences"),
-    )
+    ).localCheckpoint(eager=False)
     tot = grp.agg(
         F.sum(F.col("n_words") * F.col("n_occurrences")).alias("tot")
     )

@@ -584,6 +584,12 @@ def q_term_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    # NOTE (optimization r11): the sketch pass and the exact-tf pass
+    # both read the exploded token stream, but pinning it measured a
+    # LOSS (1.27 -> 1.36 s interleaved A/B at sf0.1): materializing
+    # one row per token costs more than re-running the scan + split,
+    # and both consumers partial-aggregate immediately. Deliberately
+    # left as two passes.
     toks = docs.select(F.explode(F.split("text", " ")).alias("term"))
     rb = F.explode(
         F.array(

@@ -126,6 +126,11 @@ def q_join_ivm_delta_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             term(F.lit(True), F.lit(True), "full_join"),
         ],
     )
+    # pin once per invocation: the IVM-law check aggregate and the
+    # final report both read the 5-term union — unpinned, all five
+    # orders-lineitem joins executed twice. The pinned frame is five
+    # rows (optimization r11).
+    terms = terms.localCheckpoint(eager=False)
     is_full = F.col("term") == "full_join"
     chk = terms.agg(
         F.sum(

@@ -475,9 +475,15 @@ def q_training_data_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__k", "__neg")
     )
+    # pin once per invocation: b (quality filter + exact-dedup window
+    # + bucket) is read by the eval-gram pass, the contamination pass
+    # and the clean anti-join — unpinned, the regex quality features
+    # and the dedup window shuffle re-ran on every branch, and the
+    # branch fan-out below multiplies that to ~9 executions
+    # (optimization r11)
     b = kept.withColumn(
         "bucket", F.expr(hex_to_int_sql("md5(text)")) % 100
-    )
+    ).localCheckpoint(eager=False)
     from stockpulse_spark.llmdata.dedup import word_ngrams
 
     # round 10: zip_with n-grams, md5 over the lambda variable only —
@@ -496,8 +502,13 @@ def q_training_data_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    clean = train.join(contaminated, "doc_id", "left_anti").select(
-        "doc_id", "source", "text"
+    # pin the decontaminated set too: the per-source token totals (via
+    # quota) and the running-sum sampling pass both read it, and each
+    # unpinned read re-ran the contamination join (optimization r11)
+    clean = (
+        train.join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source", "text")
+        .localCheckpoint(eager=False)
     )
     toks = F.size(F.split("text", " "))
     per_src = clean.groupBy("source").agg(F.sum(toks).alias("n_tokens"))

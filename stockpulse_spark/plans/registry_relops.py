@@ -50,9 +50,12 @@ def q_value_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     # asc_nulls_last everywhere: Spark ASC is NULLS FIRST, DuckDB
     # ORDER BY default is NULLS LAST — NULL values must rank last on
     # both engines (with_grouped_global_rank pins this)
+    # pin once per invocation: the tie-group pass and the final join's
+    # left side both read the ranked frame — unpinned, the global-rank
+    # decomposition executed twice (optimization r11)
     rn = with_grouped_global_rank(
         ev, ["event_type"], "value", "event_id", rank_col="__rn"
-    )
+    ).localCheckpoint(eager=False)
     # tie groups: duplicate (type, value, id) rows (fuzz plants full-
     # row duplicates) share rank/cume; min/count over the tie key
     ties = rn.groupBy("event_type", "value", "event_id").agg(
