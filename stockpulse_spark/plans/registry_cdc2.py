@@ -26,6 +26,55 @@ _MASK = 16  # boundary when word32(w) % 16 == 0 -> ~16-word chunks
 _MIN_WORDS = 2  # ignore sub-chunk fragments shorter than this
 
 
+def _chunk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk-hash groups (one scan, per-doc boundary window, one
+    chunk-hash shuffle) — split out unpinned so the plan-shape test can
+    assert the window/shuffle structure that the builder's
+    localCheckpoint pin hides from the outer explain."""
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("p0", "word"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            "word",
+            F.when(
+                F.expr(word32_sql("word")) % _MASK == 0, 1
+            ).otherwise(0).alias("bnd"),
+        )
+    )
+    wc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ch = tok.withColumn("chunk_id", F.sum("bnd").over(wc))
+    chunks = (
+        ch.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "word"))
+                        ),
+                        lambda s: s.getField("word"),
+                    ),
+                )
+            ).alias("h"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .filter(F.col("n_words") >= _MIN_WORDS)
+    )
+    return chunks.groupBy("h").agg(
+        F.max("n_words").alias("n_words"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+
+
 @_register(
     "content_defined_chunk_dedup",
     oracle=f"""
@@ -83,53 +132,12 @@ _MIN_WORDS = 2  # ignore sub-chunk fragments shorter than this
     "long-document complement to fixed-stride corpus_segment_dedup.",
 )
 def q_content_defined_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
-        .select("doc_id", F.posexplode(F.split("text", " ")).alias("p0", "word"))
-        .select(
-            "doc_id",
-            (F.col("p0") + 1).alias("pos"),
-            "word",
-            F.when(
-                F.expr(word32_sql("word")) % _MASK == 0, 1
-            ).otherwise(0).alias("bnd"),
-        )
-    )
-    wc = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    ch = tok.withColumn("chunk_id", F.sum("bnd").over(wc))
-    chunks = (
-        ch.groupBy("doc_id", "chunk_id")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "word"))
-                        ),
-                        lambda s: s.getField("word"),
-                    ),
-                )
-            ).alias("h"),
-            F.count(F.lit(1)).alias("n_words"),
-        )
-        .filter(F.col("n_words") >= _MIN_WORDS)
-    )
     # pin once per invocation: the dedupable-mass total and the
     # n_docs>=2 report branch both read this frame — unpinned, the
     # whole chunk pipeline (posexplode + boundary window + two aggs)
     # executed twice (optimization r11). The pinned frame is four
     # narrow columns per distinct chunk hash.
-    grp = chunks.groupBy("h").agg(
-        F.max("n_words").alias("n_words"),
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.count(F.lit(1)).alias("n_occurrences"),
-    ).localCheckpoint(eager=False)
+    grp = _chunk_groups(spark, sf_dir).localCheckpoint(eager=False)
     tot = grp.agg(
         F.sum(F.col("n_words") * F.col("n_occurrences")).alias("tot")
     )

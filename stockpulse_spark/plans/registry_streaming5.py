@@ -122,15 +122,22 @@ def _write_replay_chunks(
         F.ntile(_N_CHUNKS).over(Window.orderBy("ts", "event_id")),
     )
     stage = tempfile.mkdtemp(prefix="sp_outer_stage_")
+    # ONE partitioned write instead of _N_CHUNKS filtered writes: the
+    # old per-chunk loop re-executed the global-sort ntile window over
+    # the whole event set once PER chunk (8 full passes). partitionBy
+    # runs it once; the single window task emits exactly one part file
+    # per __c value, and partitionBy drops __c from the data files just
+    # like the old .drop("__c") did (optimization r11, guide §1.2).
+    chunked.write.partitionBy("__c").mode("overwrite").parquet(stage)
     base = 1_700_000_000
     for i in range(1, _N_CHUNKS + 1):
-        out = os.path.join(stage, f"c{i}")
-        chunked.filter(F.col("__c") == i).drop("__c").coalesce(
-            1
-        ).write.mode("overwrite").parquet(out)
-        src = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+        srcs = glob.glob(os.path.join(stage, f"__c={i}", "part-*.parquet"))
+        if len(srcs) != 1:  # single global-window task → one file/chunk
+            raise RuntimeError(
+                f"replay chunk {i}: expected 1 part file, got {len(srcs)}"
+            )
         dst = os.path.join(watch, f"chunk_{i:03d}.parquet")
-        shutil.move(src, dst)
+        shutil.move(srcs[0], dst)
         os.utime(dst, (base + i, base + i))
     shutil.rmtree(stage, ignore_errors=True)
     return watch

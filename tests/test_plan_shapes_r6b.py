@@ -161,12 +161,27 @@ def test_salted_join_is_shuffled_hash_on_salted_key(spark):
 def test_cdc_chunk_dedup_one_scan_shape(spark):
     """One scan, per-doc windows, one chunk-hash shuffle: no join of
     the token table with anything data-sized (the mass total is a
-    1-row broadcast), no Python."""
+    1-row broadcast), no Python. The chunk pipeline is pinned with a
+    lazy localCheckpoint in the builder (r11: the total and the report
+    branch share one computation), which prints as an RDD scan in the
+    outer plan — so the window/shuffle structure is asserted on the
+    unpinned _chunk_groups subtree the builder wraps."""
     plan = _plan(spark, "content_defined_chunk_dedup")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "MapInPandas" not in plan
-    assert "windowspecdefinition(doc_id" in plan
+    from stockpulse_spark.plans.registry_cdc2 import _chunk_groups
+
+    inner = (
+        _chunk_groups(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(doc_id" in inner
+    assert "CartesianProduct" not in inner
+    assert "SortMergeJoin" not in inner
+    assert "MapInPandas" not in inner
 
 
 def test_audience_overlap_no_cartesian(spark):
