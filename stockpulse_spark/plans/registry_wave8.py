@@ -158,22 +158,24 @@ def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slice) form re-split the text per shingle position (interpreted
     # HOF capture; see llmdata/dedup.word_ngrams)
     shingle3 = _sh3(F.col("text"), 3)
-    # pin the exploded index and its df-capped form once per
-    # invocation (same policy as exact_jaccard_pairs_inverted): sh is
-    # read by the df pass and the cap join, keep by the sizes pass and
-    # both candidate self-join sides — unpinned, the planted-corpus
-    # shingle explode executed 4x (optimization r11)
-    sh = corpus.select(
-        "doc_id", F.explode(shingle3).alias("g")
-    ).localCheckpoint(eager=False)
-    sdf = (
-        sh.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("__df"))
+    sh = corpus.select("doc_id", F.explode(shingle3).alias("g"))
+    # df-cap as ONE window count over the g exchange instead of
+    # groupBy(g) + join-back: the old shape shuffled the full shingle
+    # table by g twice (count pass + cap semi-join); the window form
+    # shuffles it once and filters in place — same rows out
+    # (count(*) over (partition by g) == the groupBy count), verified
+    # bit-identical (optimization r11, guide §2.4). keep is pinned
+    # once per invocation: it feeds the sizes pass and both candidate
+    # self-join sides — unpinned, the planted-corpus shingle explode
+    # executed 4x.
+    keep = (
+        sh.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        )
         .filter(F.col("__df") <= _CONTAIN_DF_CAP)
-        .select("g")
+        .drop("__df")
+        .localCheckpoint(eager=False)
     )
-    # unhinted: shingle-vocabulary-sized
-    keep = sh.join(sdf, "g").localCheckpoint(eager=False)
     sizes = keep.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = keep.select(F.col("doc_id").alias("doc_id_1"), "g")
     b = keep.select(F.col("doc_id").alias("doc_id_2"), "g")
