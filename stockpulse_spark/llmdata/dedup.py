@@ -24,7 +24,7 @@ docs) are handled by AQE skew-join or a bucket-size cap filter.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from stockpulse_spark.llmdata.hashing import word32_sql
@@ -596,22 +596,24 @@ def exact_jaccard_pairs_inverted_from_shingles(
     sh0 = sh_df.select(
         F.col(id_col).alias("doc_id"), F.col(sh_col).alias("sh")
     ).filter(F.size("sh") > 0)
-    # materialize the exploded index once per invocation: it feeds the
-    # document-frequency pass AND (df-capped) the sizes pass plus both
-    # self-join sides — unpinned, the shingle computation re-runs on
-    # every branch (4x); the df-capped frame is pinned a second time so
-    # the cap join itself also runs once, not three times
-    tok = sh0.select("doc_id", F.explode("sh").alias("s")).localCheckpoint(
-        eager=False
-    )
+    # df-cap as ONE window count over the s exchange instead of
+    # groupBy(s) + join-back: the old shape shuffled the full exploded
+    # index by s twice (count pass + cap semi-join) and pinned two
+    # frames; count(*) over (partition by s) filters in place on a
+    # single s exchange — same rows out (optimization r11, guide §2.4).
+    # The surviving frame is pinned once per invocation: it feeds the
+    # sizes pass AND both self-join sides — unpinned, the shingle
+    # computation re-runs on every branch.
+    tok = sh0.select("doc_id", F.explode("sh").alias("s"))
     if df_cap is not None:
-        rare = (
-            tok.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("__df"))
+        tok = (
+            tok.withColumn(
+                "__df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+            )
             .filter(F.col("__df") <= df_cap)
-            .select("s")
+            .drop("__df")
         )
-        tok = tok.join(rare, "s").localCheckpoint(eager=False)
+    tok = tok.localCheckpoint(eager=False)
     sh = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     l, r = tok.alias("l"), tok.alias("r")
     inter = (
