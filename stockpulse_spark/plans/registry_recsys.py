@@ -25,7 +25,7 @@ Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stockpulse_spark.plans.registry import _r6, _register, _t
@@ -95,19 +95,26 @@ def q_customer_cf_neighbors(
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # pin the basket set once per invocation: it feeds the sizes pass
+    # AND the df-capped index — unpinned, the lineitem⋈orders join +
+    # distinct executed three times (optimization r11)
     baskets = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sizes = baskets.groupBy("c").agg(F.count(F.lit(1)).alias("s"))
-    df_ok = (
-        baskets.groupBy("p")
-        .agg(F.count(F.lit(1)).alias("__df"))
+    # df-cap as ONE window count over the p exchange instead of
+    # groupBy(p) + join-back (same §2.4 rewrite as the containment /
+    # exact-Jaccard index): one shuffle of baskets, same rows out
+    kept = (
+        baskets.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("p"))
+        )
         .filter(F.col("__df") <= _CF_DF_CAP)
-        .select("p")
+        .drop("__df")
     )
-    kept = baskets.join(df_ok, "p")  # unhinted: catalog-sized key set
     a = kept.select(F.col("c").alias("c1"), "p")
     b = kept.select(F.col("c").alias("c2"), "p")
     cand = (
