@@ -64,6 +64,14 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~F.exists("embedding", lambda x: not_finite(x))
         )
         .select("vec_id", _as_double(F.col("embedding")).alias("e"))
+        # spread the vector set across the cluster before the M x K
+        # distance expansion: the embeddings scan is one small file at
+        # test scale, and without this every interpreted subspace-L2
+        # evaluation of the crossJoin ran in a SINGLE task
+        # (optimization r11, guide §2.5 input skew; same idiom as the
+        # corpus repartitions). Cost: one exchange of (id, vector)
+        # rows; scale-adaptive via defaultParallelism.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
 
