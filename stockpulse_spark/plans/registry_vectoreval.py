@@ -59,6 +59,65 @@ def _s_pcos(a: str, b: str, d: str) -> F.Column:
     )
 
 
+def _truncation_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpinned top-k per (query, d) — split out so the plan-shape
+    test can assert the broadcast/cartesian structure that the
+    builder's localCheckpoint pin hides from the outer explain."""
+    v = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", _as_double(F.col("embedding")).alias("e"))
+        # spread the corpus before the probe x d expansion — the
+        # embeddings scan is one small file, so every interpreted
+        # prefix-cosine fold ran in a SINGLE task (optimization r11,
+        # same idiom as the PQ family / corpus repartitions)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    q = v.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    ds = spark.range(1).select(
+        F.explode(F.array(*[F.lit(d) for d in _DS])).alias("d")
+    )
+    # precompute the prefix self-norms once per (vector, d) / (query,
+    # d) instead of re-folding them per candidate PAIR: the cosine's
+    # three interpreted folds per pair become one (dot_ab) — aa folds
+    # 40x, bb folds |corpus| x 4 instead of |corpus| x NQ x 4. Same
+    # doubles through the same division, so cos_d is bit-identical
+    # (optimization r11, guide §4).
+    vd = v.crossJoin(F.broadcast(ds)).select(
+        F.col("vec_id").alias("cand_id"),
+        "e",
+        "d",
+        F.expr(_S_PDOT.format(a="e", b="e", d="d")).alias("__bb"),
+    )
+    qd = q.crossJoin(ds).select(
+        "query_id",
+        "qe",
+        "d",
+        F.expr(_S_PDOT.format(a="qe", b="qe", d="d")).alias("__aa"),
+    )
+    dot_ab = F.expr(_S_PDOT.format(a="qe", b="e", d="d"))
+    cos_d = dot_ab / (
+        F.sqrt(F.expr("nullif(__aa, 0D)")) * F.sqrt(F.expr("nullif(__bb, 0D)"))
+    )
+    scored = (
+        vd.join(F.broadcast(qd), "d")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "d", "cand_id", _r6(cos_d).alias("cos_d"))
+        .filter(F.col("cos_d").isNotNull())
+    )
+    w = Window.partitionBy("query_id", "d").orderBy(
+        F.desc("cos_d"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPK)
+        .select("query_id", "d", "cand_id")
+    )
+
+
+
 @_register(
     "matryoshka_truncation_eval",
     oracle=f"""
@@ -108,37 +167,10 @@ def _s_pcos(a: str, b: str, d: str) -> F.Column:
     "final averages fold-order-free.",
 )
 def q_matryoshka_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = (
-        _t(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())
-        .select("vec_id", _as_double(F.col("embedding")).alias("e"))
-    )
-    q = v.filter(F.col("vec_id") < _NQ).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    ds = spark.range(1).select(
-        F.explode(F.array(*[F.lit(d) for d in _DS])).alias("d")
-    )
-    scored = (
-        v.crossJoin(F.broadcast(q))
-        .crossJoin(F.broadcast(ds))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "d",
-            F.col("vec_id").alias("cand_id"),
-            _r6(_s_pcos("qe", "e", "d")).alias("cos_d"),
-        )
-        .filter(F.col("cos_d").isNotNull())
-    )
-    w = Window.partitionBy("query_id", "d").orderBy(
-        F.desc("cos_d"), F.asc("cand_id")
-    )
-    top = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _TOPK)
-        .select("query_id", "d", "cand_id")
-    )
+    # pin: top feeds both the per-d rows and the d=64 gold filter —
+    # unpinned, the full score+rank pipeline executed twice
+    # (optimization r11); the pinned frame is <= NQ x |DS| x TOPK rows
+    top = _truncation_top(spark, sf_dir).localCheckpoint(eager=False)
     gold = top.filter(F.col("d") == 64).select(
         F.col("query_id").alias("g_qid"), F.col("cand_id").alias("g_cand")
     )

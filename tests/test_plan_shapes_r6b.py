@@ -100,11 +100,24 @@ def test_pq_adc_search_is_equi_join_on_codes(spark):
 def test_matryoshka_probe_set_broadcasts(spark):
     """One corpus scan crossed with the broadcast 10-query x 4-d
     probe set: the corpus must never be on the broadcast side and
-    nothing may cartesian without a broadcast."""
+    nothing may cartesian without a broadcast. The r11 builder pins
+    the top-k frame (read by the per-d rows AND the d=64 gold
+    filter), which prints as an RDD scan — so the broadcast structure
+    is asserted on the unpinned _truncation_top subtree."""
     plan = _plan(spark, "matryoshka_truncation_eval")
     assert "CartesianProduct" not in plan
     assert "MapInPandas" not in plan
-    assert "BroadcastNestedLoopJoin" in plan  # deliberate tiny probes
+    from stockpulse_spark.plans.registry_vectoreval import _truncation_top
+
+    inner = (
+        _truncation_top(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in inner
+    assert "MapInPandas" not in inner
+    assert "BroadcastNestedLoopJoin" in inner  # deliberate tiny probes
 
 
 def test_quantile_normalize_rank_join_shape(spark):
