@@ -216,9 +216,14 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("__s1", "__s2").alias("split_b"),
         )
     )
+    # pin: agg feeds the corpus-total branch AND the final report
+    # crossJoin — unpinned, the whole containment-pairs pipeline (two
+    # corpus builds + shingle index + self-join) executed twice per
+    # invocation. The pinned frame is <= |splits|^2 rows
+    # (optimization r11).
     agg = lab.groupBy("split_a", "split_b").agg(
         F.count(F.lit(1)).alias("n_pairs")
-    )
+    ).localCheckpoint(eager=False)
     tot = agg.agg(
         F.sum("n_pairs").alias("t"),
         F.sum(
