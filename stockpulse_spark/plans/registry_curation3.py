@@ -90,6 +90,10 @@ def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s.getField("mu"),
             ).alias("c")
         )
+        # centroid norm folded once per LABEL, not once per corpus row
+        # (optimization r11 — interpreted-HOF fold; same doubles
+        # through the same division)
+        .withColumn("cn", norm(F.col("c")))
     )
     d = (
         v.join(F.broadcast(cent), "label")
@@ -98,7 +102,7 @@ def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             (
                 1 - dot(F.col("e"), F.col("c"))
-                / (norm(F.col("e")) * norm(F.col("c")))
+                / (norm(F.col("e")) * F.col("cn"))
             ).alias("dist"),
         )
     )

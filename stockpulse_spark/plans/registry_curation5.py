@@ -334,15 +334,20 @@ def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n1").alias("n"),
         )
     )
+    # per-centroid norms folded once per side, not per label pair
+    # (optimization r11 — interpreted-HOF fold; same doubles through
+    # the same division)
     a = cent.select(
         F.col("label").alias("label_a"),
         F.col("c").alias("ca"),
         F.col("n").alias("n_a"),
+        norm(F.col("c")).alias("na"),
     )
     b = cent.select(
         F.col("label").alias("label_b"),
         F.col("c").alias("cb"),
         F.col("n").alias("n_b"),
+        norm(F.col("c")).alias("nb"),
     )
     return (
         a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
@@ -352,8 +357,7 @@ def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),
             _r6(
-                dot(F.col("ca"), F.col("cb"))
-                / (norm(F.col("ca")) * norm(F.col("cb")))
+                dot(F.col("ca"), F.col("cb")) / (F.col("na") * F.col("nb"))
             ).alias("cos_sim"),
         )
         .orderBy("label_a", "label_b")
@@ -405,15 +409,23 @@ _K_NEG = 3
     "excluded identically on both engines.",
 )
 def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-vector norms are folded ONCE per side before the anchor
+    # join (optimization r11, the srp_lsh_topk rewrite's pattern):
+    # the norm fold is an interpreted higher-order function, and
+    # computing it inside the pair projection re-ran it per (anchor,
+    # candidate) pair — 2 x |anchors| folds per vector instead of 1.
+    # Same doubles through the same division; pair set unchanged.
     v = (
         _t(spark, sf_dir, "embeddings")
         .filter(F.col("embedding").isNotNull() & F.col("label").isNotNull())
         .select("vec_id", "label", _as_double(F.col("embedding")).alias("e"))
+        .withColumn("en", norm(F.col("e")))
     )
     anch = v.filter(F.col("vec_id") < _N_ANCHORS).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
         F.col("e").alias("ae"),
+        F.col("en").alias("an"),
     )
     cand = (
         v.join(
@@ -426,8 +438,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neg_id"),
             F.col("label").alias("neg_label"),
             _r6(
-                dot(F.col("ae"), F.col("e"))
-                / (norm(F.col("ae")) * norm(F.col("e")))
+                dot(F.col("ae"), F.col("e")) / (F.col("an") * F.col("en"))
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim").isNotNull())

@@ -151,7 +151,17 @@ def q_dtw_to_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"    'cur', array_append({c0}, {cost} + {m})), "
         "  acc -> element_at(acc.cur, size(b)))"
     )
-    out = ua.join(F.broadcast(rb)).withColumn("dtw", F.expr(fold))
+    # Spread the per-user DP before the fold projection (optimization
+    # r11, the PQ/matryoshka class): the grouped series table is tiny
+    # in BYTES, so AQE coalesces it to ~1 partition and the interpreted
+    # na*nb fold — the actual cost, ~1k cells per user — runs in a
+    # single task. Round-robin over defaultParallelism spreads the DP;
+    # per-user results are row-local, so output is unchanged.
+    out = (
+        ua.repartition(spark.sparkContext.defaultParallelism)
+        .join(F.broadcast(rb))
+        .withColumn("dtw", F.expr(fold))
+    )
     return out.select(
         "user_id",
         F.size("a").cast("bigint").alias("n_user"),

@@ -278,33 +278,52 @@ _NORM = "sqrt(nullif(list_reduce(list_transform(range(1, 65), i -> {v}[i] * {v}[
     "joins — the other standard ANN scale path next to SRP-LSH.",
 )
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-vector norms folded ONCE and carried through assignment and
+    # probe scoring (optimization r11, the srp_lsh_topk pattern): the
+    # norm fold is an interpreted higher-order function, and the old
+    # shape re-folded norm(e) per (vector x centroid) candidate and
+    # both pair norms per probe candidate. Same doubles through the
+    # same division; assignments and ranks unchanged.
     emb = (
         _t(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", _as_double(F.col("embedding")).alias("e"))
+        .withColumn("en", norm(F.col("e")))
     )
     cent = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+        F.col("vec_id").alias("cid"),
+        F.col("e").alias("c"),
+        F.col("en").alias("cn"),
     )
-    cos_to_cent = dot(F.col("e"), F.col("c")) / (norm(F.col("e")) * norm(F.col("c")))
+    cos_to_cent = dot(F.col("e"), F.col("c")) / (F.col("en") * F.col("cn"))
     w = Window.partitionBy("vec_id").orderBy(F.col("__cc").desc(), "cid")
     assigned = (
         emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "e", "cid", cos_to_cent.alias("__cc"))
+        .select("vec_id", "e", "en", "cid", cos_to_cent.alias("__cc"))
         .withColumn("crank", F.row_number().over(w))
     )
-    cells = assigned.filter(F.col("crank") == 1).select("vec_id", "e", "cid")
+    cells = assigned.filter(F.col("crank") == 1).select("vec_id", "e", "en", "cid")
     probes = assigned.filter(
         (F.col("vec_id") < 10) & (F.col("crank") <= 2)
-    ).select(F.col("vec_id").alias("query_id"), F.col("e").alias("qv"), "cid")
-    cand = cells.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("cv"), "cid")
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qv"),
+        F.col("en").alias("qn"),
+        "cid",
+    )
+    cand = cells.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("cv"),
+        F.col("en").alias("cvn"),
+        "cid",
+    )
     scored = (
         probes.join(cand, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv")))).alias("cosine"),
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cvn"))).alias("cosine"),
         )
     )
     wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")

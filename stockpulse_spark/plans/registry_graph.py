@@ -229,20 +229,53 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    e1 = pairs.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
-    e2 = pairs.select(F.col("p1").alias("b"), F.col("p2").alias("c"))
-    e3 = pairs.select(F.col("p1").alias("a"), F.col("p2").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    node_tri = (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("triangles"))
-    )
     deg = (
         pairs.select(F.col("p1").alias("node"))
         .unionAll(pairs.select(F.col("p2").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # Degree-ordered orientation (optimization r11, guide §3 exploding
+    # joins): the id-ordered wedge join enumerated Σ_b in·out wedges —
+    # 49.3M intermediate rows for 1.2M edges / 1.9M triangles at sf0.1,
+    # 26x the output. Orienting every edge from its lower-(degree, id)
+    # endpoint and generating wedges only at the low vertex (the
+    # Chiba–Nishizeki / compact-forward bound: out-degree ≤ O(√m))
+    # emits each triangle exactly once — for {x,y,z} ranked x<y<z the
+    # single qualifying wedge is (y,z) at x, closed by oriented edge
+    # y→z — with ~6x fewer intermediate rows. Same triangle multiset,
+    # same per-node counts; the degree join is a broadcast (nodes are
+    # metadata-sized next to edges).
+    dd = deg.select("node", F.col("degree").alias("d"))
+    ed = pairs.join(
+        F.broadcast(dd.select(F.col("node").alias("p1"), F.col("d").alias("d1"))),
+        "p1",
+    ).join(
+        F.broadcast(dd.select(F.col("node").alias("p2"), F.col("d").alias("d2"))),
+        "p2",
+    )
+    fwd = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+        F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+        F.when(fwd, F.col("d2")).otherwise(F.col("d1")).alias("ddst"),
+    )
+    o1 = oriented.select("src", F.col("dst").alias("u"), F.col("ddst").alias("du"))
+    o2 = oriented.select("src", F.col("dst").alias("w"), F.col("ddst").alias("dw"))
+    wedges = o1.join(o2, "src").filter(
+        (F.col("du") < F.col("dw"))
+        | ((F.col("du") == F.col("dw")) & (F.col("u") < F.col("w")))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        ["u", "w"],
+    )
+    node_tri = (
+        tri.select(F.explode(F.array("src", "u", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
     )
     out = deg.join(node_tri, "node", "left").select(
         "node",

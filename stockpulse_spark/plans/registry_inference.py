@@ -96,12 +96,27 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = hex_to_int_sql(
         "md5(CAST(event_id AS STRING) || ':' || CAST(b AS STRING))"
     )
-    reps = ev.select(
-        "event_type",
-        "event_id",
-        F.round(nan_nn("value") * 100).cast("bigint").alias("cents"),
-        F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b"),
-    ).withColumn("w", F.expr(_pois_case(u)))
+    # Spread the events scan before the xB replicate explode
+    # (optimization r11, the PQ/matryoshka fix class): the input is
+    # one parquet split, so the 100x row multiply and its per-row md5
+    # otherwise execute in a SINGLE task. The repartition shuffles the
+    # 3-column pre-explode rows only; replicate weights and integer
+    # replicate sums are partition-independent.
+    reps = (
+        ev.select(
+            "event_type",
+            "event_id",
+            F.round(nan_nn("value") * 100).cast("bigint").alias("cents"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "event_type",
+            "event_id",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b"),
+        )
+        .withColumn("w", F.expr(_pois_case(u)))
+    )
     rm = (
         reps.groupBy("event_type", "b")
         .agg(

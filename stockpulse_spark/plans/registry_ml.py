@@ -98,17 +98,24 @@ def q_kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", _as_double(F.col("embedding")).alias("e"))
+        # per-vector norm folded ONCE (optimization r11, srp_lsh_topk
+        # pattern): the fold is an interpreted HOF and the old shape
+        # re-folded it per (vector x centroid) candidate in BOTH Lloyd
+        # iterations. Same doubles through the same division.
+        .withColumn("en", norm(F.col("e")))
     )
     c0 = v.filter(F.col("vec_id") < _K).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+        F.col("vec_id").alias("cid"),
+        F.col("e").alias("c"),
+        F.col("en").alias("cn"),
     )
 
     def assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-        cos = dot(F.col("e"), F.col("c")) / (norm(F.col("e")) * norm(F.col("c")))
+        cos = dot(F.col("e"), F.col("c")) / (F.col("en") * F.col("cn"))
         w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cid")
         return (
             vecs.crossJoin(F.broadcast(cents))
-            .select("vec_id", "e", "cid", cos.alias("cos_c"))
+            .select("vec_id", "e", "en", "cid", cos.alias("cos_c"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .drop("rn")
@@ -126,6 +133,7 @@ def q_kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s.getField("mu"),
             ).alias("c")
         )
+        .withColumn("cn", norm(F.col("c")))
     )
     a2 = assign(v, c1)
     return (
