@@ -25,6 +25,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.localrel import values_df
+
 
 def pseudo_planes(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-0.5, 0.5]^dim,
@@ -152,9 +154,10 @@ def srp_lsh_topk(
         for t in range(n_tables)
         for j in range(n_planes)
     ]
-    planes_df = spark.createDataFrame(
-        plane_rows, "tidx int, pidx int, plane array<double>"
-    )
+    # VALUES LocalRelation, not createDataFrame: the pickled-RDD path
+    # ran one Python-worker task per partition on EVERY action
+    # (functions/localrel.py — optimization r11)
+    planes_df = values_df(spark, plane_rows, ["tidx", "pidx", "plane"])
 
     def with_buckets(df, idname):
         v = df.select(

@@ -18,6 +18,8 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.localrel import values_df
+
 
 def _nth_weekday(year: int, month: int, weekday: int, n: int) -> dt.date:
     """n-th (1-based) `weekday` (Mon=0) of a month; n=-1 → last."""
@@ -59,9 +61,15 @@ def us_federal_holiday_dates(years: list[int]) -> list[tuple[dt.date, str]]:
 
 
 def us_federal_holidays(spark: SparkSession, years: list[int]) -> DataFrame:
-    """Holiday dimension: (holiday_date DATE, holiday_name STRING)."""
+    """Holiday dimension: (holiday_date DATE, holiday_name STRING).
+
+    A VALUES LocalRelation (functions/localrel.py), not
+    createDataFrame: the dimension is embedded in many query plans and
+    the pickled-RDD path paid one Python-worker task per partition on
+    every action (optimization r11).
+    """
     rows = [(d, n) for d, n in us_federal_holiday_dates(years)]
-    return spark.createDataFrame(rows, "holiday_date date, holiday_name string")
+    return values_df(spark, rows, ["holiday_date", "holiday_name"])
 
 
 def market_hours_filter(

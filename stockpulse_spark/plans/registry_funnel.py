@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.localrel import values_df
 from stockpulse_spark.llmdata.dedup import minhash_lsh_pairs
 from stockpulse_spark.llmdata.similarity import _as_double, dot, norm
 from stockpulse_spark.plans.registry import _r6, _register, _t
@@ -414,9 +415,10 @@ def q_semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in range(n_tables)
         for j in range(n_planes)
     ]
-    planes_df = spark.createDataFrame(
-        plane_rows, "tidx int, pidx int, plane array<double>"
-    )
+    # VALUES LocalRelation, not createDataFrame: the pickled-RDD path
+    # ran one Python-worker task per partition on EVERY action
+    # (functions/localrel.py — optimization r11)
+    planes_df = values_df(spark, plane_rows, ["tidx", "pidx", "plane"])
     buckets = (
         spark_emb.crossJoin(F.broadcast(planes_df))
         .select(

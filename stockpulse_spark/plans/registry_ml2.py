@@ -232,8 +232,15 @@ def q_heikin_ashi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "metadata-joins, exactly how kmeans_lloyd_2iter scales.",
 )
 def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").select(
-        F.col("embedding").cast("array<double>").alias("e")
+    # Spread the scan before the 64x64 outer-product explode
+    # (optimization r11, the PQ/matryoshka class): the embeddings scan
+    # is one parquet split, so the 4096x row multiply otherwise runs
+    # in a single task. G is a sum — partition-independent — and its
+    # cells are 6dp-snapped before any downstream use.
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .select(F.col("embedding").cast("array<double>").alias("e"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     cells = emb.select(
         F.explode(

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stockpulse_spark.functions.localrel import values_df
 from stockpulse_spark.functions.nullsafe import nan_nn
 from stockpulse_spark.llmdata.hashing import hex_to_int_sql
 from stockpulse_spark.plans.registry import _r6, _register, _t
@@ -712,15 +713,15 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the grid is expanded driver-side (36 literal rows): a crossJoin
     # of two unbroadcast literal frames would plan a CartesianProduct
     # with |left partitions| x |right partitions| tasks — measured
-    # 1024 tasks / 45 s for 36 rows before this was flattened
-    grid = spark.createDataFrame(
-        [
-            (b, r, float(j))
-            for b, r in _LSH_CONFIGS
-            for j in _LSH_JACCARDS
-        ],
-        "bands int, rows_per_band int, jaccard double",
-    ).coalesce(1)
+    # 1024 tasks / 45 s for 36 rows before this was flattened.
+    # VALUES LocalRelation, not createDataFrame: the pickled-RDD form
+    # of this zero-scan query still ran 32 Python-worker tasks per
+    # action — 4.4 s measured for 36 rows (optimization r11).
+    grid = values_df(
+        spark,
+        [(b, r, float(j)) for b, r in _LSH_CONFIGS for j in _LSH_JACCARDS],
+        ["bands", "rows_per_band", "jaccard"],
+    )
     p = 1.0 - F.pow(
         1.0 - F.pow(F.col("jaccard"), F.col("rows_per_band")),
         F.col("bands"),
