@@ -172,6 +172,39 @@ def add_macd_auto(
     )
 
 
+def ewm_adjust_false(x, alpha: float):
+    """pandas `ewm(alpha, adjust=False, ignore_na=False).mean()` as a
+    plain ndarray loop, BIT-FAITHFUL to pandas' aggregation kernel
+    (same expression tree, including the `y != v` short-circuit that
+    skips the normalizing division when the value equals the running
+    mean, and the NaN-gap weight decay) — so swapping the per-group
+    pandas call for this loop cannot move a single ulp."""
+    import numpy as np
+
+    n = len(x)
+    out = np.empty(n)
+    if n == 0:
+        return out
+    owf = 1.0 - alpha
+    y = x[0]
+    out[0] = y
+    old_wt = 1.0
+    for i in range(1, n):
+        v = x[i]
+        obs = v == v
+        if y == y:
+            # ignore_na=False: weights decay through NaN gaps too
+            old_wt *= owf
+            if obs:
+                if y != v:
+                    y = (old_wt * y + alpha * v) / (old_wt + alpha)
+                old_wt = 1.0
+        elif obs:
+            y = v
+        out[i] = y
+    return out
+
+
 def add_macd(
     df: DataFrame,
     partition_cols: list[str],
@@ -185,20 +218,83 @@ def add_macd(
 ) -> DataFrame:
     """MACD(fast,slow,signal) exactly as the reference computes it
     (app/dashboard.py:114-118): EMA_fast − EMA_slow, then EMA_signal of
-    the MACD line. One applyInPandas pass adds both columns."""
+    the MACD line.
+
+    Optimization r11 (guide §4.2): the grouped-map `applyInPandas`
+    form paid ~4 ms of per-GROUP machinery (one Arrow batch + pandas
+    DataFrame + sort + three `ewm` objects per series), which at many
+    small series dwarfed the arithmetic 100x. The series are instead
+    collected to per-series arrays in the JVM (one shuffle, same
+    memory contract — grouped-map also materializes the whole group),
+    spread over defaultParallelism (the grouped frame is tiny in
+    bytes, so AQE would coalesce it to ~1 task), and ONE mapInPandas
+    pass runs the recursions as bare ndarray loops (`ewm_adjust_false`
+    — bit-faithful to the pandas kernel) and re-explodes in Python.
+    Output rows, values and column order are unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    passthrough = [
+        c
+        for c in df.columns
+        if c not in (*partition_cols, *order_cols, value_col)
+    ]
     out_fields = df.schema.fields + [
         T.StructField(macd_name, T.DoubleType(), True),
         T.StructField(signal_name, T.DoubleType(), True),
     ]
     schema = T.StructType(out_fields)
-    order = list(order_cols)
+    out_cols = [f.name for f in out_fields]
+    a_fast, a_slow, a_sig = (
+        2.0 / (fast + 1),
+        2.0 / (slow + 1),
+        2.0 / (signal + 1),
+    )
 
-    def kernel(pdf):
-        pdf = pdf.sort_values(order)
-        ema_fast = pdf[value_col].ewm(span=fast, adjust=False).mean()
-        ema_slow = pdf[value_col].ewm(span=slow, adjust=False).mean()
-        pdf[macd_name] = ema_fast - ema_slow
-        pdf[signal_name] = pdf[macd_name].ewm(span=signal, adjust=False).mean()
-        return pdf
+    arr_cols = [*order_cols, value_col, *passthrough]
+    g = (
+        df.groupBy(*partition_cols)
+        .agg(
+            F.array_sort(F.collect_list(F.struct(*arr_cols))).alias("__s")
+        )
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            *partition_cols,
+            *[
+                F.expr(f"transform(__s, e -> e.{c})").alias(f"__a_{c}")
+                for c in arr_cols
+            ],
+        )
+    )
 
-    return df.groupBy(*partition_cols).applyInPandas(kernel, schema=schema)
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+            out: dict[str, list] = {c: [] for c in out_cols}
+            for i in range(len(pdf)):
+                vals = np.asarray(
+                    cols[f"__a_{value_col}"][i], dtype=np.float64
+                )
+                ef = ewm_adjust_false(vals, a_fast)
+                es = ewm_adjust_false(vals, a_slow)
+                macd = ef - es
+                sig = ewm_adjust_false(macd, a_sig)
+                n = len(vals)
+                for p in partition_cols:
+                    out[p].append(np.repeat(cols[p][i], n))
+                for c in arr_cols:
+                    if c == value_col:
+                        out[c].append(vals)
+                    else:
+                        out[c].append(np.asarray(cols[f"__a_{c}"][i]))
+                out[macd_name].append(macd)
+                out[signal_name].append(sig)
+            if not out[macd_name]:
+                continue
+            yield pd.DataFrame(
+                {c: np.concatenate(out[c]) for c in out_cols}
+            )
+
+    return g.mapInPandas(kernel, schema=schema)

@@ -117,35 +117,55 @@ _HA_SCHEMA = T.StructType(
 )
 
 
-def _ha_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+def _ha_batch_kernel(batches):
+    """Optimization r11 (guide §4.2): the grouped-map applyInPandas
+    form paid ~4 ms of per-GROUP machinery per series (Arrow batch +
+    pandas frame + sort per group), 100x the arithmetic at daily-bar
+    series lengths. One mapInPandas pass over JVM-collected per-series
+    arrays runs the identical ndarray recurrence per series and
+    re-explodes in Python — same rows, same doubles."""
     import numpy as np
+    import pandas as pd
 
-    pdf = pdf.sort_values("date").reset_index(drop=True)
-    hc = (
-        (pdf["open"] + pdf["high"] + pdf["low"] + pdf["close"]) / 4.0
-    ).to_numpy()
-    n = len(pdf)
-    ho = np.empty(n)
-    prev_open = (pdf["open"].iloc[0] + pdf["close"].iloc[0]) / 2.0
-    # plain-ndarray loop: the recurrence is inherently sequential, but
-    # dropping pandas .iloc indexing makes it ~50x faster per element
-    for i in range(n):
-        ho[i] = prev_open
-        prev_open = (prev_open + hc[i]) / 2.0
-    return pd.DataFrame(
-        {
-            "user_id": pdf["user_id"],
-            "date": pdf["date"],
-            "ha_open": ho,
-            "ha_high": np.maximum(
-                pdf["high"].to_numpy(), np.maximum(ho, hc)
-            ),
-            "ha_low": np.minimum(
-                pdf["low"].to_numpy(), np.minimum(ho, hc)
-            ),
-            "ha_close": hc,
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        uids = pdf["user_id"].to_numpy()
+        dates = pdf["__dates"].to_numpy()
+        opens = pdf["__opens"].to_numpy()
+        highs = pdf["__highs"].to_numpy()
+        lows = pdf["__lows"].to_numpy()
+        closes = pdf["__closes"].to_numpy()
+        out: dict[str, list] = {
+            k: []
+            for k in (
+                "user_id",
+                "date",
+                "ha_open",
+                "ha_high",
+                "ha_low",
+                "ha_close",
+            )
         }
-    )
+        for i in range(len(pdf)):
+            o = np.asarray(opens[i], dtype=np.float64)
+            h = np.asarray(highs[i], dtype=np.float64)
+            lo = np.asarray(lows[i], dtype=np.float64)
+            c = np.asarray(closes[i], dtype=np.float64)
+            hc = (o + h + lo + c) / 4.0
+            n = len(hc)
+            ho = np.empty(n)
+            prev_open = (o[0] + c[0]) / 2.0
+            for t in range(n):
+                ho[t] = prev_open
+                prev_open = (prev_open + hc[t]) / 2.0
+            out["user_id"].append(np.repeat(uids[i], n))
+            out["date"].append(np.asarray(dates[i]))
+            out["ha_open"].append(ho)
+            out["ha_high"].append(np.maximum(h, np.maximum(ho, hc)))
+            out["ha_low"].append(np.minimum(lo, np.minimum(ho, hc)))
+            out["ha_close"].append(hc)
+        yield pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
 
 
 @_register(
@@ -187,7 +207,28 @@ def _ha_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
 )
 def q_heikin_ashi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = _daily_bars(spark, sf_dir)
-    ha = bars.groupBy("user_id").applyInPandas(_ha_kernel, schema=_HA_SCHEMA)
+    g = (
+        bars.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("date", "open", "high", "low", "close")
+                )
+            ).alias("__s")
+        )
+        # tiny-bytes frame: spread before the Python stage or AQE
+        # coalesces the kernel to ~1 task
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "user_id",
+            F.expr("transform(__s, e -> e.date)").alias("__dates"),
+            F.expr("transform(__s, e -> e.open)").alias("__opens"),
+            F.expr("transform(__s, e -> e.high)").alias("__highs"),
+            F.expr("transform(__s, e -> e.low)").alias("__lows"),
+            F.expr("transform(__s, e -> e.close)").alias("__closes"),
+        )
+    )
+    ha = g.mapInPandas(_ha_batch_kernel, schema=_HA_SCHEMA)
     return ha.select(
         "user_id",
         "date",

@@ -112,29 +112,40 @@ _CUSUM_SCHEMA = T.StructType(
 )
 
 
-def _cusum_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+def _cusum_batch_kernel(batches):
+    """Optimization r11 (guide §4.2): one mapInPandas pass over
+    JVM-collected per-series arrays instead of grouped-map
+    applyInPandas — the per-GROUP machinery (Arrow batch + pandas
+    frame + sort per series) was ~100x the recurrence arithmetic at
+    these series lengths. Identical ndarray loop, same doubles."""
     import numpy as np
+    import pandas as pd
 
-    pdf = pdf.sort_values("date").reset_index(drop=True)
-    rs = pdf["r"].to_numpy()
-    n = len(rs)
-    ups = np.empty(n)
-    dns = np.empty(n)
-    up, dn = 0.0, 0.0
-    # sequential recurrence over a plain ndarray (no pandas indexing)
-    for i in range(n):
-        up = max(0.0, up + rs[i])
-        dn = max(0.0, dn - rs[i])
-        ups[i] = up
-        dns[i] = dn
-    return pd.DataFrame(
-        {
-            "user_id": pdf["user_id"],
-            "date": pdf["date"],
-            "cusum_up": ups,
-            "cusum_dn": dns,
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        uids = pdf["user_id"].to_numpy()
+        dates = pdf["__dates"].to_numpy()
+        rss = pdf["__rs"].to_numpy()
+        out: dict[str, list] = {
+            k: [] for k in ("user_id", "date", "cusum_up", "cusum_dn")
         }
-    )
+        for i in range(len(pdf)):
+            rs = np.asarray(rss[i], dtype=np.float64)
+            n = len(rs)
+            ups = np.empty(n)
+            dns = np.empty(n)
+            up, dn = 0.0, 0.0
+            for t in range(n):
+                up = max(0.0, up + rs[t])
+                dn = max(0.0, dn - rs[t])
+                ups[t] = up
+                dns[t] = dn
+            out["user_id"].append(np.repeat(uids[i], n))
+            out["date"].append(np.asarray(dates[i]))
+            out["cusum_up"].append(ups)
+            out["cusum_dn"].append(dns)
+        yield pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
 
 
 @_register(
@@ -168,9 +179,21 @@ def _cusum_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
 )
 def q_cusum_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     rets = _daily_returns(spark, sf_dir)
-    out = rets.groupBy("user_id").applyInPandas(
-        _cusum_kernel, schema=_CUSUM_SCHEMA
+    g = (
+        rets.groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("date", "r"))).alias("__s")
+        )
+        # tiny-bytes frame: spread before the Python stage or AQE
+        # coalesces the kernel to ~1 task
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "user_id",
+            F.expr("transform(__s, e -> e.date)").alias("__dates"),
+            F.expr("transform(__s, e -> e.r)").alias("__rs"),
+        )
     )
+    out = g.mapInPandas(_cusum_batch_kernel, schema=_CUSUM_SCHEMA)
     return out.select(
         "user_id",
         "date",

@@ -150,15 +150,20 @@ def test_macd_auto_dispatch_long_series_picks_kernel(spark):
     )
     out = add_macd_auto(df, ["user_id"], ["seq"])
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan
-    assert "collect_list" not in plan
+    # r11 kernel shape: one MapInPandas pass over JVM-collected series
+    # arrays (linear ndarray loop); the O(n²) HOF fold's array_append
+    # must NOT appear on a long-history plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "array_append" not in plan
 
 
 def test_macd_forced_kernel_is_linear(spark):
     """The explicit unbounded path always uses the linear kernel."""
     plan = _plan(spark, "macd_unbounded_kernel")
-    assert "FlatMapGroupsInPandas" in plan
-    assert "collect_list" not in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "array_append" not in plan
 
 
 def test_doc_chunking_is_narrow(spark):
