@@ -176,11 +176,21 @@ def q_missing_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(hol), on=F.col("d") == F.col("holiday_date"), how="left_anti"
         )
     )
-    mi = F.expr("filter(sequence(0, 77), x -> NOT array_contains(obs, x))")
+    # array_except, not filter(..., x -> NOT array_contains(obs, x)):
+    # the lambda form is an interpreted HOF doing O(78 x |obs|) work
+    # per group (array_contains re-scans obs per grid slot); the
+    # native set-difference builds one hash set per group and keeps
+    # the ascending grid order — identical elements (optimization
+    # r11: missing_slots noop 5.8 -> see OPTIMIZATION_r11.md). The
+    # slot-time strings are one 78-element literal lookup instead of
+    # per-element div/mod/lpad/concat arithmetic — identical strings.
+    mi = F.expr("array_except(sequence(0, 77), obs)")
+    slot_strs = [
+        f"{(570 + 5 * x) // 60:02d}:{(570 + 5 * x) % 60:02d}:00"
+        for x in range(78)
+    ]
     times = F.expr(
-        "transform(mi, x -> concat("
-        "lpad(CAST((570 + 5 * x) div 60 AS STRING), 2, '0'), ':', "
-        "lpad(CAST((570 + 5 * x) % 60 AS STRING), 2, '0'), ':00'))"
+        f"transform(mi, x -> element_at(array({', '.join(map(repr, slot_strs))}), x + 1))"
     )
     return (
         grouped.select("user_id", F.col("d").alias("date"), mi.alias("mi"))

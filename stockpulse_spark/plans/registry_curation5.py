@@ -119,10 +119,18 @@ def _docs_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
     "KB-sized regardless of corpus size.",
 )
 def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tb = _docs_tok(spark, sf_dir).select(
-        "doc_id",
-        "lang",
-        (F.expr(word32_sql("w")) % _N_BUCKETS).alias("b"),
+    # pin the tokenized+hashed frame once per invocation (the r11
+    # multi-branch pin policy): tb feeds FOUR branches (raw counts,
+    # totals, target counts, doc regroup), so the split+explode and
+    # the per-token md5 otherwise execute 4x
+    tb = (
+        _docs_tok(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            (F.expr(word32_sql("w")) % _N_BUCKETS).alias("b"),
+        )
+        .localCheckpoint(eager=False)
     )
     raw = tb.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
     tots = tb.agg(

@@ -179,15 +179,20 @@ _TR_TELEPORT = 15 * 10**10  # 0.15 in rank units
 )
 def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    adj = d.select(
+    # two-select + zip_with, no captured expression (the round-10
+    # interpreted-HOF rule): the old transform lambda re-ran
+    # split(text) per TOKEN via the captured element_at(split(...))
+    # — interpreted HOFs re-evaluate every captured expression per
+    # element. zip_with over two slices of the pre-projected token
+    # attribute emits the identical adjacent pairs.
+    adj = d.select("doc_id", F.split("text", " ").alias("ws")).select(
         "doc_id",
         F.explode(
             F.expr(
-                "array_distinct(transform(slice(split(text, ' '), 1, "
-                "size(split(text, ' ')) - 1), (x, i) -> "
-                "IF(x < element_at(split(text, ' '), i + 2), "
-                "struct(x AS p1, element_at(split(text, ' '), i + 2) AS p2), "
-                "struct(element_at(split(text, ' '), i + 2) AS p1, x AS p2))))"
+                "array_distinct(zip_with("
+                "slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), "
+                "(x, y) -> IF(x < y, struct(x AS p1, y AS p2), "
+                "struct(y AS p1, x AS p2))))"
             )
         ).alias("q"),
     )
