@@ -353,13 +353,24 @@ def simhash32(
     Equal simhash → near-dup bucket; Hamming-distance joins over bit
     chunks extend this to distance ≤ d at scale.
     """
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    # Spread the scan before the token explode (optimization r11, the
+    # single-split expansion class): documents is one parquet file, so
+    # the per-token md5 and the 32 per-token bit votes otherwise run
+    # in a single task. The repartition shuffles doc rows, not tokens;
+    # per-doc vote sums are partition-independent integers.
+    spread = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    toks = spread.select(
+        "doc_id",
+        F.explode(F.split(F.col("__t"), " ")).alias("tok"),
     ).withColumn("h", F.expr(word32_sql("tok")))
+    # (h >> b) & 1, not floor(h / 2^b) % 2: h is a non-negative BIGINT
+    # (32-bit md5 word), so the shift is bit-identical to the float
+    # divide/floor/mod chain and ~10x cheaper per token-bit
     votes = [
         F.sum(
-            F.when(F.floor(F.col("h") / F.lit(float(2**b))) % 2 == 1, 1).otherwise(-1)
+            F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
         ).alias(f"v{b}")
         for b in range(32)
     ]

@@ -82,6 +82,13 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", norm(F.col("qv")))
+    # Callers with a large query side should pass a pre-spread corpus
+    # (corpus.repartition(...)): the |Q| x |C| interpreted cosine folds
+    # run inside the corpus scan's tasks, one per input split.
+    # Measured both ways at sf0.1 (optimization r11): spreading here
+    # unconditionally costs the small-|Q| headline caller ~0.1 s of
+    # exchange for nothing, while the |Q|=200 kNN caller wins 2.6x by
+    # spreading — so the spread is the caller's call.
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", norm(F.col("cv")))

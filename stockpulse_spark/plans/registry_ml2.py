@@ -71,7 +71,15 @@ from stockpulse_spark.plans.registry_risk import _DAILY_CTE, _daily_bars
 def q_embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    nn = cosine_topk(queries, emb, k=10)
+    # spread the single-split corpus scan: 200 query vectors x the
+    # whole corpus of interpreted cosine folds otherwise run in one
+    # task (optimization r11; the spread is caller-side by design —
+    # see cosine_topk)
+    nn = cosine_topk(
+        queries,
+        emb.repartition(spark.sparkContext.defaultParallelism),
+        k=10,
+    )
     labels = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label")
     )
