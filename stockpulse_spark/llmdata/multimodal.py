@@ -306,8 +306,14 @@ def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ids.append(d)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
-        kernel, schema="doc_id long, payload binary"
+    # spread the id frame before the Python encode kernel (optimization
+    # r11): the upstream scan is one parquet split, so the whole
+    # payload synthesis otherwise runs in a single Python task
+    spark = df.sparkSession
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(kernel, schema="doc_id long, payload binary")
     )
 
 
@@ -594,8 +600,14 @@ def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(encode_wav(8000, samples))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
-        kernel, schema="doc_id long, payload binary"
+    # spread the id frame before the Python encode kernel (optimization
+    # r11): the upstream scan is one parquet split, so the whole
+    # payload synthesis otherwise runs in a single Python task
+    spark = df.sparkSession
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(kernel, schema="doc_id long, payload binary")
     )
 
 

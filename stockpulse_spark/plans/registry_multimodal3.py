@@ -130,8 +130,14 @@ def _attach_png_variants(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     )
             yield pd.DataFrame({"vid": vids, "payload": payloads})
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
-        kernel, schema="vid long, payload binary"
+    # spread the id frame before the Python encode kernel (optimization
+    # r11): the upstream scan is one parquet split, so the whole
+    # payload synthesis otherwise runs in a single Python task
+    spark = df.sparkSession
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(kernel, schema="vid long, payload binary")
     )
 
 

@@ -123,6 +123,8 @@ def _attach_wav_variants(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     (full-doc_id seed), variant 1 adds +8 before the wrap (the
     near-dup twin). Real WAV containers either way."""
 
+    import numpy as np
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             vids, payloads = [], []
@@ -130,17 +132,26 @@ def _attach_wav_variants(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 d = int(doc_id)
                 n = d % 2048 + 256
                 sd = _sample_seed(d)
+                idx31 = 31 * np.arange(n, dtype=np.int64)
                 for variant in (0, 1):
-                    samples = [
-                        ((sd * 7919 + i * 31 + 8 * variant) % 2048) - 1024
-                        for i in range(n)
-                    ]
+                    # vectorized sample synthesis (optimization r11):
+                    # the per-sample comprehension was ~11M Python
+                    # bytecode steps per invocation; identical int64s
+                    samples = (
+                        ((sd * 7919 + idx31 + 8 * variant) % 2048) - 1024
+                    ).tolist()
                     vids.append(d * 2 + variant)
                     payloads.append(encode_wav(8000, samples))
             yield pd.DataFrame({"vid": vids, "payload": payloads})
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
-        kernel, schema="vid long, payload binary"
+    # spread the id frame before the Python encode kernel (optimization
+    # r11): the upstream scan is one parquet split, so the whole
+    # payload synthesis otherwise runs in a single Python task
+    spark = df.sparkSession
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(kernel, schema="vid long, payload binary")
     )
 
 
