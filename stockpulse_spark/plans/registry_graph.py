@@ -82,8 +82,16 @@ _TELEPORT = 150_000_000_000  # 0.15 * _UNIT
 )
 def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # hash-repartition by the grouping key BEFORE the groupBy
+    # (optimization r11): lineitem is one parquet split, so the
+    # collect_set partial aggregation otherwise runs in a single task;
+    # pre-partitioning on l_orderkey satisfies the aggregation's
+    # required distribution, so no second exchange is added
     baskets = (
         li.select("l_orderkey", "l_partkey")
+        .repartition(
+            spark.sparkContext.defaultParallelism, "l_orderkey"
+        )
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
@@ -210,8 +218,17 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # hash-repartition by the grouping key BEFORE the groupBy
+    # (optimization r11, same as the pagerank twin): lineitem is one
+    # parquet split, so the collect_set partial aggregation otherwise
+    # runs in a single task; pre-partitioning on l_orderkey satisfies
+    # the aggregation's required distribution (no second exchange).
+    # Interleaved A/B at sf0.1: equal-or-faster on every round.
     baskets = (
         li.select("l_orderkey", "l_partkey")
+        .repartition(
+            spark.sparkContext.defaultParallelism, "l_orderkey"
+        )
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
