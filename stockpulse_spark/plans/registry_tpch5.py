@@ -517,15 +517,20 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    flagged = li.join(
-        o, li.l_orderkey == o.o_orderkey
-    ).select(
-        "l_orderkey",
-        "l_suppkey",
-        (
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.make_interval(days=F.lit(90))
-        ).alias("is_late"),
+    # pin the flagged join once per invocation (the r11 multi-branch
+    # pin policy): it feeds the semi side, the anti side, and the
+    # survivor spine — unpinned, the lineitem⋈orders join executed 3x
+    flagged = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.make_interval(days=F.lit(90))
+            ).alias("is_late"),
+        )
+        .localCheckpoint(eager=False)
     )
     l1 = flagged.filter(F.col("is_late")).alias("l1")
     l2 = flagged.select("l_orderkey", "l_suppkey").alias("l2")
