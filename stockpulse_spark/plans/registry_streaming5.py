@@ -129,15 +129,31 @@ def _write_replay_chunks(
     # per __c value, and partitionBy drops __c from the data files just
     # like the old .drop("__c") did (optimization r11, guide §1.2).
     chunked.write.partitionBy("__c").mode("overwrite").parquet(stage)
+    # degenerate corpora (empty events, or fewer rows than chunks)
+    # produce NO partition directory for the unpopulated __c values —
+    # the old per-chunk coalesce(1) writer emitted a schema-complete
+    # empty file for those, and the replay contract (one file per
+    # micro-batch) needs all _N_CHUNKS files, so synthesize one empty
+    # chunk file and copy it into the gaps (round-7 empty-corpus gate)
+    empty_src: str | None = None
     base = 1_700_000_000
     for i in range(1, _N_CHUNKS + 1):
         srcs = glob.glob(os.path.join(stage, f"__c={i}", "part-*.parquet"))
-        if len(srcs) != 1:  # single global-window task → one file/chunk
+        if len(srcs) > 1:  # single global-window task → one file/chunk
             raise RuntimeError(
                 f"replay chunk {i}: expected 1 part file, got {len(srcs)}"
             )
         dst = os.path.join(watch, f"chunk_{i:03d}.parquet")
-        shutil.move(srcs[0], dst)
+        if srcs:
+            shutil.move(srcs[0], dst)
+        else:
+            if empty_src is None:
+                edir = os.path.join(stage, "__empty")
+                ev.limit(0).coalesce(1).write.mode("overwrite").parquet(edir)
+                (empty_src,) = glob.glob(
+                    os.path.join(edir, "part-*.parquet")
+                )
+            shutil.copyfile(empty_src, dst)
         os.utime(dst, (base + i, base + i))
     shutil.rmtree(stage, ignore_errors=True)
     return watch
