@@ -119,6 +119,17 @@ QUERIES = [
     "file_compaction_plan",
     "quality_keeper_selection",
     "score_decile_lift",
+    # round-11 optimization: queries whose shuffle shape changed
+    "missing_slots",
+    "doc_simhash",
+    "poisson_bootstrap_ci",
+    "dtw_to_reference",
+    "macd_unbounded_kernel",
+    "heikin_ashi_daily",
+    "cusum_returns",
+    "dsir_importance_weights",
+    "hard_negative_mining",
+    "embedding_power_iteration",
 ]
 
 _only = os.environ.get("SPARK_SMOKE_ONLY")
