@@ -40,8 +40,11 @@ def _cell(v) -> str:
             sign = "-" if v < 0 else ""
             return f"CAST('{sign}Infinity' AS DOUBLE)"
         # repr is the shortest string that round-trips to the same
-        # double; the explicit cast stops Spark typing it DECIMAL
-        return f"CAST({v!r} AS DOUBLE)"
+        # double; cast FROM STRING (Double.parseDouble), not from a
+        # bare numeric literal — the parser types `-0.0` as DECIMAL,
+        # which has no signed zero, so the bare form flips -0.0 to
+        # +0.0 (caught by tests/test_opt_r11.py's bit-exactness test)
+        return f"CAST('{v!r}' AS DOUBLE)"
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, dt.datetime):
