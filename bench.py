@@ -102,9 +102,11 @@ def main() -> None:
     medians: dict[str, float] = {}
     for name in names:
         # per-query untimed warmup: the first execution of EACH query
-        # pays its own whole-stage-codegen/janino compile (and, for the
-        # LSH family, materializes the persisted signature cache) — a
-        # fixed cost that belongs in neither min nor spread
+        # pays its own whole-stage-codegen/janino compile — a fixed
+        # cost that belongs in neither min nor spread. (No cross-run
+        # caches exist: every timed run recomputes from parquet; the
+        # r10-era signature persist this comment once referenced was
+        # removed in r11.)
         REGISTRY[name].builder(spark, sf_dir).collect()
         runs, n = [], 0
         # 7 timed runs (raised from 5 in round 8): the recorded spread

@@ -67,20 +67,23 @@ def min_label_components(
     near-dup evidence chains (A~B from one blocking key, B~C from
     another, A⁄~C directly: all three are one group, one keeper).
 
-    Each iteration: label(v) ← min(label(v), min over neighbors'
-    labels) — one join + one partial-agg shuffle — and converges in
-    O(component diameter) rounds, which for near-dup clusters is small
-    (clusters are dense; chains are short). Every round
-    `localCheckpoint`s the labels so lineage stays bounded, and
-    convergence is detected from the (strictly decreasing) sum of
-    labels, a metric computed by the same action that materializes the
-    checkpoint epoch. GraphX/GraphFrames implement exactly this loop;
-    re-expressed here on DataFrames to stay dependency-free.
+    Each iteration: label(v) ← min over labels of N(v) ∪ {v} — the
+    self-loop edges fold the "keep own label" term into the neighbor
+    min, so a round is ONE join + ONE partial-agg shuffle with no
+    rejoin of the previous labels (optimization r12; the earlier shape
+    left-joined labels back against the neighbor minima every round).
+    Convergence is detected from the (strictly decreasing) sum of
+    labels, computed by the SAME action that materializes the round's
+    lazily-checkpointed labels — one Spark job per round, half the
+    per-round fixed cost of the old eager-checkpoint-then-aggregate
+    pair (optimization r12; the loop is round-trip-bound at small SF).
+    GraphX/GraphFrames implement exactly this loop; re-expressed here
+    on DataFrames to stay dependency-free.
 
     Returns (id_col, label): label = min vertex id of the component.
     """
-    # materialize the symmetric edge set ONCE per invocation (eager
-    # localCheckpoint, same policy star_components already applies):
+    # materialize the symmetric edge set ONCE per invocation (lazy
+    # localCheckpoint, materialized by the first round's action):
     # without it every propagation round re-executes the whole edge-
     # producing pipeline upstream (for the LSH keeper queries that is
     # the full bucket + pair + cosine cascade — measured 3x the query's
@@ -89,29 +92,33 @@ def min_label_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     if vertices is None:
         verts = sym.select(F.col("a").alias(id_col)).distinct()
     else:
         verts = vertices.select(id_col).distinct()
-    labels = verts.select(id_col, F.col(id_col).alias("label")).localCheckpoint()
-    prev = labels.agg(F.sum("label")).first()[0]
+    # self-loops: min over N(v) ∪ {v} ≡ least(own label, neighbor min),
+    # because labels are monotone non-increasing and start at the id
+    selfed = sym.union(
+        verts.select(F.col(id_col).alias("a"), F.col(id_col).alias("b"))
+    ).localCheckpoint(eager=False)
+    # identity-label sum — the convergence metric's starting point;
+    # this one action also materializes the sym checkpoint (verts is
+    # derived from it), so the upstream edge pipeline runs exactly once
+    prev = verts.agg(F.sum(id_col)).first()[0]
+    labels = verts.select(id_col, F.col(id_col).alias("label"))
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels.select(F.col(id_col).alias("b"), "label"), "b")
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_label"))
-            .withColumnRenamed("a", id_col)
-        )
         labels = (
-            labels.join(nbr_min, id_col, "left")
-            .select(
-                id_col,
-                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
-            )
-            .localCheckpoint()
+            selfed.join(labels.select(F.col(id_col).alias("b"), "label"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("a", id_col)
+            .localCheckpoint(eager=False)
         )
+        # ONE action: materializes this round's checkpoint AND computes
+        # the convergence metric (guide §1 — fixed per-job cost was the
+        # dominant term in this loop at bench scale)
         cur = labels.agg(F.sum("label")).first()[0]
         if cur == prev:
             return labels
@@ -167,7 +174,10 @@ def star_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        # lazy: the first fingerprint action below materializes it —
+        # one job instead of an eager-checkpoint + fingerprint pair
+        # (optimization r12, same fuse as min_label_components)
+        .localCheckpoint(eager=False)
     )
 
     def _star(e: DataFrame, large: bool) -> DataFrame:
@@ -210,7 +220,12 @@ def star_components(
     prev = _fingerprint(sym)
     converged = False
     for _ in range(max_iter):
-        sym = _star(_star(sym, large=True), large=False).localCheckpoint()
+        # lazy checkpoint + fingerprint = ONE action per round: the
+        # fingerprint both materializes the round's edge set and
+        # computes the convergence metric (optimization r12)
+        sym = _star(_star(sym, large=True), large=False).localCheckpoint(
+            eager=False
+        )
         cur = _fingerprint(sym)
         if cur == prev:
             converged = True

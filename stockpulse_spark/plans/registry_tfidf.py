@@ -258,36 +258,51 @@ def q_dedup_keeper_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sfx"
         ),
     ).localCheckpoint(eager=False)
-    edges = None
-    for key in ("pfx", "sfx"):
-        l = keyed.select(F.col("doc_id").alias("src"), key)
-        r = keyed.select(F.col("doc_id").alias("dst"), key)
-        # boilerplate guard (round 9): drop over-64 key buckets before
-        # the self-join — a prefix shared by hundreds of docs is a
-        # banner, and its bucket is quadratic in exactly this join
-        # (measured 23x shuffle growth at 10x on the planted-banner
-        # corpus before the cap).  Hot-bucket set is tiny: broadcast
-        # anti-join, same shape as minhash_lsh_pairs' cap.
-        hot = (
-            keyed.groupBy(key)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > 64)
-            .select(key)
+    # unpivot the two block keys into one (key_type, key_value) stream
+    # (optimization r12): the per-key formulation ran 2 hot-bucket
+    # groupBy jobs + 4 broadcast anti-joins + 2 self-joins + a distinct
+    # over the union; one exploded stream needs ONE window-count cap
+    # (the §2.4 df-cap pattern — same ≤64 bucket rule, same rows out)
+    # and ONE self-join whose both sides reuse the window's
+    # (kt, kv) exchange. edges need no distinct: a pair surfacing via
+    # both keys is collapsed by the symmetric-edge distinct inside
+    # connected_components, which was already paying that shuffle.
+    tok = keyed.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("kt"), F.col("pfx").alias("kv")),
+                F.struct(F.lit(1).alias("kt"), F.col("sfx").alias("kv")),
+            )
+        ).alias("k"),
+    ).select("doc_id", "k.kt", "k.kv")
+    # boilerplate guard (round 9): drop over-64 key buckets before the
+    # self-join — a prefix shared by hundreds of docs is a banner, and
+    # its bucket is quadratic in exactly this join (measured 23x
+    # shuffle growth at 10x on the planted-banner corpus before the
+    # cap).
+    ok = (
+        tok.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("kt", "kv"))
         )
-        l = l.join(F.broadcast(hot), key, "left_anti")
-        r = r.join(F.broadcast(hot), key, "left_anti")
-        e = (
-            l.join(r, key)
-            .filter(F.col("src") < F.col("dst"))
-            .select("src", "dst")
-        )
-        edges = e if edges is None else edges.union(e)
-    edges = edges.distinct()
+        .filter(F.col("__df") <= 64)
+        .drop("__df")
+    )
+    edges = (
+        ok.select(F.col("doc_id").alias("src"), "kt", "kv")
+        .join(ok.select(F.col("doc_id").alias("dst"), "kt", "kv"), ["kt", "kv"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
     labels = connected_components(
         edges, vertices=keyed.select(F.col("doc_id")), id_col="doc_id"
     )
-    return keyed.select("doc_id").join(labels, "doc_id", "left").select(
+    # labels carries exactly one row per keyed doc_id (the vertex set
+    # IS keyed's ids, and self-loops label every vertex), so the old
+    # join-back onto keyed was the identity — return labels directly
+    # (optimization r12; one exchange + one join removed).
+    return labels.select(
         "doc_id",
-        F.coalesce("label", "doc_id").alias("keeper_id"),
-        (F.coalesce("label", "doc_id") != F.col("doc_id")).alias("is_duplicate"),
+        F.col("label").alias("keeper_id"),
+        (F.col("label") != F.col("doc_id")).alias("is_duplicate"),
     )

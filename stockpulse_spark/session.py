@@ -33,6 +33,18 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's defaults."""
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    # the session's ACTUAL task-slot count: `local[N]` grants N slots,
+    # `local[*]` grants every host core. The shuffle-partition default
+    # derives from THIS, not os.cpu_count() — a `local[8]` session that
+    # plans 32 shuffle partitions schedules 4 waves of tiny tasks per
+    # exchange, pure overhead at bench scale, and it made the driver's
+    # low-core scaling probe illegible (optimization r12, r11 verdict
+    # item 2: the probe's per-query ratios read ≈1 partly because the
+    # plan shape never followed the granted cores).
+    try:
+        master_cores = int(cpus)
+    except (TypeError, ValueError):
+        master_cores = os.cpu_count() or 32
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -44,7 +56,7 @@ def get_spark(
             str(
                 shuffle_partitions
                 or os.environ.get("SPARK_SHUFFLE_PARTITIONS")
-                or (os.cpu_count() or 32)
+                or master_cores
             ),
         )
         .config("spark.sql.adaptive.enabled", "true")

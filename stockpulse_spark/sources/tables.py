@@ -18,12 +18,19 @@ from pyspark.sql import functions as F
 from stockpulse_spark.schemas import TESTDATA_TABLES
 
 
-@lru_cache(maxsize=256)
 def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader
     rejects natively. Footer-only check via pyarrow (no data read).
     Accepts either a single file or a Spark-written directory (all
-    parts share one schema — read the first footer)."""
+    parts share one schema — read the first footer). Cached per
+    (path, mtime) like every footer cache here (optimization r12)."""
+    return _nanos_ts_columns_cached(path, _path_mtime_ns(path))
+
+
+@lru_cache(maxsize=256)
+def _nanos_ts_columns_cached(
+    path: str, mtime_ns: int | None
+) -> tuple[str, ...]:
     import glob
 
     import pyarrow.parquet as pq
@@ -125,7 +132,17 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return dfs
 
 
-@lru_cache(maxsize=64)
+def _path_mtime_ns(path: str) -> int | None:
+    """mtime key for the footer-stat caches — same invalidation policy
+    as _HANDLE_CACHE: an in-place rewrite of a table at the SAME path
+    within one process must not serve stale footer statistics to the
+    width/bound planners (optimization r12, r11 verdict item 7)."""
+    try:
+        return os.stat(path).st_mtime_ns
+    except OSError:
+        return None
+
+
 def footer_column_span(sf_dir: str, name: str, col: str):
     """(min, max) of `col` from parquet FOOTER statistics — zero data
     read, no Spark job. At cluster scale this is one metadata fetch per
@@ -133,7 +150,17 @@ def footer_column_span(sf_dir: str, name: str, col: str):
     is how a planner should derive static bounds — e.g. the hour-span
     cap on per-series bar counts that lets MACD assert its series bound
     without a probe aggregation. Returns None when any row group lacks
-    stats (caller falls back to a probe)."""
+    stats (caller falls back to a probe). Cached per (path, mtime)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return _footer_column_span_cached(
+        sf_dir, name, col, _path_mtime_ns(path)
+    )
+
+
+@lru_cache(maxsize=64)
+def _footer_column_span_cached(
+    sf_dir: str, name: str, col: str, mtime_ns: int | None
+):
     import glob
 
     import pyarrow.parquet as pq
@@ -175,11 +202,19 @@ def hour_span_bound(sf_dir: str, name: str = "events", col: str = "ts") -> int |
     return int((mx.timestamp() - mn.timestamp()) // 3600) + 2
 
 
-@lru_cache(maxsize=64)
 def footer_row_count(sf_dir: str, name: str) -> int | None:
     """Total row count from parquet FOOTER metadata — zero data read,
     no Spark job. The planner-side cardinality input for static
-    decisions (e.g. sizing LSH bucket granularity to the corpus)."""
+    decisions (e.g. sizing LSH bucket granularity to the corpus).
+    Cached per (path, mtime) — see _path_mtime_ns."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return _footer_row_count_cached(sf_dir, name, _path_mtime_ns(path))
+
+
+@lru_cache(maxsize=64)
+def _footer_row_count_cached(
+    sf_dir: str, name: str, mtime_ns: int | None
+) -> int | None:
     import glob
 
     import pyarrow.parquet as pq

@@ -25,7 +25,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from stockpulse_spark.plans import REGISTRY  # noqa: E402
 from stockpulse_spark.session import get_spark  # noqa: E402
 
-PLANS_DIR = Path(__file__).resolve().parent.parent / "plans" / "r11"
+PLANS_DIR = Path(__file__).resolve().parent.parent / "plans" / "r12"
 
 
 def capture_plan(df) -> str:
