@@ -251,6 +251,16 @@ def add_macd(
         2.0 / (signal + 1),
     )
 
+    # CONTRACT: order_cols must uniquely key rows within a partition.
+    # array_sort orders the full struct (order cols first, then value
+    # and passthrough as tie-breakers); with duplicate order keys the
+    # recursion order — hence the EMA outputs — would depend on those
+    # tie-breaker columns, where the old pandas stable sort kept the
+    # (shuffle-nondeterministic) arrival order. Every registered
+    # caller orders by a per-series-unique timestamp. Passthrough
+    # columns must be scalar-typed: an array-typed passthrough would
+    # make np.asarray in the kernel build a 2-D ndarray and break the
+    # per-series concatenate.
     arr_cols = [*order_cols, value_col, *passthrough]
     g = (
         df.groupBy(*partition_cols)

@@ -32,6 +32,13 @@ def _cell(v) -> str:
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, int):
+        if abs(v) >= 2**63:
+            # fail loudly like createDataFrame would: a bare out-of-
+            # range literal would otherwise overflow to NULL (or raise
+            # at ANSI runtime) deep inside the parsed VALUES relation
+            raise TypeError(
+                f"values_df: int literal {v} exceeds BIGINT range"
+            )
         return f"CAST({v} AS BIGINT)" if abs(v) > 2**31 - 1 else str(v)
     if isinstance(v, float):
         if math.isnan(v):

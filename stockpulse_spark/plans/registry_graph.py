@@ -118,7 +118,26 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # pin the degree table once per invocation (optimization r12, the
+    # triangles multi-branch class): it feeds the seed vector and BOTH
+    # unrolled steps — unpinned, each use re-aggregated the edge RDD.
+    # The rank/degree vectors are |nodes|-sized (bounded by the part
+    # catalog); broadcast them into the per-step joins when the
+    # parquet-footer cardinality says they fit the session's 64 MB
+    # threshold (checkpointed RDDs carry no stats, so AQE cannot make
+    # this call itself) — interleaved A/B at sf0.1: 2.37 -> 1.84 s.
+    # Above the threshold the joins stay shuffled, the 100 TB shape.
+    from stockpulse_spark.sources.tables import footer_row_count
+
+    n_parts = footer_row_count(sf_dir, "part") or footer_row_count(
+        sf_dir, "lineitem"
+    ) or 0
+    small_nodes = 0 < n_parts * 48 / 1e6 <= 64
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=False)
+    )
     n = deg.agg(F.count(F.lit(1)).alias("nn"))
     pr = (
         deg.join(F.broadcast(n))
@@ -130,6 +149,8 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def step(p: DataFrame) -> DataFrame:
+        if small_nodes:
+            p = F.broadcast(p)
         inflow = (
             edges.join(p, edges["src"] == p["node"])
             .select(
@@ -139,9 +160,10 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
+        dj = F.broadcast(deg) if small_nodes else deg
         return (
             inflow.join(F.broadcast(n))
-            .join(deg, inflow["node"] == deg["src"])
+            .join(dj, inflow["node"] == F.col("src"))
             .select(
                 "node",
                 "outdeg",
@@ -246,11 +268,17 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # pin the degree table once per invocation (optimization r12): it
+    # feeds the two orientation broadcasts AND the final join spine —
+    # unpinned, each BroadcastExchange subtree re-ran the union +
+    # degree aggregation over the pair set (the before-plan shows the
+    # deg HashAggregate SEVEN times)
     deg = (
         pairs.select(F.col("p1").alias("node"))
         .unionAll(pairs.select(F.col("p2").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
     )
     # Degree-ordered orientation (optimization r11, guide §3 exploding
     # joins): the id-ordered wedge join enumerated Σ_b in·out wedges —
@@ -274,21 +302,43 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = (F.col("d1") < F.col("d2")) | (
         (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
     )
+    # pin the oriented edge list once per invocation (optimization
+    # r12): it feeds THREE plan branches — both wedge sides and the
+    # closing join — and each broadcast side otherwise re-ran the
+    # whole pairs ⋈ deg ⋈ deg orientation. A checkpointed RDD has no
+    # size statistics, so the join strategy is chosen here from
+    # parquet FOOTER cardinality (the planner-stat doctrine the LSH
+    # width ladder and the SRP plane count already use): the edge list
+    # measures ~2 rows per lineitem row at every tier, ~24 B per hash-
+    # relation entry — broadcast the closing/wedge sides only when
+    # that estimate fits the session's 64 MB auto-broadcast threshold
+    # (it does through the 10x tier); above it, fall back to a
+    # shuffled-hash join (guide §3.1 — the wedge stream is the big
+    # probe side, never the build side), which is the 100 TB-safe
+    # shape an |E|-sized frame requires.
+    from stockpulse_spark.sources.tables import footer_row_count
+
+    est_edge_mb = (footer_row_count(sf_dir, "lineitem") or 0) * 2 * 24 / 1e6
+    small_edges = 0 < est_edge_mb <= 64
     oriented = ed.select(
         F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("src"),
         F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
         F.when(fwd, F.col("d2")).otherwise(F.col("d1")).alias("ddst"),
-    )
+    ).localCheckpoint(eager=False)
     o1 = oriented.select("src", F.col("dst").alias("u"), F.col("ddst").alias("du"))
     o2 = oriented.select("src", F.col("dst").alias("w"), F.col("ddst").alias("dw"))
+    closing = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    if small_edges:
+        o2 = F.broadcast(o2)
+        closing = F.broadcast(closing)
+    else:
+        o2 = o2.hint("shuffle_hash")
+        closing = closing.hint("shuffle_hash")
     wedges = o1.join(o2, "src").filter(
         (F.col("du") < F.col("dw"))
         | ((F.col("du") == F.col("dw")) & (F.col("u") < F.col("w")))
     )
-    tri = wedges.join(
-        oriented.select(F.col("src").alias("u"), F.col("dst").alias("w")),
-        ["u", "w"],
-    )
+    tri = wedges.join(closing, ["u", "w"])
     node_tri = (
         tri.select(F.explode(F.array("src", "u", "w")).alias("node"))
         .groupBy("node")

@@ -17,8 +17,9 @@ Scale posture:
   scale-out axis (customers AND parts grow together) per-part df
   stays ~constant, so candidate volume grows linearly.
 - min-support (>= 2 common parts) prunes the noise tail before the
-  rank; per-customer top-3 rides the range-partitioned grouped
-  prefix rank, never a |customers|-task window.
+  rank; per-customer top-3 is one bounded sort_array/slice
+  aggregation (neighbor lists are df-cap-bounded), never a
+  |customers|-task window.
 - the popularity evaluation's model frame is 20 rows (top-k parts) —
   the one legitimately broadcast-hinted frame here.
 """
@@ -82,17 +83,15 @@ _CF_TOPK = 3
     "The neighbor-retrieval primitive behind user-based "
     "recommendation and look-alike audiences.  Shape: one part-key "
     "shuffle builds the index; candidates are equi-join + partial "
-    "agg; per-customer top-k rides with_grouped_global_rank's "
-    "range-partitioned prefix sum (parallelism = cluster width, "
-    "never |customers| tasks).  Ties break on (jaccard DESC, "
+    "agg; per-customer top-k is ONE bounded aggregation (each kept "
+    "part contributes <= cap-1 neighbors, so per-key state is "
+    "O(cap x basket), never |customers| window tasks).  Ties break on (jaccard DESC, "
     "neighbor) and the jaccard doubles are identical across engines "
     "(exact-int ratios, one correctly-rounded divide).",
 )
 def q_customer_cf_neighbors(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from stockpulse_spark.operators.rank import with_grouped_global_rank
-
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     # pin the basket set once per invocation: it feeds the sizes pass
@@ -151,17 +150,41 @@ def q_customer_cf_neighbors(
             ).alias("jaccard"),
         )
     )
+    # bounded per-customer top-k as ONE aggregation (optimization r12):
+    # the grouped-global-rank machinery (range exchange + checkpoint +
+    # window + offset join) is the right shape for UNBOUNDED groups,
+    # but a customer's neighbor list is bounded by the df cap — each
+    # kept part contributes <= cap-1 neighbors — so a sort_array +
+    # slice over the per-customer collect is O(cap x basket) per-key
+    # state and one hash exchange. Interleaved A/B at sf0.1:
+    # 4.67 -> 3.94 s, identical 44803 rows. Ordering matches the
+    # oracle's (jaccard DESC, neighbor): the sort key negates the
+    # strictly-positive jaccard (no -0.0/NaN hazard — exact-int ratio,
+    # n_common >= 2), neighbor breaks ties ascending.
+    top = scored.groupBy("customer").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("jaccard")).alias("nj"),
+                        F.col("neighbor").alias("neighbor"),
+                        F.col("n_common").alias("n_common"),
+                        F.col("jaccard").alias("jaccard"),
+                    )
+                )
+            ),
+            1,
+            _CF_TOPK,
+        ).alias("t")
+    )
     return (
-        with_grouped_global_rank(
-            scored, ["customer"], "-jaccard", "neighbor", rank_col="rank"
-        )
-        .filter(F.col("rank") <= _CF_TOPK)
+        top.select("customer", F.posexplode("t").alias("pos", "q"))
         .select(
             "customer",
-            F.col("rank").cast("bigint").alias("rank"),
-            "neighbor",
-            "n_common",
-            _r6(F.col("jaccard")).alias("jaccard"),
+            (F.col("pos") + 1).cast("bigint").alias("rank"),
+            F.col("q.neighbor").alias("neighbor"),
+            F.col("q.n_common").alias("n_common"),
+            _r6(F.col("q.jaccard")).alias("jaccard"),
         )
         .orderBy("customer", "rank")
     )

@@ -13,6 +13,7 @@ Usage: python tools/time_all.py [sf_dir] [n_runs] [--out=FILE]
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -52,7 +53,7 @@ def main() -> None:
                 runs.append(time.time() - t0)
             results[name] = {
                 "min": round(min(runs), 3),
-                "med": round(sorted(runs)[len(runs) // 2], 3),
+                "med": round(statistics.median(runs), 3),
                 "warm": round(warm, 3),
                 "rows": n,
             }
