@@ -115,66 +115,65 @@ def _register(
 
 # Driver-window rotation.  The driver's correctness gate samples the
 # FIRST 50 entries of queries() (dict insertion order); rotate via
-# tools/rotate_window.py each round until all oracle-backed queries
-# have driver rows.  Round 11: every oracle-backed query now has a
-# driver row, so the window becomes a pure freshness rotation — the
-# 50 queries whose LATEST driver-green row is oldest (the 28 r4 rows:
-# doc_chunking, mmr_diversified_topk, corpus_top_terms, zipf_slope,
-# word_pmi_collocations, embedding_knn_classify, ... plus the 22
-# oldest r5 rows) so old results keep getting re-certified against
-# current source.  This completes a full refresh: after r11, no
-# driver row predates round 5.
+# tools/rotate_window.py each round.  Round 12 (r11 verdict item 3):
+# the queries whose SEMANTICS-SENSITIVE plans were rewritten in the
+# r11/r12 optimization rounds come first so the driver's oracle — the
+# ground truth — hash-certifies each rewrite directly: the r12 CC-fuse
+# / edge-cascade / graph-pin / CF-top-k family, then the r11 kernel
+# and spread rewrites the verdict listed.  Backfill = the 32 covered
+# queries whose latest driver-green row is oldest (by CORRECTNESS_r*
+# scan, ties in registry order), keeping the freshness rotation going.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    "bpe_first_merge_stats",
-    "copurchase_pagerank",
-    "corpus_drift_jsd",
-    "corpus_heaps_stats",
-    "corpus_top_terms",
-    "doc_bigram_logprob",
-    "doc_chunking",
-    "doc_oov_ratio",
-    "doc_quality_filter",
-    "doc_stratified_sample",
-    "doc_substring_dup_pairs",
-    "doc_unigram_logprob",
-    "doc_weighted_sample",
-    "doc_weighted_sample_by_source",
-    "doc_word_entropy",
+    "dedup_keeper_transitive",
     "dup_cluster_size_stats",
-    "embedding_dim_correlation",
-    "embedding_knn_classify",
-    "embedding_power_iteration",
-    "kmeans_lloyd_2iter",
-    "lang_id_confusion",
-    "media_frame_sample",
-    "mmr_diversified_topk",
-    "pii_redaction_audit",
-    "term_counts_cms",
-    "url_domain_stats",
-    "word_pmi_collocations",
-    "zipf_slope",
-    "ann_recall_eval",
-    "anova_hour_effect",
-    "burst_detection_viterbi",
-    "candle_patterns",
-    "daily_order_ship_reconciliation",
-    "decontamination_bloom_funnel",
-    "decontamination_overlap",
-    "decontamination_recall_eval",
-    "disjunctive_filter",
-    "distinct_users_approx",
-    "distinct_users_sketch_rollup",
-    "doc_blocklist_filter",
-    "doc_ngram_novelty",
-    "doc_pack_sequences",
-    "doc_repetition_score",
-    "doc_token_budget_sample",
-    "doc_train_test_split",
-    "dq_expectation_suite",
-    "drawdown_durations",
-    "embedding_label_outliers",
-    "embedding_quantize_int8",
-    "growth_accounting_weekly",
+    "semantic_dedup_keepers",
+    "doc_dedup_pipeline_full",
+    "copurchase_triangles",
+    "copurchase_pagerank",
+    "customer_cf_neighbors",
+    "heikin_ashi_daily",
+    "cusum_returns",
+    "macd_unbounded_kernel",
+    "dtw_to_reference",
+    "doc_simhash",
+    "poisson_bootstrap_ci",
+    "textrank_keywords",
+    "missing_slots",
+    "dsir_importance_weights",
+    "lsh_tuning_curve",
+    "market_hours",
+    "sessionize_events",
+    "large_orders",
+    "idle_rich_customers",
+    "top_order_per_customer",
+    "value_percentiles_approx",
+    "media_features",
+    "obv",
+    "training_data_pipeline",
+    "training_data_pipeline_v2",
+    "shard_assignment_balance",
+    "source_sampling_weights",
+    "weighted_median_price",
+    "order_backlog_daily",
+    "session_conversion_daily",
+    "peak_concurrent_sessions_daily",
+    "value_mad_outliers",
+    "late_shipment_priority",
+    "pii_source_report",
+    "kaplan_meier_churn",
+    "segment_type_chisq",
+    "woe_binning",
+    "seasonal_anomaly_rates",
+    "srp_ann_recall_certificate",
+    "small_quantity_revenue",
+    "sql_weekly_active_users",
+    "rsi_wilder",
+    "williams_r",
+    "mfi14",
+    "cci20",
+    "adx14",
+    "donchian20",
+    "keltner20",
 )
 
 

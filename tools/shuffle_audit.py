@@ -130,6 +130,10 @@ QUERIES = [
     "dsir_importance_weights",
     "hard_negative_mining",
     "embedding_power_iteration",
+    # round-12 optimization: the CC-loop fuse + pinned/broadcast graph
+    # frames changed these queries' executed shapes
+    "semantic_dedup_keepers",
+    "doc_dedup_pipeline_full",
 ]
 
 _only = os.environ.get("SPARK_SMOKE_ONLY")
