@@ -151,37 +151,38 @@ def srp_lsh_topk(
     no cross join anywhere."""
     from pyspark.sql import Window
 
-    # The planes live as DATA (a 32-row broadcast dim), not as inlined
-    # literals: 8×4×64 literal arrays made whole-stage codegen compile
-    # for ~10 s; a broadcast nested-loop join against 32 tiny rows
-    # computes the same dots with a small constant plan.
+    # The planes live as DATA (one VALUES row per TABLE carrying its
+    # plane matrix), not as inlined literals: 8×4×64 literal arrays
+    # made whole-stage codegen compile for ~10 s. The bucket id is
+    # assembled IN-ROW with interpreted higher-order functions
+    # (optimization r12): the earlier per-(table, plane) row form paid
+    # a (vec × table × plane) broadcast nested-loop expansion plus a
+    # (id, tidx) groupBy exchange to reassemble the bits; the in-row
+    # fold computes the same dot signs (identical zip_with/aggregate
+    # fold order) and the same ascending-j integer sum with no
+    # exchange. Interpreted HOFs are CodegenFallback, so the plane
+    # matrices do not re-trigger the codegen blow-up.
     spark = queries.sparkSession
-    plane_rows = [
-        (t, j, pseudo_planes(n_planes, dim, table=t)[j])
-        for t in range(n_tables)
-        for j in range(n_planes)
+    tbl_rows = [
+        (t, pseudo_planes(n_planes, dim, table=t)) for t in range(n_tables)
     ]
     # VALUES LocalRelation, not createDataFrame: the pickled-RDD path
     # ran one Python-worker task per partition on EVERY action
     # (functions/localrel.py — optimization r11)
-    planes_df = values_df(spark, plane_rows, ["tidx", "pidx", "plane"])
+    planes_df = values_df(spark, tbl_rows, ["tidx", "planes"])
 
     def with_buckets(df, idname):
         v = df.select(
             F.col(id_col).alias(idname), _as_double(F.col(vec_col)).alias(f"{idname}_v")
         )
-        bits = v.crossJoin(F.broadcast(planes_df)).select(
-            idname,
-            "tidx",
-            F.when(
-                dot(F.col(f"{idname}_v"), F.col("plane")) > 0,
-                F.expr("shiftleft(1, pidx)"),
-            )
-            .otherwise(F.lit(0))
-            .alias("bit"),
+        bucket = F.expr(
+            "CAST(aggregate(transform(planes, (p, j) -> CASE WHEN "
+            f"aggregate(zip_with(`{idname}_v`, p, (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) > 0 "
+            "THEN shiftleft(1, j) ELSE 0 END), 0, (a, b) -> a + b) AS INT)"
         )
-        return bits.groupBy(idname, "tidx").agg(
-            F.sum("bit").cast("int").alias("bucket")
+        return v.crossJoin(F.broadcast(planes_df)).select(
+            idname, "tidx", bucket.alias("bucket")
         )
 
     # ids-only through the bucket equi-join and the pair dedup

@@ -410,29 +410,31 @@ def q_semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         4, min(12, math.ceil(math.log2(max(n_rows, 64) / 64)))
     )  # cap mirrors the oracle's embedded plane families
 
-    plane_rows = [
-        (t, j, pseudo_planes(n_planes, 64, table=t)[j])
-        for t in range(n_tables)
-        for j in range(n_planes)
+    # one row per TABLE carrying its plane matrix (VALUES LocalRelation
+    # — functions/localrel.py, optimization r11), bucket assembled
+    # IN-ROW with interpreted higher-order functions (optimization r12):
+    # the per-(table, plane) row form paid a (vec × table × plane)
+    # broadcast nested-loop expansion plus a (vec_id, tidx) groupBy
+    # exchange to reassemble the bits; the in-row fold computes the
+    # same dot signs (identical zip_with/aggregate expression, same
+    # fold order) and the same ascending-j integer sum with no
+    # exchange and table-count rows per vector. Interpreted HOFs are
+    # CodegenFallback, so the plane matrices do NOT hit the 10 s
+    # whole-stage-codegen compile that inlining them as per-plane
+    # literal expressions did (the r11 note on srp_lsh_topk).
+    # Interleaved A/B at sf0.1: 4.44 -> 3.74 s, identical rows.
+    tbl_rows = [
+        (t, pseudo_planes(n_planes, 64, table=t)) for t in range(n_tables)
     ]
-    # VALUES LocalRelation, not createDataFrame: the pickled-RDD path
-    # ran one Python-worker task per partition on EVERY action
-    # (functions/localrel.py — optimization r11)
-    planes_df = values_df(spark, plane_rows, ["tidx", "pidx", "plane"])
-    buckets = (
-        spark_emb.crossJoin(F.broadcast(planes_df))
-        .select(
-            "vec_id",
-            "e",
-            "tidx",
-            F.when(
-                dot(F.col("e"), F.col("plane")) > 0, F.expr("shiftleft(1, pidx)")
-            )
-            .otherwise(F.lit(0))
-            .alias("bit"),
-        )
-        .groupBy("vec_id", "tidx")
-        .agg(F.sum("bit").cast("int").alias("bucket"))
+    tbl_df = values_df(spark, tbl_rows, ["tidx", "planes"])
+    bucket = F.expr(
+        "CAST(aggregate(transform(planes, (p, j) -> CASE WHEN "
+        "aggregate(zip_with(e, p, (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x) > 0 THEN shiftleft(1, j) ELSE 0 END), "
+        "0, (a, b) -> a + b) AS INT)"
+    )
+    buckets = spark_emb.crossJoin(F.broadcast(tbl_df)).select(
+        "vec_id", "tidx", bucket.alias("bucket")
     )
     # ids-only through the bucket join and the pair dedup (optimization
     # r11): the earlier shape carried both 64-double vectors through

@@ -130,3 +130,57 @@ def test_star_components_fused_matches_min_label(spark):
     a = {r["id"]: r["label"] for r in star_components(edges).collect()}
     b = {r["id"]: r["label"] for r in min_label_components(edges).collect()}
     assert a == b
+
+
+def test_inrow_srp_bucket_matches_per_plane_form(spark):
+    """The r12 in-row SRP bucket assembly (one interpreted fold per
+    (vector, table) row) must be bit-identical to the per-plane
+    reference form srp_bucket (sign of the same sequential dot fold,
+    same ascending-j bit weights) on random vectors including zeros
+    and exact-boundary components."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from stockpulse_spark.functions.localrel import values_df
+    from stockpulse_spark.llmdata.similarity import (
+        pseudo_planes,
+        srp_bucket,
+    )
+
+    rng = random.Random(12)
+    dim, n_planes, n_tables = 16, 4, 3
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)
+    ] + [(100, [0.0] * dim)]
+    v = values_df(spark, rows, ["vec_id", "e"])
+    ref = v.select(
+        "vec_id",
+        *[
+            srp_bucket(F.col("e"), pseudo_planes(n_planes, dim, table=t))
+            .cast("int")
+            .alias(f"b{t}")
+            for t in range(n_tables)
+        ],
+    )
+    tbl = values_df(
+        spark,
+        [(t, pseudo_planes(n_planes, dim, table=t)) for t in range(n_tables)],
+        ["tidx", "planes"],
+    )
+    bucket = F.expr(
+        "CAST(aggregate(transform(planes, (p, j) -> CASE WHEN "
+        "aggregate(zip_with(e, p, (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x) > 0 THEN shiftleft(1, j) ELSE 0 END), "
+        "0, (a, b) -> a + b) AS INT)"
+    )
+    inrow = (
+        v.crossJoin(F.broadcast(tbl))
+        .select("vec_id", "tidx", bucket.alias("bucket"))
+        .groupBy("vec_id")
+        .pivot("tidx", list(range(n_tables)))
+        .sum("bucket")
+    )
+    a = {r["vec_id"]: [r[f"b{t}"] for t in range(n_tables)] for r in ref.collect()}
+    b = {r["vec_id"]: [r[str(t)] for t in range(n_tables)] for r in inrow.collect()}
+    assert a == b
